@@ -1,0 +1,91 @@
+import pytest
+
+from fractalrenderer_tpu import FractalType, Scene, presets
+
+
+def test_defaults_match_reference():
+    # src/fractal_state.h:18-91
+    s = Scene()
+    assert s.center_x == -0.5 and s.center_y == 0.0 and s.zoom == 3.0
+    assert s.max_iterations == 256
+    assert s.julia_c_real == pytest.approx(-0.7)
+    assert s.julia_c_imag == pytest.approx(0.27015)
+    assert s.bailout == 4.0 and s.antialiasing_samples == 1
+    assert s.palette_mode == 0 and s.color_scale == 1.0
+    assert s.mandelbulb_power == 8.0
+    assert s.phoenix_p == 0.0 and s.phoenix_r == -0.5
+    assert s.orbit_trap_radius == 0.5 and s.stripe_density == 10.0
+
+
+def test_reset_matches_reference():
+    # src/fractal_state.h:135-153 — reset() uses zoom 1.5
+    s = Scene(zoom=1e-8, center_x=0.3, max_iterations=4096,
+              color_brightness=2.0).reset()
+    assert s.zoom == 1.5 and s.center_x == -0.5
+    assert s.max_iterations == 256 and s.color_brightness == 1.0
+
+
+def test_json_roundtrip():
+    s = Scene(fractal_type=FractalType.BURNING_SHIP, zoom=0.02,
+              orbit_trap_enabled=True, hp_center_x="-0.75000000000000001")
+    s2 = Scene.from_json(s.to_json())
+    assert s2 == s
+
+
+def test_from_dict_rejects_unknown():
+    with pytest.raises(ValueError):
+        Scene.from_dict({"no_such_field": 1})
+
+
+def test_fractal_type_parse():
+    assert FractalType.parse("burning-ship") == FractalType.BURNING_SHIP
+    assert FractalType.parse("Julia Set") == FractalType.JULIA
+    with pytest.raises(ValueError):
+        FractalType.parse("mandelbox")
+
+
+def test_zoom_helpers_match_reference():
+    # src/vk_engine.cpp:1731-1794
+    s = Scene(zoom=1.0)
+    z = s.zoomed(zoom_in=True)
+    assert z.zoom == pytest.approx(0.8)
+    assert z.max_iterations == 1024  # zoom < 1.0 bucket
+    z2 = s.zoomed(zoom_in=False)
+    assert z2.zoom == pytest.approx(1.25)
+    assert z2.max_iterations == 512  # zoom < 10 bucket
+
+    # zoom_to_point keeps the world point under the cursor fixed
+    s = Scene(center_x=-0.5, center_y=0.0, zoom=2.0)
+    w, h = 800, 600
+    px, py = 200, 150
+    aspect = w / h
+    nx, ny = px / w - 0.5, py / h - 0.5
+    wx = s.center_x + nx * s.zoom * aspect
+    wy = s.center_y + ny * s.zoom
+    z = s.zoom_to_point(px, py, w, h, zoom_in=True)
+    assert z.zoom == pytest.approx(1.4)
+    assert wx == pytest.approx(z.center_x + nx * z.zoom * aspect)
+    assert wy == pytest.approx(z.center_y + ny * z.zoom)
+
+
+def test_presets_tables():
+    # src/fractal_state.h:171-189
+    assert len(presets.MANDELBROT_PRESETS) == 6
+    assert len(presets.BURNING_SHIP_PRESETS) == 5
+    sea = presets.find_preset("Seahorse Valley")
+    assert sea.center_x == pytest.approx(-0.743643887037151)
+    assert sea.iterations == 1024
+    s = sea.apply(Scene())
+    assert s.zoom == 0.008
+    assert presets.JULIA_PRESETS["Douady's Rabbit"] == (-0.123, 0.745)
+    assert presets.PHOENIX_PRESETS["Classic Phoenix"] == (0.0, -0.5)
+    assert presets.PRINT_SIZE_PRESETS["40x60 @ 300 DPI"] == (12000, 18000)
+    assert len(presets.DEEP_ZOOM_PRESETS) == 3
+
+
+def test_metadata_summary():
+    s = Scene(zoom=0.015, max_iterations=768, orbit_trap_enabled=True)
+    md = s.metadata_summary()
+    assert md["Zoom"] == "0.015000000"
+    assert md["Iterations"] == "768"
+    assert md["Orbit Trap"] == "Enabled"
