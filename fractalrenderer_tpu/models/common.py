@@ -1,0 +1,181 @@
+"""Shared render pipeline for the 2D escape-time families.
+
+Pipeline per frame (mirrors the shader main() structure):
+  for each AA offset: escape kernel → per-sample coloring
+  average samples → enhance/ACES/gamma post chain
+
+The pipeline is compiled once per *static configuration* (family, size, AA,
+palette, effect toggles) and re-used across any number of frames with traced
+dynamic parameters (center/zoom/colors/...) — the functional replacement for
+the reference's push-constant dirty-checking (src/compute_effect_manager.h:
+80-433).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import coloring, mapping
+from ..ops.coloring import ColorParams
+from ..ops.escape import escape_fields
+from ..scene import Scene
+
+
+@dataclass(frozen=True)
+class StaticCfg:
+    family: str
+    width: int
+    height: int
+    max_iter: int
+    aa: int
+    palette_mode: int
+    interior_style: int
+    orbit_trap_enabled: bool
+    stripe_enabled: bool
+    use_julia: bool
+    clamp_mins: bool          # julia/bs/phoenix clamp brightness/sat/contrast
+    aa_convention: str        # 'centered' (mandelbrot) or 'uv'
+    tile: Optional[Tuple[int, int]] = None
+    chunk: int = 16
+    interpret: Optional[bool] = None
+
+
+# Dynamic parameter pytree: plain dict of f32 scalars.
+DYN_KEYS = ("center_x", "center_y", "zoom", "bailout", "iter_limit",
+            "julia_c_real", "julia_c_imag", "phoenix_p", "phoenix_r",
+            "color_offset", "color_scale", "orbit_trap_radius",
+            "stripe_density", "brightness", "saturation", "contrast")
+
+
+def scene_static_cfg(scene: Scene, width: int, height: int,
+                     family: str, aa_convention: str, clamp_mins: bool,
+                     **kw) -> StaticCfg:
+    return StaticCfg(
+        family=family, width=width, height=height,
+        max_iter=int(scene.max_iterations),
+        aa=max(int(scene.antialiasing_samples), 1),
+        palette_mode=int(scene.palette_mode),
+        interior_style=int(scene.interior_style),
+        orbit_trap_enabled=bool(scene.orbit_trap_enabled),
+        stripe_enabled=bool(scene.stripe_enabled),
+        use_julia=bool(scene.use_julia_set),
+        clamp_mins=clamp_mins, aa_convention=aa_convention, **kw)
+
+
+def scene_dyn_params(scene: Scene) -> dict:
+    return {
+        "center_x": scene.center_x, "center_y": scene.center_y,
+        "zoom": scene.zoom, "bailout": scene.bailout,
+        "iter_limit": float(scene.max_iterations),
+        "julia_c_real": scene.julia_c_real, "julia_c_imag": scene.julia_c_imag,
+        "phoenix_p": scene.phoenix_p, "phoenix_r": scene.phoenix_r,
+        "color_offset": scene.color_offset, "color_scale": scene.color_scale,
+        "orbit_trap_radius": scene.orbit_trap_radius,
+        "stripe_density": scene.stripe_density,
+        "brightness": scene.color_brightness,
+        "saturation": scene.color_saturation,
+        "contrast": scene.color_contrast,
+    }
+
+
+def _track_flags(cfg: StaticCfg) -> Tuple[bool, bool]:
+    if cfg.family == "mandelbrot":
+        track_trap = cfg.orbit_trap_enabled or cfg.interior_style == 2
+        return track_trap, False
+    if cfg.family == "burning_ship":
+        track_trap = cfg.orbit_trap_enabled
+        track_stripe = cfg.stripe_enabled and cfg.interior_style == 2
+        return track_trap, track_stripe
+    return False, False
+
+
+def _color_params(cfg: StaticCfg, dyn: dict) -> ColorParams:
+    # Traced floats are fine inside ColorParams for the jnp backend.
+    return ColorParams(
+        max_iterations=cfg.max_iter,
+        bailout=dyn["bailout"],
+        palette_mode=cfg.palette_mode,
+        color_offset=dyn["color_offset"],
+        color_scale=dyn["color_scale"],
+        interior_style=cfg.interior_style,
+        orbit_trap_enabled=cfg.orbit_trap_enabled,
+        orbit_trap_radius=dyn["orbit_trap_radius"],
+        stripe_enabled=cfg.stripe_enabled,
+        stripe_density=dyn["stripe_density"],
+        phoenix_stripe_control=dyn["stripe_density"],
+    )
+
+
+def _render_impl(cfg: StaticCfg, dyn: dict) -> jax.Array:
+    track_trap, track_stripe = _track_flags(cfg)
+    if cfg.aa_convention == "centered":
+        offsets = mapping.aa_offsets_centered(cfg.aa)
+    else:
+        offsets = mapping.aa_offsets_uv(cfg.aa, cfg.width)
+
+    p = _color_params(cfg, dyn)
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for off in offsets:
+        f = escape_fields(
+            cfg.family, cfg.width, cfg.height,
+            center_x=dyn["center_x"], center_y=dyn["center_y"],
+            zoom=dyn["zoom"], max_iter=cfg.max_iter,
+            bailout=dyn["bailout"], offset=off,
+            julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
+            phoenix_p=dyn["phoenix_p"], phoenix_r=dyn["phoenix_r"],
+            use_julia=cfg.use_julia,
+            trap_radius=dyn["orbit_trap_radius"],
+            stripe_density=dyn["stripe_density"],
+            track_trap=track_trap, track_stripe=track_stripe,
+            iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
+            interpret=cfg.interpret)
+        if cfg.family == "mandelbrot":
+            trap = f.get("trap", jnp.full_like(f["zx"], 1e20))
+            acc = acc + coloring.color_mandelbrot(jnp, f["n"], f["zx"],
+                                                  f["zy"], trap, p)
+        elif cfg.family == "julia":
+            acc = acc + coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p)
+        elif cfg.family == "burning_ship":
+            trap = f.get("trap", jnp.full_like(f["zx"], 1e10))
+            stripe = f.get("stripe", jnp.zeros_like(f["zx"]))
+            acc = acc + coloring.color_burning_ship(jnp, f["n"], f["zx"],
+                                                    f["zy"], trap, stripe, p)
+        elif cfg.family == "phoenix":
+            acc = acc + coloring.color_phoenix(jnp, f["n"], f["zx"], f["zy"], p)
+        else:
+            raise ValueError(cfg.family)
+
+    color = acc / jnp.float32(len(offsets))
+    brightness = dyn["brightness"]
+    saturation = dyn["saturation"]
+    contrast = dyn["contrast"]
+    if cfg.clamp_mins:
+        # julia.comp:319-322 — clamp floors (traced-safe)
+        brightness = jnp.maximum(brightness, 0.1)
+        saturation = jnp.maximum(saturation, 0.0)
+        contrast = jnp.maximum(contrast, 0.1)
+    color = coloring.enhance_color(jnp, color, brightness, saturation, contrast)
+    color = coloring.aces_tonemap(jnp, color)
+    return coloring.gamma_correct(jnp, color)
+
+
+@functools.lru_cache(maxsize=256)
+def compiled_render_fn(cfg: StaticCfg):
+    """A jitted render(dyn_params) -> rgb for one static configuration."""
+
+    def fn(dyn):
+        dyn = {k: jnp.asarray(v, jnp.float32) for k, v in dyn.items()}
+        return _render_impl(cfg, dyn)
+
+    return jax.jit(fn)
+
+
+def render_scene(scene: Scene, width: int, height: int, family: str,
+                 aa_convention: str, clamp_mins: bool, **kw) -> jax.Array:
+    cfg = scene_static_cfg(scene, width, height, family, aa_convention,
+                           clamp_mins, **kw)
+    return compiled_render_fn(cfg)(scene_dyn_params(scene))

@@ -119,7 +119,7 @@ class ColorParams:
 
 def color_mandelbrot(xp, n, zx, zy, min_trap, p: ColorParams):
     """mandelbrot.comp:172-207."""
-    max_iter = _f32(xp, float(p.max_iterations))
+    max_iter = _f32(xp, p.max_iterations)
     nu = smooth_nu_loglog(xp, n, zx, zy, max_iter)
     t = xp.clip(nu / max_iter * p.color_scale, 0.0, 1.0)
     color = pal.palette_color(xp, t + p.color_offset, p.palette_mode, "classic")
@@ -153,7 +153,7 @@ def color_mandelbrot(xp, n, zx, zy, min_trap, p: ColorParams):
 
 def color_julia(xp, n, zx, zy, p: ColorParams):
     """julia.comp:238-249 — interior is black; t = offset + smooth/max * scale."""
-    max_iter = _f32(xp, float(p.max_iterations))
+    max_iter = _f32(xp, p.max_iterations)
     smooth = smooth_nu_bailout(xp, n, zx, zy, max_iter, p.bailout)
     t = p.color_offset + (smooth / max_iter) * p.color_scale
     color = pal.palette_color(xp, t, p.palette_mode, "enhanced")
@@ -163,7 +163,7 @@ def color_julia(xp, n, zx, zy, p: ColorParams):
 
 def color_burning_ship(xp, n, zx, zy, min_trap, stripe_acc, p: ColorParams):
     """burning_ship.comp:250-308 — 4 interior styles + orbit-trap blend."""
-    max_iter = _f32(xp, float(p.max_iterations))
+    max_iter = _f32(xp, p.max_iterations)
     smooth = smooth_nu_bailout(xp, n, zx, zy, max_iter, p.bailout)
     t = p.color_offset + (smooth / max_iter) * p.color_scale
     color = pal.palette_color(xp, t, p.palette_mode, "enhanced")
@@ -200,24 +200,33 @@ def color_phoenix(xp, n, zx, zy, p: ColorParams):
     Phoenix's smooth value comes from smooth_nu_loglog with the fixed
     bailout of 4 (phoenix.comp:77-83); interior pixels use smooth = max_iter.
     """
-    max_iter = _f32(xp, float(p.max_iterations))
+    max_iter = _f32(xp, p.max_iterations)
     smooth = smooth_nu_loglog(xp, n, zx, zy, max_iter)
     t = xp.power(xp.clip(smooth / max_iter, 0.0, None), _f32(xp, 0.8))
 
-    stripe_control = max(float(p.phoenix_stripe_control), 0.0)
-    if stripe_control > 0.01:
-        stripe_density = stripe_control
-        stripe_amplitude = min(max(stripe_control * 0.05, 0.0), 1.0)
-        angle = xp.arctan2(zy, zx)
-        stripe_mod = 0.5 + 0.5 * xp.sin(angle * stripe_density + smooth * 0.25)
-        adaptive = stripe_amplitude * (1.0 - xp.exp(-0.004 * smooth * smooth))
-        t2 = pal._fract(xp, t + 0.1 * stripe_mod)
-        base = pal.palette_color(xp, t, p.palette_mode, "classic")
-        stripe = pal.palette_color(xp, t2, p.palette_mode, "classic")
-        w = (adaptive * stripe_mod)[..., None]
-        color = base * (1.0 - w) + stripe * w
-    else:
+    # The stripe gate (phoenix.comp:124) is a static branch when the density
+    # is a concrete Python float (golden path); with a traced density (jitted
+    # render path) the gate is folded into the blend weight, which reproduces
+    # the branch exactly since w == 0 when control <= 0.01.
+    control = p.phoenix_stripe_control
+    try:
+        static_off = float(control) <= 0.01
+    except Exception:
+        static_off = False
+    if static_off:
         color = pal.palette_color(xp, t, p.palette_mode, "classic")
+        return color.astype(xp.float32)
+
+    control = xp.maximum(_f32(xp, control), 0.0)
+    stripe_amplitude = xp.clip(control * 0.05, 0.0, 1.0)
+    angle = xp.arctan2(zy, zx)
+    stripe_mod = 0.5 + 0.5 * xp.sin(angle * control + smooth * 0.25)
+    adaptive = stripe_amplitude * (1.0 - xp.exp(-0.004 * smooth * smooth))
+    t2 = pal._fract(xp, t + 0.1 * stripe_mod)
+    base = pal.palette_color(xp, t, p.palette_mode, "classic")
+    stripe = pal.palette_color(xp, t2, p.palette_mode, "classic")
+    w = (adaptive * stripe_mod * (control > 0.01))[..., None]
+    color = base * (1.0 - w) + stripe * w
     return color.astype(xp.float32)
 
 
@@ -230,7 +239,7 @@ def color_phoenix(xp, n, zx, zy, p: ColorParams):
 def color_deep_zoom(xp, n, zx, zy, p: ColorParams):
     """test_deep_zoom.comp:73-103.  No post chain (the reference's deep-zoom
     shader writes raw palette colors)."""
-    max_iter = _f32(xp, float(p.max_iterations))
+    max_iter = _f32(xp, p.max_iterations)
     nf = n.astype(xp.float32)
     lenz = xp.maximum(xp.sqrt(zx * zx + zy * zy), 1e-12)
     log_zn = xp.log(lenz)

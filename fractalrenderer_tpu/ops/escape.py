@@ -1,0 +1,362 @@
+"""Pallas escape-time field kernels — the TPU replacement for the reference's
+GLSL compute shaders (shaders/mandelbrot.comp, julia.comp, burning_ship.comp,
+phoenix.comp; dispatch geometry: src/compute_effect_manager.h:462-467).
+
+Design (SURVEY.md §7):
+- One kernel skeleton parameterized by a per-family iteration *step*,
+  gridded over VMEM-resident pixel tiles.
+- Masked early exit: a tile iterates in CHUNK-sized bursts of predicated
+  updates and stops as soon as every pixel in it has escaped — exterior
+  tiles finish in a few bursts while interior tiles run to max_iter, which
+  is what makes the 1 Gpix/s target reachable on the VPU.
+- Escaped pixels freeze their (n, z, aux) state via selects, matching the
+  per-thread early `break` of the GPU shaders bit-for-bit; iteration counts
+  are tested for exact integer equality against reference/golden.py.
+- All pixel math is f32 with the shaders' operation order (see ops/mapping).
+
+Outputs per pixel:
+  n  (int32) — index of the escaping update, or max_iter if never escaped
+  zx, zy (f32) — z after the escaping update (or after max_iter updates)
+  trap (f32, optional) — orbit-trap minimum (family-specific definition)
+  stripe (f32, optional) — burning-ship stripe accumulator
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import mapping
+from .pallas_utils import cdiv, default_interpret, pick_tile
+
+# Scalar-parameter vector layout (SMEM). One flat f32 vector keeps the kernel
+# signature uniform across families.
+P_CX, P_CY, P_ZOOM, P_OFFX, P_OFFY, P_BAIL2, P_LIMIT = range(7)
+P_A0, P_A1, P_A2, P_A3 = 7, 8, 9, 10
+NPARAMS = 11
+
+FAMILIES = ("mandelbrot", "julia", "burning_ship", "phoenix")
+
+
+def _iter_chunk(family: str, track_trap: bool, track_stripe: bool,
+                chunk: int, state: dict, consts):
+    """Run `chunk` predicated iterations over a dict-shaped carry.
+
+    Formulation (chosen for minimum VPU ops per iteration):
+    - ``sqx``/``sqy`` carry the squares of the current z, so the escape
+      magnitude is one add and the next update reuses them.
+    - The escape latch is ``sqx + sqy <= bail2`` on the *frozen* state: the
+      escaping update is applied while the pre-update z was still inside, and
+      afterwards the frozen z keeps the predicate false forever — bit-exact
+      GLSL early-`break` semantics with no separate alive bookkeeping.
+    - ``nf`` counts survived steps as f32; the caller peels update 0 (always
+      applied per the shaders) and fixes up interior pixels to ``limit``.
+    - All loop-carried vectors are f32 (Mosaic cannot carry i1 vectors).
+    """
+    cr, ci, add_re, add_im, bail2, limit, pp, rr, trap_r, stripe_d = consts
+
+    def body(k, s):
+        del k
+        s = dict(s)
+        zx, zy, sqx, sqy, i = s["zx"], s["zy"], s["sqx"], s["sqy"], s["i"]
+        mag2 = sqx + sqy
+        alive = (mag2 <= bail2) & (i < limit)
+        s["nf"] = s["nf"] + alive.astype(jnp.float32)
+
+        if family == "burning_ship":
+            # traps/stripes use the PRE-update z (burning_ship.comp:228-238)
+            if track_trap:
+                dist = jnp.sqrt(mag2)
+                t = jnp.abs(dist - trap_r)
+                s["trap"] = jnp.where(alive, jnp.minimum(s["trap"], t),
+                                      s["trap"])
+            if track_stripe:
+                s["stripe"] = jnp.where(
+                    alive, s["stripe"] + jnp.sin(zy * stripe_d), s["stripe"])
+            # |zx|^2 == zx^2 and (2|zx|)|zy| == 2|zx*zy| bit-exactly (the
+            # scale by 2 is exact), so the abs folds into one op on the
+            # product.
+            x = sqx - sqy + cr
+            y = jnp.abs((2.0 * zx) * zy) + ci
+        elif family == "phoenix":
+            # phoenix.comp:63-67 — two-term recurrence
+            x = sqx - sqy + add_re + rr * s["px"] + pp * zx
+            y = (2.0 * zx) * zy + add_im + rr * s["py"] + pp * zy
+            s["px"] = jnp.where(alive, zx, s["px"])
+            s["py"] = jnp.where(alive, zy, s["py"])
+        else:  # mandelbrot / julia: z <- z^2 + c
+            x = sqx - sqy + cr
+            y = (2.0 * zx) * zy + ci
+
+        zx = jnp.where(alive, x, zx)
+        zy = jnp.where(alive, y, zy)
+
+        if family == "mandelbrot" and track_trap:
+            # combined trap on the updated z (mandelbrot.comp:162-166)
+            nsqx = zx * zx
+            nsqy = zy * zy
+            mag = jnp.sqrt(nsqx + nsqy)
+            d_axes = jnp.minimum(jnp.abs(zx), jnp.abs(zy))
+            dxc = zx - cr
+            dyc = zy - ci
+            d_c = jnp.sqrt(dxc * dxc + dyc * dyc)
+            t = jnp.minimum(mag, jnp.minimum(d_axes, d_c))
+            s["trap"] = jnp.where(alive, jnp.minimum(s["trap"], t), s["trap"])
+            s["sqx"] = nsqx
+            s["sqy"] = nsqy
+        else:
+            s["sqx"] = zx * zx
+            s["sqy"] = zy * zy
+        s["zx"] = zx
+        s["zy"] = zy
+        s["i"] = i + 1
+        return s
+
+    return jax.lax.fori_loop(0, chunk, body, state)
+
+
+def _make_kernel(family: str, width: int, height: int, max_iter_cap: int,
+                 track_trap: bool, track_stripe: bool, use_julia: bool,
+                 tile: Tuple[int, int], chunk: int):
+    th, tw = tile
+
+    def kernel(params_ref, *out_refs):
+        tj = pl.program_id(1)
+        ti = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+        pyf = rows.astype(jnp.float32)
+        pxf = cols.astype(jnp.float32)
+
+        cx = params_ref[0, P_CX]
+        cy = params_ref[0, P_CY]
+        zoom = params_ref[0, P_ZOOM]
+        offx = params_ref[0, P_OFFX]
+        offy = params_ref[0, P_OFFY]
+        bail2 = params_ref[0, P_BAIL2]
+        limit = params_ref[0, P_LIMIT].astype(jnp.int32)
+        a0 = params_ref[0, P_A0]
+        a1 = params_ref[0, P_A1]
+        a2 = params_ref[0, P_A2]
+        a3 = params_ref[0, P_A3]
+
+        if family == "mandelbrot":
+            cr, ci = mapping.map_centered(jnp, pxf, pyf, width, height,
+                                          cx, cy, zoom, offx, offy)
+            zx0 = jnp.zeros((th, tw), jnp.float32)
+            zy0 = jnp.zeros((th, tw), jnp.float32)
+            add_re = add_im = jnp.float32(0.0)
+        elif family == "julia":
+            zr, zi = mapping.map_uv(jnp, pxf, pyf, width, height,
+                                    cx, cy, zoom, offx, offy)
+            zx0, zy0 = zr, zi
+            cr = jnp.broadcast_to(a0, (th, tw))
+            ci = jnp.broadcast_to(a1, (th, tw))
+            add_re = add_im = jnp.float32(0.0)
+        else:  # burning_ship / phoenix: c from pixel via uv mapping
+            cr, ci = mapping.map_uv(jnp, pxf, pyf, width, height,
+                                    cx, cy, zoom, offx, offy)
+            zx0 = jnp.zeros((th, tw), jnp.float32)
+            zy0 = jnp.zeros((th, tw), jnp.float32)
+            if family == "phoenix" and use_julia:
+                # Julia mode ignores the pixel constant (phoenix.comp:64-65)
+                add_re, add_im = a0, a1
+            else:
+                add_re, add_im = cr, ci
+
+        pp = a2 if family == "phoenix" else jnp.float32(0.0)
+        rr = a3 if family == "phoenix" else jnp.float32(0.0)
+        trap_r = a0 if family == "burning_ship" else jnp.float32(0.0)
+        stripe_d = a1 if family == "burning_ship" else jnp.float32(0.0)
+        consts = (cr, ci, add_re, add_im, bail2, limit, pp, rr, trap_r,
+                  stripe_d)
+
+        # ---- Peel update 0: the shaders always apply the first update
+        # before any escape check, even when |z0| is already past bailout
+        # (julia.comp:230-241).
+        sqx0 = zx0 * zx0
+        sqy0 = zy0 * zy0
+        if family == "burning_ship":
+            x1 = sqx0 - sqy0 + cr
+            y1 = jnp.abs((2.0 * zx0) * zy0) + ci
+        elif family == "phoenix":
+            x1 = sqx0 - sqy0 + add_re + rr * 0.0 + pp * zx0
+            y1 = (2.0 * zx0) * zy0 + add_im + rr * 0.0 + pp * zy0
+        else:
+            x1 = sqx0 - sqy0 + cr
+            y1 = (2.0 * zx0) * zy0 + ci
+
+        # Out-of-bounds lanes (partial edge tiles) get poisoned squares so
+        # the escape latch is false from step 1 → no wasted iterations.
+        in_bounds = (rows < height) & (cols < width)
+        big = jnp.float32(3.4e38)
+        state0 = {
+            "zx": x1, "zy": y1,
+            "sqx": jnp.where(in_bounds, x1 * x1, big),
+            "sqy": jnp.where(in_bounds, y1 * y1, big),
+            "nf": jnp.zeros((th, tw), jnp.float32),
+            "i": jnp.int32(1),
+        }
+        if family == "phoenix":
+            state0["px"] = zx0
+            state0["py"] = zy0
+        if track_trap:
+            if family == "mandelbrot":
+                # trap of update 0 (on z1), mandelbrot.comp:162-166
+                mag = jnp.sqrt(x1 * x1 + y1 * y1)
+                d_axes = jnp.minimum(jnp.abs(x1), jnp.abs(y1))
+                dxc = x1 - cr
+                dyc = y1 - ci
+                d_c = jnp.sqrt(dxc * dxc + dyc * dyc)
+                state0["trap"] = jnp.minimum(
+                    jnp.full((th, tw), 1e20, jnp.float32),
+                    jnp.minimum(mag, jnp.minimum(d_axes, d_c)))
+            else:
+                # burning ship pre-update-0 trap on z0 = 0:
+                # min(1e10, |sqrt(0) - r|) = |r| (burning_ship.comp:230-233)
+                state0["trap"] = jnp.full((th, tw), 1.0, jnp.float32) * \
+                    jnp.minimum(jnp.float32(1e10), jnp.abs(0.0 - trap_r))
+        if track_stripe:
+            # pre-update-0 stripe term sin(0 * d) = 0
+            state0["stripe"] = jnp.zeros((th, tw), jnp.float32)
+
+        def cond(carry):
+            s, keep = carry
+            return (s["i"] < limit) & keep
+
+        def body(carry):
+            s, _ = carry
+            s = _iter_chunk(family, track_trap, track_stripe, chunk, s, consts)
+            return s, jnp.any(s["sqx"] + s["sqy"] <= bail2)
+
+        s, _ = jax.lax.while_loop(cond, body, (state0, jnp.bool_(True)))
+
+        # Interior pixels (never escaped) report n = limit; escaped pixels
+        # report the survived-step count, which equals the GLSL loop index at
+        # break.  OOB lanes report 0 (their writes are clipped anyway).
+        interior = (s["sqx"] + s["sqy"] <= bail2) & in_bounds
+        n = jnp.where(interior, limit,
+                      s["nf"].astype(jnp.int32) * in_bounds.astype(jnp.int32))
+
+        it = iter(out_refs)
+        next(it)[:, :] = n
+        next(it)[:, :] = s["zx"]
+        next(it)[:, :] = s["zy"]
+        if track_trap:
+            next(it)[:, :] = s["trap"]
+        if track_stripe:
+            next(it)[:, :] = s["stripe"]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("family", "width", "height", "max_iter_cap",
+                     "track_trap", "track_stripe", "use_julia", "tile",
+                     "chunk", "interpret"))
+def _escape_call(params, *, family: str, width: int, height: int,
+                 max_iter_cap: int, track_trap: bool, track_stripe: bool,
+                 use_julia: bool, tile: Tuple[int, int], chunk: int,
+                 interpret: bool):
+    th, tw = tile
+    grid = (cdiv(height, th), cdiv(width, tw))
+    kernel = _make_kernel(family, width, height, max_iter_cap, track_trap,
+                          track_stripe, use_julia, tile, chunk)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((height, width), jnp.int32),   # n
+        jax.ShapeDtypeStruct((height, width), jnp.float32),  # zx
+        jax.ShapeDtypeStruct((height, width), jnp.float32),  # zy
+    ]
+    if track_trap:
+        out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
+    if track_stripe:
+        out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
+
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    flops_per_iter = {"mandelbrot": 10, "julia": 10, "burning_ship": 12,
+                      "phoenix": 14}[family]
+    cost = pl.CostEstimate(
+        flops=width * height * max_iter_cap * flops_per_iter,
+        bytes_accessed=width * height * 4 * len(out_shapes),
+        transcendentals=(width * height * max_iter_cap
+                         if track_stripe else 0),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(out_spec for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(params)
+
+
+def escape_fields(family: str, width: int, height: int, *,
+                  center_x, center_y, zoom, max_iter: int,
+                  bailout=4.0, offset=(0.0, 0.0),
+                  julia_c=(0.0, 0.0), phoenix_p=0.0, phoenix_r=0.0,
+                  use_julia: bool = False,
+                  trap_radius=0.5, stripe_density=10.0,
+                  track_trap: bool = False, track_stripe: bool = False,
+                  iter_limit=None, tile=None, chunk: int = 16,
+                  interpret=None) -> Dict[str, jax.Array]:
+    """Compute escape-time fields for one AA sample.
+
+    ``max_iter`` is the static compile-time cap; ``iter_limit`` (traced,
+    defaults to max_iter) allows batched renders with per-frame iteration
+    counts without recompiling.
+    """
+    if family not in FAMILIES:
+        raise ValueError(f"unknown family {family!r}")
+    if interpret is None:
+        interpret = default_interpret()
+    if tile is None:
+        tile = pick_tile(height, width)
+    if iter_limit is None:
+        iter_limit = max_iter
+
+    if family == "phoenix":
+        bail2 = 4.0  # fixed bailout (phoenix.comp:77)
+        a = (julia_c[0], julia_c[1], phoenix_p, phoenix_r)
+    elif family == "julia":
+        bail2 = jnp.float32(bailout) * jnp.float32(bailout)
+        a = (julia_c[0], julia_c[1], 0.0, 0.0)
+    elif family == "burning_ship":
+        bail2 = jnp.float32(bailout) * jnp.float32(bailout)
+        a = (trap_radius, stripe_density, 0.0, 0.0)
+    else:
+        bail2 = jnp.float32(bailout) * jnp.float32(bailout)
+        a = (0.0, 0.0, 0.0, 0.0)
+
+    params = jnp.stack([
+        jnp.float32(center_x), jnp.float32(center_y), jnp.float32(zoom),
+        jnp.float32(offset[0]), jnp.float32(offset[1]),
+        jnp.float32(bail2),
+        # the kernel unconditionally applies update 0 (as the shaders do),
+        # so a limit below 1 is meaningless
+        jnp.maximum(jnp.asarray(iter_limit, jnp.float32), 1.0),
+        jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
+        jnp.float32(a[3]),
+    ]).reshape(1, NPARAMS)
+
+    outs = _escape_call(
+        params, family=family, width=width, height=height,
+        max_iter_cap=int(max_iter), track_trap=track_trap,
+        track_stripe=track_stripe, use_julia=use_julia,
+        tile=tuple(tile), chunk=chunk, interpret=bool(interpret))
+
+    names = ["n", "zx", "zy"]
+    if track_trap:
+        names.append("trap")
+    if track_stripe:
+        names.append("stripe")
+    return dict(zip(names, outs))

@@ -27,53 +27,53 @@ from ..ops.coloring import ColorParams
 F32 = np.float32
 
 
-def _alive_loop_mandelbrot(cr, ci, max_iter: int, bailout: float):
+def _alive_loop_mandelbrot(cr, ci, max_iter: int, bailout: float, xp=np):
     """Returns (n, zx, zy, min_trap)."""
     shape = cr.shape
-    zx = np.zeros(shape, F32)
-    zy = np.zeros(shape, F32)
-    n = np.zeros(shape, np.int32)
-    min_trap = np.full(shape, 1e20, F32)
-    alive = np.ones(shape, bool)
+    zx = xp.zeros(shape, F32)
+    zy = xp.zeros(shape, F32)
+    n = xp.zeros(shape, np.int32)
+    min_trap = xp.full(shape, 1e20, F32)
+    alive = xp.ones(shape, bool)
     bail2 = F32(bailout) * F32(bailout)
     for _ in range(max_iter):
-        if not alive.any():
+        if xp is np and not alive.any():
             break
         x = zx * zx - zy * zy + cr
         y = (F32(2.0) * zx) * zy + ci
-        zx = np.where(alive, x, zx)
-        zy = np.where(alive, y, zy)
+        zx = xp.where(alive, x, zx)
+        zy = xp.where(alive, y, zy)
         # Combined orbit trap on the updated z (mandelbrot.comp:162-166)
-        dist_origin = np.sqrt(zx * zx + zy * zy)
-        dist_axes = np.minimum(np.abs(zx), np.abs(zy))
-        dist_c = np.sqrt((zx - cr) ** 2 + (zy - ci) ** 2)
-        trap = np.minimum(dist_origin, np.minimum(dist_axes, dist_c))
-        min_trap = np.where(alive, np.minimum(min_trap, trap), min_trap)
+        dist_origin = xp.sqrt(zx * zx + zy * zy)
+        dist_axes = xp.minimum(xp.abs(zx), xp.abs(zy))
+        dist_c = xp.sqrt((zx - cr) ** 2 + (zy - ci) ** 2)
+        trap = xp.minimum(dist_origin, xp.minimum(dist_axes, dist_c))
+        min_trap = xp.where(alive, xp.minimum(min_trap, trap), min_trap)
         escaped = alive & (zx * zx + zy * zy > bail2)
-        n = np.where(alive & ~escaped, n + 1, n)
+        n = xp.where(alive & ~escaped, n + 1, n)
         alive &= ~escaped
     return n, zx, zy, min_trap
 
 
 def _alive_loop_julia(zx0, zy0, c_re: float, c_im: float, max_iter: int,
-                      bailout: float):
-    zx = zx0.astype(F32).copy()
-    zy = zy0.astype(F32).copy()
+                      bailout: float, xp=np):
+    zx = xp.asarray(zx0, F32)
+    zy = xp.asarray(zy0, F32)
     shape = zx.shape
-    n = np.zeros(shape, np.int32)
-    alive = np.ones(shape, bool)
+    n = xp.zeros(shape, np.int32)
+    alive = xp.ones(shape, bool)
     bail2 = F32(bailout) * F32(bailout)
     cr = F32(c_re)
     ci = F32(c_im)
     for _ in range(max_iter):
-        if not alive.any():
+        if xp is np and not alive.any():
             break
         x = zx * zx - zy * zy + cr
         y = (F32(2.0) * zx) * zy + ci
-        zx = np.where(alive, x, zx)
-        zy = np.where(alive, y, zy)
+        zx = xp.where(alive, x, zx)
+        zy = xp.where(alive, y, zy)
         escaped = alive & (zx * zx + zy * zy > bail2)
-        n = np.where(alive & ~escaped, n + 1, n)
+        n = xp.where(alive & ~escaped, n + 1, n)
         alive &= ~escaped
     return n, zx, zy
 
@@ -81,63 +81,63 @@ def _alive_loop_julia(zx0, zy0, c_re: float, c_im: float, max_iter: int,
 def _alive_loop_burning_ship(cr, ci, max_iter: int, bailout: float,
                              orbit_trap: bool, trap_radius: float,
                              stripe: bool, stripe_density: float,
-                             interior_style: int):
+                             interior_style: int, xp=np):
     shape = cr.shape
-    zx = np.zeros(shape, F32)
-    zy = np.zeros(shape, F32)
-    n = np.zeros(shape, np.int32)
-    min_trap = np.full(shape, 1e10, F32)
-    stripe_acc = np.zeros(shape, F32)
-    alive = np.ones(shape, bool)
+    zx = xp.zeros(shape, F32)
+    zy = xp.zeros(shape, F32)
+    n = xp.zeros(shape, np.int32)
+    min_trap = xp.full(shape, 1e10, F32)
+    stripe_acc = xp.zeros(shape, F32)
+    alive = xp.ones(shape, bool)
     bail2 = F32(bailout) * F32(bailout)
     track_stripe = stripe and interior_style == 2
     for _ in range(max_iter):
-        if not alive.any():
+        if xp is np and not alive.any():
             break
         if orbit_trap:  # pre-abs z (burning_ship.comp:230-233)
-            dist = np.sqrt(zx * zx + zy * zy)
-            min_trap = np.where(
-                alive, np.minimum(min_trap, np.abs(dist - F32(trap_radius))),
+            dist = xp.sqrt(zx * zx + zy * zy)
+            min_trap = xp.where(
+                alive, xp.minimum(min_trap, xp.abs(dist - F32(trap_radius))),
                 min_trap)
         if track_stripe:  # burning_ship.comp:236-238
-            stripe_acc = np.where(
-                alive, stripe_acc + np.sin(zy * F32(stripe_density)), stripe_acc)
-        ax = np.abs(zx)
-        ay = np.abs(zy)
+            stripe_acc = xp.where(
+                alive, stripe_acc + xp.sin(zy * F32(stripe_density)), stripe_acc)
+        ax = xp.abs(zx)
+        ay = xp.abs(zy)
         x = ax * ax - ay * ay + cr
         y = (F32(2.0) * ax) * ay + ci
-        zx = np.where(alive, x, zx)
-        zy = np.where(alive, y, zy)
+        zx = xp.where(alive, x, zx)
+        zy = xp.where(alive, y, zy)
         escaped = alive & (zx * zx + zy * zy > bail2)
-        n = np.where(alive & ~escaped, n + 1, n)
+        n = xp.where(alive & ~escaped, n + 1, n)
         alive &= ~escaped
     return n, zx, zy, min_trap, stripe_acc
 
 
 def _alive_loop_phoenix(cr, ci, max_iter: int, julia_c: Tuple[float, float],
-                        use_julia: bool, p: float, r: float):
+                        use_julia: bool, p: float, r: float, xp=np):
     shape = cr.shape
-    zx = np.zeros(shape, F32)
-    zy = np.zeros(shape, F32)
-    px_ = np.zeros(shape, F32)
-    py_ = np.zeros(shape, F32)
-    n = np.zeros(shape, np.int32)
-    alive = np.ones(shape, bool)
+    zx = xp.zeros(shape, F32)
+    zy = xp.zeros(shape, F32)
+    px_ = xp.zeros(shape, F32)
+    py_ = xp.zeros(shape, F32)
+    n = xp.zeros(shape, np.int32)
+    alive = xp.ones(shape, bool)
     add_re = F32(julia_c[0]) if use_julia else cr
     add_im = F32(julia_c[1]) if use_julia else ci
     pf = F32(p)
     rf = F32(r)
     for _ in range(max_iter):
-        if not alive.any():
+        if xp is np and not alive.any():
             break
         x = zx * zx - zy * zy + add_re + rf * px_ + pf * zx
         y = (F32(2.0) * zx) * zy + add_im + rf * py_ + pf * zy
-        px_ = np.where(alive, zx, px_)
-        py_ = np.where(alive, zy, py_)
-        zx = np.where(alive, x, zx)
-        zy = np.where(alive, y, zy)
+        px_ = xp.where(alive, zx, px_)
+        py_ = xp.where(alive, zy, py_)
+        zx = xp.where(alive, x, zx)
+        zy = xp.where(alive, y, zy)
         escaped = alive & (zx * zx + zy * zy > F32(4.0))
-        n = np.where(alive & ~escaped, n + 1, n)
+        n = xp.where(alive & ~escaped, n + 1, n)
         alive &= ~escaped
     return n, zx, zy
 
@@ -152,38 +152,39 @@ def _pixel_coords(width: int, height: int):
 # ---------------------------------------------------------------------------
 
 def mandelbrot_fields(width, height, cx, cy, zoom, max_iter, bailout,
-                      off=(0.0, 0.0)):
+                      off=(0.0, 0.0), xp=np):
     px, py = _pixel_coords(width, height)
-    cr, ci = mapping.map_centered(np, px, py, width, height, cx, cy, zoom,
-                                  off[0], off[1])
-    return _alive_loop_mandelbrot(cr, ci, max_iter, bailout)
+    cr, ci = mapping.map_centered(xp, xp.asarray(px), xp.asarray(py), width,
+                                  height, cx, cy, zoom, off[0], off[1])
+    return _alive_loop_mandelbrot(cr, ci, max_iter, bailout, xp=xp)
 
 
 def julia_fields(width, height, cx, cy, zoom, c_re, c_im, max_iter, bailout,
-                 off=(0.0, 0.0)):
+                 off=(0.0, 0.0), xp=np):
     px, py = _pixel_coords(width, height)
-    zr, zi = mapping.map_uv(np, px, py, width, height, cx, cy, zoom,
-                            off[0], off[1])
-    return _alive_loop_julia(zr, zi, c_re, c_im, max_iter, bailout)
+    zr, zi = mapping.map_uv(xp, xp.asarray(px), xp.asarray(py), width, height,
+                            cx, cy, zoom, off[0], off[1])
+    return _alive_loop_julia(zr, zi, c_re, c_im, max_iter, bailout, xp=xp)
 
 
 def burning_ship_fields(width, height, cx, cy, zoom, max_iter, bailout,
                         orbit_trap, trap_radius, stripe, stripe_density,
-                        interior_style, off=(0.0, 0.0)):
+                        interior_style, off=(0.0, 0.0), xp=np):
     px, py = _pixel_coords(width, height)
-    cr, ci = mapping.map_uv(np, px, py, width, height, cx, cy, zoom,
-                            off[0], off[1])
+    cr, ci = mapping.map_uv(xp, xp.asarray(px), xp.asarray(py), width, height,
+                            cx, cy, zoom, off[0], off[1])
     return _alive_loop_burning_ship(cr, ci, max_iter, bailout, orbit_trap,
                                     trap_radius, stripe, stripe_density,
-                                    interior_style)
+                                    interior_style, xp=xp)
 
 
 def phoenix_fields(width, height, cx, cy, zoom, max_iter, julia_c, use_julia,
-                   p, r, off=(0.0, 0.0)):
+                   p, r, off=(0.0, 0.0), xp=np):
     px, py = _pixel_coords(width, height)
-    cr, ci = mapping.map_uv(np, px, py, width, height, cx, cy, zoom,
-                            off[0], off[1])
-    return _alive_loop_phoenix(cr, ci, max_iter, julia_c, use_julia, p, r)
+    cr, ci = mapping.map_uv(xp, xp.asarray(px), xp.asarray(py), width, height,
+                            cx, cy, zoom, off[0], off[1])
+    return _alive_loop_phoenix(cr, ci, max_iter, julia_c, use_julia, p, r,
+                               xp=xp)
 
 
 # ---------------------------------------------------------------------------

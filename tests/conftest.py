@@ -10,6 +10,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The env var alone is not enough when a TPU platform plugin (e.g. axon)
+# registers itself; force the config too.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,167 @@
+"""Kernel ↔ golden-reference consistency.
+
+Contract (see BASELINE.md):
+- On TPU, iteration counts and final z are bit-exact vs the numpy golden for
+  power-of-two heights (where the pixel→plane mapping involves only exact
+  f32 ops); trap/stripe fields match to transcendental tolerance.
+- On CPU (interpret mode / CI), XLA contracts mul+add chains into FMA with
+  context-dependent choices, so we assert near-exactness instead: ≥ 99.5 %
+  of pixels bit-equal, the rest within ±1 iteration (boundary ulp flips).
+"""
+import jax
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu.ops.escape import escape_fields
+from fractalrenderer_tpu.reference import golden
+
+ON_TPU = jax.default_backend() == "tpu"
+
+W, H = 96, 64
+ITERS = 96
+
+
+def assert_counts_consistent(n_kernel, n_golden, cpu_frac=0.005):
+    n_kernel = np.asarray(n_kernel)
+    mism = n_kernel != n_golden
+    frac = mism.mean()
+    if ON_TPU:
+        assert frac == 0.0, f"{int(mism.sum())} iteration-count mismatches"
+    else:
+        # CPU/interpret: XLA's context-dependent FMA contraction perturbs c
+        # and the orbit by ~1 ulp; on the fractal escape boundary that can
+        # shift counts arbitrarily for a small set of pixels, so only the
+        # mismatch *fraction* is meaningful off-TPU.
+        assert frac <= cpu_frac, f"mismatch fraction {frac}"
+
+
+def test_mandelbrot_counts_and_fields():
+    f = escape_fields("mandelbrot", W, H, center_x=-0.5, center_y=0.0,
+                      zoom=3.0, max_iter=ITERS, track_trap=True)
+    n, zx, zy, trap = golden.mandelbrot_fields(W, H, -0.5, 0.0, 3.0, ITERS, 4.0)
+    assert_counts_consistent(f["n"], n)
+    if ON_TPU:
+        assert np.array_equal(np.asarray(f["zx"]), zx)
+        assert np.array_equal(np.asarray(f["zy"]), zy)
+    if ON_TPU:  # off-TPU the orbits themselves differ (FMA contraction)
+        same = np.asarray(f["n"]) == n
+        np.testing.assert_allclose(np.asarray(f["trap"])[same], trap[same],
+                                   rtol=1e-4, atol=1e-5)
+    assert np.isfinite(np.asarray(f["trap"])).all()
+
+
+def test_mandelbrot_deep_preset_counts():
+    # Seahorse Valley (fractal_state.h:175)
+    f = escape_fields("mandelbrot", W, H, center_x=-0.743643887037151,
+                      center_y=0.13182590420533, zoom=0.008, max_iter=256)
+    n, *_ = golden.mandelbrot_fields(W, H, -0.743643887037151,
+                                     0.13182590420533, 0.008, 256, 4.0)
+    # Zoomed-in views sit on the chaotic boundary — allow a larger fraction
+    # of ulp-flip pixels off-TPU.
+    assert_counts_consistent(f["n"], n, cpu_frac=0.08)
+
+
+def test_julia_counts():
+    f = escape_fields("julia", W, H, center_x=0.0, center_y=0.0, zoom=3.0,
+                      max_iter=ITERS, julia_c=(-0.7, 0.27015))
+    n, zx, zy = golden.julia_fields(W, H, 0.0, 0.0, 3.0, -0.7, 0.27015,
+                                    ITERS, 4.0)
+    assert_counts_consistent(f["n"], n)
+    if ON_TPU:
+        assert np.array_equal(np.asarray(f["zx"]), zx)
+
+
+def test_julia_presets_counts():
+    from fractalrenderer_tpu.presets import JULIA_PRESETS
+
+    for name, (cr, ci) in JULIA_PRESETS.items():
+        f = escape_fields("julia", 64, 32, center_x=0.0, center_y=0.0,
+                          zoom=3.0, max_iter=64, julia_c=(cr, ci))
+        n, *_ = golden.julia_fields(64, 32, 0.0, 0.0, 3.0, cr, ci, 64, 4.0)
+        assert_counts_consistent(f["n"], n)
+
+
+def test_burning_ship_counts_and_aux():
+    f = escape_fields("burning_ship", W, H, center_x=-0.5, center_y=-0.6,
+                      zoom=2.0, max_iter=ITERS, track_trap=True,
+                      track_stripe=True, trap_radius=0.5, stripe_density=10.0)
+    n, zx, zy, trap, stripe = golden.burning_ship_fields(
+        W, H, -0.5, -0.6, 2.0, ITERS, 4.0, True, 0.5, True, 10.0, 2)
+    # The ship's chaotic boundary is long at this framing.
+    assert_counts_consistent(f["n"], n, cpu_frac=0.05)
+    if ON_TPU:
+        same = np.asarray(f["n"]) == n
+        np.testing.assert_allclose(np.asarray(f["trap"])[same], trap[same],
+                                   rtol=1e-4, atol=1e-5)
+        # stripe accumulates sin() over up to ITERS terms — transcendental
+        # approximation differences accumulate linearly
+        np.testing.assert_allclose(np.asarray(f["stripe"])[same],
+                                   stripe[same], rtol=1e-3,
+                                   atol=2e-4 * ITERS)
+    assert np.isfinite(np.asarray(f["trap"])).all()
+    assert np.isfinite(np.asarray(f["stripe"])).all()
+
+
+def test_phoenix_counts():
+    f = escape_fields("phoenix", W, H, center_x=0.0, center_y=0.0, zoom=3.0,
+                      max_iter=ITERS, julia_c=(0.5667, 0.0),
+                      phoenix_p=0.0, phoenix_r=-0.5, use_julia=False)
+    n, zx, zy = golden.phoenix_fields(W, H, 0.0, 0.0, 3.0, ITERS,
+                                      (0.5667, 0.0), False, 0.0, -0.5)
+    assert_counts_consistent(f["n"], n)
+
+
+def test_phoenix_julia_mode_uniform():
+    # phoenix.comp:63-67 in Julia mode ignores the pixel constant entirely —
+    # every pixel iterates the same orbit (faithful reference quirk).
+    f = escape_fields("phoenix", 32, 16, center_x=0.0, center_y=0.0, zoom=3.0,
+                      max_iter=64, julia_c=(0.3, 0.2), phoenix_p=0.1,
+                      phoenix_r=-0.3, use_julia=True)
+    n = np.asarray(f["n"])
+    assert (n == n[0, 0]).all()
+    ng, *_ = golden.phoenix_fields(32, 16, 0.0, 0.0, 3.0, 64, (0.3, 0.2),
+                                   True, 0.1, -0.3)
+    assert_counts_consistent(n, ng)
+
+
+def test_iter_limit_dynamic():
+    # iter_limit below the static cap must freeze n at the limit
+    f_lim = escape_fields("mandelbrot", 64, 32, center_x=-0.5, center_y=0.0,
+                          zoom=3.0, max_iter=128, iter_limit=40)
+    f_ref = escape_fields("mandelbrot", 64, 32, center_x=-0.5, center_y=0.0,
+                          zoom=3.0, max_iter=40)
+    np.testing.assert_array_equal(np.asarray(f_lim["n"]),
+                                  np.asarray(f_ref["n"]))
+    assert int(np.asarray(f_lim["n"]).max()) == 40
+
+
+def test_partial_tiles():
+    # Sizes that do not divide the tile shape exercise edge masking.
+    f = escape_fields("mandelbrot", 37, 23, center_x=-0.5, center_y=0.0,
+                      zoom=3.0, max_iter=32)
+    n, *_ = golden.mandelbrot_fields(37, 23, -0.5, 0.0, 3.0, 32, 4.0)
+    assert_counts_consistent(f["n"], n)
+    assert np.asarray(f["n"]).min() >= 0  # no OOB sentinel leaked
+
+
+def test_full_render_close_to_golden():
+    from fractalrenderer_tpu import Scene, render, render_numpy
+
+    s = Scene(max_iterations=64, antialiasing_samples=2)
+    img = np.asarray(render(s, 64, 32))
+    ref = render_numpy(s, 64, 32)
+    # Colors agree except on count-flip pixels; allow a small bad fraction.
+    bad = (np.abs(img - ref) > 2e-2).any(axis=-1)
+    assert bad.mean() < 0.01, f"bad color fraction {bad.mean()}"
+
+
+def test_render_all_families_finite():
+    from fractalrenderer_tpu import FractalType, Scene, render
+
+    for ft in (FractalType.MANDELBROT, FractalType.JULIA,
+               FractalType.BURNING_SHIP, FractalType.PHOENIX):
+        img = np.asarray(render(Scene(fractal_type=ft, max_iterations=32),
+                                48, 24))
+        assert img.shape == (24, 48, 3)
+        assert np.isfinite(img).all()
+        assert (img >= 0).all() and (img <= 1).all()
