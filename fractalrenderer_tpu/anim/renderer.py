@@ -1,0 +1,201 @@
+"""Animation rendering — the batched-TPU replacement for the reference's
+synchronous frame loop (src/animation_renderer.{h,cpp}).
+
+The reference renders one frame at a time on the GPU with a device-wait per
+frame (animation_renderer.cpp:75-127).  Here frames are interpolated up
+front, grouped by static render configuration (size / AA / palette /
+toggles; iteration counts stay dynamic under the group's cap), and rendered
+in device-side batches of BATCH frames per dispatch; PNG encoding runs on
+host between batches.  Progress/ETA and cancellation mirror the reference's
+RenderProgress (animation_renderer.h:20-29) and cancel flag (:90).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+import time as _time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..models import common
+from ..scene import FractalType, Scene
+from ..utils import png
+from ..utils.image import to_export_orientation
+from .keyframes import Animation
+
+_FAMILY = {
+    FractalType.MANDELBROT: ("mandelbrot", "centered", False),
+    FractalType.JULIA: ("julia", "uv", True),
+    FractalType.BURNING_SHIP: ("burning_ship", "uv", True),
+    FractalType.PHOENIX: ("phoenix", "uv", True),
+}
+
+
+class RenderStatus(enum.Enum):
+    IDLE = 0
+    RENDERING = 1
+    COMPLETE = 2
+    CANCELLED = 3
+    ERROR = 4
+
+
+@dataclass
+class RenderProgress:
+    """animation_renderer.h:20-29."""
+
+    status: RenderStatus = RenderStatus.IDLE
+    current_frame: int = 0
+    total_frames: int = 0
+    progress: float = 0.0
+    elapsed_time: float = 0.0
+    estimated_time_remaining: float = 0.0
+    current_status: str = ""
+
+
+@dataclass
+class _Group:
+    cfg: common.StaticCfg
+    frame_indices: List[int] = field(default_factory=list)
+    dyns: List[dict] = field(default_factory=list)
+
+
+def _static_key(scene: Scene, width: int, height: int, cap: int):
+    fam, conv, clamp = _FAMILY[scene.fractal_type]
+    cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)
+    return dataclasses.replace(cfg, max_iter=cap)
+
+
+class AnimationRenderer:
+    """Drives interpolate → batched render → PNG sequence (and optionally
+    video encode).  Not thread-safe; poll ``progress`` from callbacks."""
+
+    def __init__(self, batch_size: int = 8):
+        self.batch_size = batch_size
+        self.progress = RenderProgress()
+        self._cancel = False
+        self.on_frame_complete: Optional[Callable[[int, int], None]] = None
+        self.on_render_complete: Optional[Callable[[str], None]] = None
+        self.on_render_error: Optional[Callable[[str], None]] = None
+
+    def cancel_render(self):
+        self._cancel = True
+
+    def is_rendering(self) -> bool:
+        return self.progress.status == RenderStatus.RENDERING
+
+    # ------------------------------------------------------------------
+    def start_render(self, animation: Animation, output_folder: str,
+                     width: Optional[int] = None,
+                     height: Optional[int] = None,
+                     bit_depth: int = 8) -> bool:
+        if len(animation.keyframes) < 2:  # animation_renderer.cpp:37-43
+            if self.on_render_error:
+                self.on_render_error("Need at least 2 keyframes to render")
+            return False
+
+        width = width or animation.export_width
+        height = height or animation.export_height
+        total = animation.total_frames
+        self.progress = RenderProgress(status=RenderStatus.RENDERING,
+                                       total_frames=total,
+                                       current_status="Initializing...")
+        self._cancel = False
+        os.makedirs(output_folder, exist_ok=True)
+        start = _time.monotonic()
+
+        # Interpolate every frame up front (pure host work, trivial cost)
+        scenes = [animation.interpolate(animation.frame_time(f))
+                  for f in range(total)]
+        if not scenes:
+            self.progress.status = RenderStatus.COMPLETE
+            return True
+        cap = max(s.max_iterations for s in scenes)
+
+        # Group consecutive frames by static config so each group compiles
+        # once; palette switches / toggle changes start a new group.
+        groups: List[_Group] = []
+        for f, s in enumerate(scenes):
+            cfg = _static_key(s, width, height, cap)
+            dyn = common.scene_dyn_params(s)
+            if not groups or groups[-1].cfg != cfg:
+                groups.append(_Group(cfg))
+            groups[-1].frame_indices.append(f)
+            groups[-1].dyns.append(dyn)
+
+        done = 0
+        for g in groups:
+            fn = common.compiled_batch_render_fn(g.cfg)
+            for i in range(0, len(g.dyns), self.batch_size):
+                if self._cancel:
+                    self.progress.status = RenderStatus.CANCELLED
+                    return False
+                chunk = g.dyns[i:i + self.batch_size]
+                idxs = g.frame_indices[i:i + self.batch_size]
+                # pad to batch size to keep one compiled shape
+                pad = self.batch_size - len(chunk)
+                batch = {k: np.asarray([d[k] for d in chunk]
+                                       + [chunk[-1][k]] * pad, np.float32)
+                         for k in chunk[0]}
+                imgs = np.asarray(fn(batch))[:len(chunk)]
+                for img, fidx in zip(imgs, idxs):
+                    path = os.path.join(output_folder,
+                                        f"frame_{fidx:06d}.png")
+                    png.write_png(path, to_export_orientation(img),
+                                  bit_depth=bit_depth)
+                    done += 1
+                    self.progress.current_frame = fidx
+                    self.progress.progress = done / total
+                    self.progress.elapsed_time = _time.monotonic() - start
+                    avg = self.progress.elapsed_time / done
+                    self.progress.estimated_time_remaining = (
+                        avg * (total - done))
+                    self.progress.current_status = (
+                        f"Rendering frame {done}/{total}")
+                    if self.on_frame_complete:
+                        self.on_frame_complete(fidx, total)
+
+        self.progress.status = RenderStatus.COMPLETE
+        self.progress.progress = 1.0
+        if self.on_render_complete:
+            self.on_render_complete(output_folder)
+        return True
+
+    # ------------------------------------------------------------------
+    def render_and_encode(self, animation: Animation, output_folder: str,
+                          video_settings=None,
+                          width: Optional[int] = None,
+                          height: Optional[int] = None) -> bool:
+        """animation_renderer.cpp:155-189 — render frames then chain into
+        the video encoder."""
+        from . import video
+
+        if not self.start_render(animation, output_folder, width, height):
+            return False
+        settings = video_settings or video.VideoEncodeSettings(
+            output_filename=os.path.join(output_folder, "animation.mp4"),
+            fps=animation.target_fps)
+        enc = video.VideoEncoder()
+        return enc.encode(output_folder, settings)
+
+
+def render_animation_frames(animation: Animation,
+                            frames: Optional[List[int]] = None,
+                            width: Optional[int] = None,
+                            height: Optional[int] = None) -> np.ndarray:
+    """Render selected frames to an (N, H, W, 3) array (no disk IO) — handy
+    for tests and notebooks."""
+    width = width or animation.export_width
+    height = height or animation.export_height
+    total = animation.total_frames
+    frames = list(range(total)) if frames is None else frames
+    scenes = [animation.interpolate(animation.frame_time(f)) for f in frames]
+    cap = max(s.max_iterations for s in scenes)
+    out = []
+    for s in scenes:
+        cfg = _static_key(s, width, height, cap)
+        fn = common.compiled_render_fn(cfg)
+        out.append(np.asarray(fn(common.scene_dyn_params(s))))
+    return np.stack(out)

@@ -1,0 +1,372 @@
+"""Command-line interface — the framework's replacement for the reference's
+interactive-only entry point (src/main.cpp ignores argv; all configuration
+lived in the ImGui UI).  The UI semantics survive as CLI verbs + scene
+configs (SURVEY.md §7 'out of scope' mapping).
+
+Usage examples:
+  python -m fractalrenderer_tpu.cli render --type mandelbrot --out m.png
+  python -m fractalrenderer_tpu.cli render --preset "Seahorse Valley" \\
+      --width 1920 --height 1080 --aa 2 --out sea.png
+  python -m fractalrenderer_tpu.cli animate --franim zoom.franim --out-dir frames/
+  python -m fractalrenderer_tpu.cli export-print --width 2400 --height 3000 \\
+      --supersample --out print.png
+  python -m fractalrenderer_tpu.cli presets
+  python -m fractalrenderer_tpu.cli info
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import presets as presets_mod
+from .scene import FractalType, Scene
+from .utils import png
+from .utils.image import to_export_orientation
+
+
+def _add_scene_args(p: argparse.ArgumentParser):
+    p.add_argument("--type", default=None,
+                   help="mandelbrot|julia|burning-ship|phoenix|mandelbulb|deep-zoom")
+    p.add_argument("--scene", default=None, help="scene JSON file")
+    p.add_argument("--preset", default=None, help="named location preset")
+    p.add_argument("--center-x", type=float, default=None)
+    p.add_argument("--center-y", type=float, default=None)
+    p.add_argument("--zoom", type=float, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--bailout", type=float, default=None)
+    p.add_argument("--aa", type=int, default=None, choices=(1, 2, 4, 8))
+    p.add_argument("--palette", type=int, default=None)
+    p.add_argument("--color-offset", type=float, default=None)
+    p.add_argument("--color-scale", type=float, default=None)
+    p.add_argument("--brightness", type=float, default=None)
+    p.add_argument("--saturation", type=float, default=None)
+    p.add_argument("--contrast", type=float, default=None)
+    p.add_argument("--interior-style", type=int, default=None)
+    p.add_argument("--orbit-trap", action="store_true", default=None)
+    p.add_argument("--orbit-trap-radius", type=float, default=None)
+    p.add_argument("--stripes", action="store_true", default=None)
+    p.add_argument("--stripe-density", type=float, default=None)
+    p.add_argument("--julia-cr", type=float, default=None)
+    p.add_argument("--julia-ci", type=float, default=None)
+    p.add_argument("--julia-preset", default=None,
+                   help="named Julia c preset (e.g. \"Douady's Rabbit\")")
+    p.add_argument("--phoenix-p", type=float, default=None)
+    p.add_argument("--phoenix-r", type=float, default=None)
+    p.add_argument("--use-julia-set", action="store_true", default=None)
+    p.add_argument("--power", type=float, default=None,
+                   help="mandelbulb power")
+    p.add_argument("--time", type=float, default=None,
+                   help="mandelbulb animation clock")
+    p.add_argument("--hp-center-x", default=None,
+                   help="high-precision center (decimal string, deep zoom)")
+    p.add_argument("--hp-center-y", default=None)
+    p.add_argument("--hp-zoom", default=None)
+    p.add_argument("--perturbation", action="store_true", default=None)
+
+
+_ARG_TO_FIELD = {
+    "center_x": "center_x", "center_y": "center_y", "zoom": "zoom",
+    "iters": "max_iterations", "bailout": "bailout",
+    "aa": "antialiasing_samples", "palette": "palette_mode",
+    "color_offset": "color_offset", "color_scale": "color_scale",
+    "brightness": "color_brightness", "saturation": "color_saturation",
+    "contrast": "color_contrast", "interior_style": "interior_style",
+    "orbit_trap": "orbit_trap_enabled",
+    "orbit_trap_radius": "orbit_trap_radius",
+    "stripes": "stripe_enabled", "stripe_density": "stripe_density",
+    "julia_cr": "julia_c_real", "julia_ci": "julia_c_imag",
+    "phoenix_p": "phoenix_p", "phoenix_r": "phoenix_r",
+    "use_julia_set": "use_julia_set", "power": "mandelbulb_power",
+    "time": "time", "hp_center_x": "hp_center_x",
+    "hp_center_y": "hp_center_y", "hp_zoom": "hp_zoom",
+    "perturbation": "use_perturbation",
+}
+
+
+def scene_from_args(args) -> Scene:
+    if args.scene:
+        with open(args.scene) as f:
+            scene = Scene.from_dict(json.load(f))
+    else:
+        scene = Scene()
+    if args.preset:
+        scene = presets_mod.find_preset(args.preset).apply(scene)
+    if getattr(args, "julia_preset", None):
+        cr, ci = presets_mod.JULIA_PRESETS[args.julia_preset]
+        scene = scene.with_(julia_c_real=cr, julia_c_imag=ci,
+                            fractal_type=FractalType.JULIA)
+    if args.type:
+        scene = scene.with_(fractal_type=FractalType.parse(args.type))
+    overrides = {}
+    for arg, fld in _ARG_TO_FIELD.items():
+        v = getattr(args, arg, None)
+        if v is not None:
+            overrides[fld] = v
+    if overrides:
+        scene = scene.with_(**overrides)
+    return scene
+
+
+def _render(scene: Scene, width: int, height: int, golden: bool):
+    if golden:
+        from .reference import golden as g
+
+        return g.render_scene(scene, width, height)
+    from . import models
+
+    return np.asarray(models.render(scene, width, height))
+
+
+def cmd_render(args) -> int:
+    scene = scene_from_args(args)
+    t0 = time.monotonic()
+    img = _render(scene, args.width, args.height, args.golden)
+    dt = time.monotonic() - t0
+    meta = {"Software": "fractalrenderer_tpu",
+            "Fractal": scene.fractal_type.display_name,
+            **scene.metadata_summary()}
+    png.write_png(args.out, to_export_orientation(img),
+                  bit_depth=args.bit_depth, metadata=meta,
+                  dpi=args.dpi)
+    mpix = args.width * args.height / dt / 1e6
+    print(f"Rendered {args.width}x{args.height} "
+          f"{scene.fractal_type.display_name} in {dt*1e3:.1f} ms "
+          f"({mpix:.0f} Mpix/s incl. host transfer) -> {args.out}")
+    return 0
+
+
+def cmd_export_print(args) -> int:
+    """16-bit print export (vk_engine.cpp:1796-2232): renders at 2x when
+    supersampling and embeds gAMA/sRGB/300DPI/tEXt metadata."""
+    scene = scene_from_args(args)
+    rw = args.width * 2 if args.supersample else args.width
+    rh = args.height * 2 if args.supersample else args.height
+    if max(rw, rh) > 32000:  # ui_manager.cpp:617-618
+        print("error: render dimension exceeds 32000 cap", file=sys.stderr)
+        return 2
+    t0 = time.monotonic()
+    img = _render(scene, rw, rh, args.golden)
+    if args.supersample and args.downsample:
+        from .utils.image import downsample2x
+
+        img = downsample2x(img)
+    meta = {
+        "Software": "fractalrenderer_tpu (print export)",
+        "Print Size (inches)": f"{args.width/args.dpi:.2f} x {args.height/args.dpi:.2f}",
+        **scene.metadata_summary(),
+    }
+    png.write_png(args.out, to_export_orientation(img), bit_depth=16,
+                  metadata=meta, dpi=args.dpi)
+    print(f"Exported {img.shape[1]}x{img.shape[0]} 16-bit PNG in "
+          f"{time.monotonic()-t0:.1f}s -> {args.out}")
+    return 0
+
+
+def cmd_animate(args) -> int:
+    from .anim import AnimationRenderer, franim, video
+    from .anim.keyframes import Animation
+
+    from .anim.keyframes import Keyframe
+
+    if args.franim:
+        anim = franim.load(args.franim)
+    else:
+        # Build a two-keyframe zoom animation from CLI args
+        scene = scene_from_args(args)
+        end = scene.with_(zoom=args.zoom_to) if args.zoom_to else scene
+        anim = Animation(duration=args.duration, target_fps=args.fps or 60)
+        anim.keyframes.append(Keyframe(0.0, scene))
+        anim.keyframes.append(Keyframe(args.duration, end))
+    if args.fps:
+        anim.target_fps = args.fps
+    if args.duration and args.franim is None:
+        anim.duration = args.duration
+
+    r = AnimationRenderer(batch_size=args.batch_size)
+    last = [-1]
+
+    def on_frame(f, total):
+        pct = 100.0 * r.progress.progress
+        if f - last[0] >= max(1, total // 100):
+            print(f"\rRendering frame {f+1}/{total} ({pct:.1f}%) "
+                  f"ETA {r.progress.estimated_time_remaining:.0f}s",
+                  end="", flush=True)
+            last[0] = f
+
+    r.on_frame_complete = on_frame
+    ok = r.start_render(anim, args.out_dir, args.width, args.height)
+    print()
+    if not ok:
+        print("render failed or cancelled", file=sys.stderr)
+        return 1
+    print(f"Rendered {anim.total_frames} frames -> {args.out_dir}")
+    if args.encode:
+        settings = video.VideoEncodeSettings(
+            output_filename=args.video_out
+            or os.path.join(args.out_dir, "animation.mp4"),
+            codec=video.VideoCodec(args.codec),
+            quality=video.VideoQuality(args.quality),
+            fps=anim.target_fps, crf=args.crf,
+            cleanup_frames=args.cleanup_frames)
+        enc = video.VideoEncoder()
+        if not enc.encode(args.out_dir, settings):
+            print(f"encode failed: {enc.progress.error}", file=sys.stderr)
+            return 1
+        print(f"Encoded -> {settings.output_filename}")
+    return 0
+
+
+def cmd_encode(args) -> int:
+    from .anim import video
+
+    settings = video.VideoEncodeSettings(
+        output_filename=args.out, codec=video.VideoCodec(args.codec),
+        quality=video.VideoQuality(args.quality), fps=args.fps,
+        crf=args.crf, audio_file=args.audio or "",
+        cleanup_frames=args.cleanup_frames)
+    enc = video.VideoEncoder()
+
+    def on_p(p):
+        print(f"\rframe {p.current_frame}/{p.total_frames} fps={p.fps:.0f}",
+              end="", flush=True)
+
+    enc.on_progress = on_p
+    ok = enc.encode(args.frames_dir, settings)
+    print()
+    if not ok:
+        print(f"encode failed: {enc.progress.error}", file=sys.stderr)
+        return 1
+    print(f"Encoded -> {args.out}")
+    return 0
+
+
+def cmd_presets(args) -> int:
+    print("Location presets (fractal_state.h:171-189):")
+    for p in presets_mod.MANDELBROT_PRESETS + presets_mod.BURNING_SHIP_PRESETS:
+        print(f"  {p.name:18s} {p.fractal_type.display_name:13s} "
+              f"center=({p.center_x}, {p.center_y}) zoom={p.zoom} "
+              f"iters={p.iterations}")
+    print("\nJulia c presets:")
+    for name, (cr, ci) in presets_mod.JULIA_PRESETS.items():
+        print(f"  {name:18s} c = {cr} + {ci}i")
+    print("\nPhoenix (p, r) presets:")
+    for name, (pp, rr) in presets_mod.PHOENIX_PRESETS.items():
+        print(f"  {name:18s} p={pp} r={rr}")
+    print("\nMandelbulb power presets:")
+    for name, pw in presets_mod.MANDELBULB_POWER_PRESETS.items():
+        print(f"  {name:18s} power={pw}")
+    print("\nDeep-zoom targets (deep_zoom_system.cpp:575-602):")
+    for z in presets_mod.DEEP_ZOOM_PRESETS:
+        print(f"  {z.name:22s} center=({z.center_x}, {z.center_y}) "
+              f"zoom={z.zoom}")
+    print("\nPrint sizes (ui_manager.cpp:595-611):")
+    for name, (w, h) in presets_mod.PRINT_SIZE_PRESETS.items():
+        print(f"  {name:18s} {w}x{h}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+
+    print(f"fractalrenderer_tpu {__version__}")
+    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device: {d}")
+    from .anim.video import ffmpeg_available
+
+    if ffmpeg_available():
+        print("ffmpeg: available")
+    else:
+        print("ffmpeg: NOT FOUND (video encoding disabled; "
+              "PNG sequences still work)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="fractalrenderer_tpu",
+        description="TPU-native fractal renderer (JAX/Pallas)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one frame to PNG")
+    _add_scene_args(p)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--out", default="fractal.png")
+    p.add_argument("--bit-depth", type=int, default=8, choices=(8, 16))
+    p.add_argument("--dpi", type=float, default=None)
+    p.add_argument("--golden", action="store_true",
+                   help="render with the CPU golden reference (slow)")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("export-print",
+                       help="16-bit print-quality export @300DPI")
+    _add_scene_args(p)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--supersample", action="store_true",
+                   help="render at 2x (written as-is, like the reference)")
+    p.add_argument("--downsample", action="store_true",
+                   help="box-filter the 2x render back to target size")
+    p.add_argument("--dpi", type=float, default=300.0)
+    p.add_argument("--out", default="print.png")
+    p.add_argument("--golden", action="store_true")
+    p.set_defaults(fn=cmd_export_print)
+
+    p = sub.add_parser("animate", help="render an animation (.franim or zoom)")
+    _add_scene_args(p)
+    p.add_argument("--franim", default=None, help=".franim animation file")
+    p.add_argument("--zoom-to", type=float, default=None,
+                   help="end zoom for a 2-keyframe zoom animation")
+    p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument("--fps", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--out-dir", default="frames")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--encode", action="store_true")
+    p.add_argument("--video-out", default=None)
+    p.add_argument("--codec", default="h264",
+                   choices=["h264", "h265", "vp9", "prores", "av1"])
+    p.add_argument("--quality", default="high",
+                   choices=["draft", "good", "high", "lossless"])
+    p.add_argument("--crf", type=int, default=18)
+    p.add_argument("--cleanup-frames", action="store_true")
+    p.set_defaults(fn=cmd_animate)
+
+    p = sub.add_parser("encode", help="encode an existing frame sequence")
+    p.add_argument("frames_dir")
+    p.add_argument("--out", default="animation.mp4")
+    p.add_argument("--codec", default="h264",
+                   choices=["h264", "h265", "vp9", "prores", "av1"])
+    p.add_argument("--quality", default="high",
+                   choices=["draft", "good", "high", "lossless"])
+    p.add_argument("--fps", type=int, default=60)
+    p.add_argument("--crf", type=int, default=18)
+    p.add_argument("--audio", default=None)
+    p.add_argument("--cleanup-frames", action="store_true")
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("presets", help="list all preset tables")
+    p.set_defaults(fn=cmd_presets)
+
+    p = sub.add_parser("info", help="backend and capability info")
+    p.set_defaults(fn=cmd_info)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

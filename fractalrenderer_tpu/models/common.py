@@ -95,8 +95,10 @@ def _track_flags(cfg: StaticCfg) -> Tuple[bool, bool]:
 
 def _color_params(cfg: StaticCfg, dyn: dict) -> ColorParams:
     # Traced floats are fine inside ColorParams for the jnp backend.
+    # max_iterations follows the (possibly per-frame) iteration limit, not
+    # the static compile cap, so batched animation frames color correctly.
     return ColorParams(
-        max_iterations=cfg.max_iter,
+        max_iterations=dyn["iter_limit"],
         bailout=dyn["bailout"],
         palette_mode=cfg.palette_mode,
         color_offset=dyn["color_offset"],
@@ -170,6 +172,21 @@ def compiled_render_fn(cfg: StaticCfg):
     def fn(dyn):
         dyn = {k: jnp.asarray(v, jnp.float32) for k, v in dyn.items()}
         return _render_impl(cfg, dyn)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_batch_render_fn(cfg: StaticCfg):
+    """A jitted render of a whole frame batch: dict of (B,)-shaped dynamic
+    params → (B, H, W, 3).  Frames run sequentially on-device (each frame
+    already saturates the chip), but batching removes per-frame host
+    dispatch — essential under high-latency device links."""
+
+    def fn(dyn_batch):
+        dyn_batch = {k: jnp.asarray(v, jnp.float32)
+                     for k, v in dyn_batch.items()}
+        return jax.lax.map(lambda d: _render_impl(cfg, d), dyn_batch)
 
     return jax.jit(fn)
 

@@ -1,0 +1,226 @@
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu.anim import franim, video
+from fractalrenderer_tpu.anim.keyframes import (Animation, InterpolationType,
+                                                Keyframe, Playback,
+                                                apply_easing)
+from fractalrenderer_tpu.scene import FractalType, Scene
+
+
+def make_zoom_anim():
+    a = Animation(duration=10.0, target_fps=30)
+    a.keyframes.append(Keyframe(0.0, Scene(center_x=-0.5, zoom=2.5,
+                                           max_iterations=256),
+                                InterpolationType.LINEAR))
+    a.keyframes.append(Keyframe(10.0, Scene(center_x=-0.74, zoom=0.008,
+                                            max_iterations=1024),
+                                InterpolationType.LINEAR))
+    return a
+
+
+def test_easing_matches_reference():
+    # animation_system.cpp:200-212
+    assert apply_easing(0.25, InterpolationType.EASE_IN_OUT) == pytest.approx(
+        2 * 0.25 * 0.25)
+    assert apply_easing(0.75, InterpolationType.EASE_IN_OUT) == pytest.approx(
+        1 - (-2 * 0.75 + 2) ** 2 / 2)
+    assert apply_easing(0.5, InterpolationType.EASE_IN) == 0.25
+    assert apply_easing(0.5, InterpolationType.EASE_OUT) == 0.75
+    assert apply_easing(0.5, InterpolationType.EXPONENTIAL) == 0.25
+    assert apply_easing(0.3, InterpolationType.LINEAR) == 0.3
+
+
+def test_log_zoom_interpolation():
+    # animation_system.cpp:131-145
+    a = make_zoom_anim()
+    s = a.interpolate(5.0)
+    want = math.exp(math.log(2.5) + 0.5 * (math.log(0.008) - math.log(2.5)))
+    assert s.zoom == pytest.approx(want)
+    assert s.center_x == pytest.approx(-0.5 + 0.5 * (-0.74 + 0.5))
+
+
+def test_stepped_iterations():
+    # animation_system.cpp:147-161: buckets at t<0.33 / <0.67 / else
+    a = make_zoom_anim()
+    assert a.interpolate(1.0).max_iterations == 256
+    assert a.interpolate(5.0).max_iterations == 640  # midpoint
+    assert a.interpolate(9.0).max_iterations == 1024
+
+
+def test_palette_switch_at_half():
+    a = Animation(duration=2.0)
+    a.keyframes.append(Keyframe(0.0, Scene(palette_mode=1),
+                                InterpolationType.LINEAR))
+    a.keyframes.append(Keyframe(2.0, Scene(palette_mode=4),
+                                InterpolationType.LINEAR))
+    assert a.interpolate(0.9).palette_mode == 1
+    assert a.interpolate(1.1).palette_mode == 4
+
+
+def test_key1_fields_and_close_keyframes():
+    a = Animation(duration=1.0)
+    a.keyframes.append(Keyframe(0.0, Scene(bailout=8.0, antialiasing_samples=4,
+                                           orbit_trap_enabled=True,
+                                           julia_c_real=0.123)))
+    a.keyframes.append(Keyframe(1.0, Scene(bailout=2.0)))
+    s = a.interpolate(0.7)
+    # bailout/AA/orbit trap come from key1 (animation_system.cpp:175-178);
+    # julia c inherited from key1 (our deviation, see keyframes.py docstring)
+    assert s.bailout == 8.0 and s.antialiasing_samples == 4
+    assert s.orbit_trap_enabled and s.julia_c_real == 0.123
+    # too-close keyframes return key1 (:96-100)
+    b = Animation(duration=1.0)
+    b.keyframes.append(Keyframe(0.5, Scene(zoom=1.0)))
+    b.keyframes.append(Keyframe(0.5004, Scene(zoom=99.0)))
+    assert b.interpolate(0.5002).zoom == 1.0
+
+
+def test_add_keyframe_sorts_and_extends_duration():
+    a = Animation(duration=1.0)
+    a.add_keyframe(5.0, Scene())
+    a.add_keyframe(2.0, Scene())
+    assert [k.time for k in a.keyframes] == [2.0, 5.0]
+    assert a.duration == 6.0  # time + 1 (animation_system.cpp:20-22)
+
+
+def test_playback_loop_and_stop():
+    a = make_zoom_anim()
+    a.loop = False
+    p = Playback(a)
+    p.play()
+    assert p.playing
+    p.update(12.0)
+    assert not p.playing and p.current_time == a.duration
+    a.loop = True
+    p2 = Playback(a)
+    p2.play()
+    p2.update(12.0)
+    assert p2.playing and p2.current_time == pytest.approx(2.0)
+
+
+def test_franim_roundtrip(tmp_path):
+    a = make_zoom_anim()
+    a.name = "test"
+    a.export_width, a.export_height = 640, 360
+    path = str(tmp_path / "a.franim")
+    franim.save(a, path)
+    b = franim.load(path)
+    assert b.name == "test" and b.duration == 10.0
+    assert b.export_width == 640
+    assert len(b.keyframes) == 2
+    assert b.keyframes[1].scene.zoom == pytest.approx(0.008)
+    assert b.keyframes[1].scene.max_iterations == 1024
+    # file contains the reference's exact field names
+    d = json.loads(open(path).read())
+    kf = d["keyframes"][0]
+    for f in ("center_x", "center_y", "zoom", "max_iterations",
+              "palette_mode", "color_offset", "color_scale", "time",
+              "interp_type", "bailout", "antialiasing_samples",
+              "orbit_trap_enabled", "orbit_trap_radius"):
+        assert f in kf, f
+
+
+def test_franim_loads_reference_sample():
+    # The sample shipped at the reference repo root (6 keyframes, 20 s,
+    # 2560x1440 @ 120 fps)
+    path = "/root/reference/FractalRenderer/.franim"
+    if not os.path.exists(path):
+        pytest.skip("reference sample not available")
+    a = franim.load(path)
+    assert a.duration == 20.0
+    assert a.target_fps == 120
+    assert (a.export_width, a.export_height) == (2560, 1440)
+    assert len(a.keyframes) == 6
+    s = a.interpolate(2.5)
+    assert 0.008 < s.zoom < 2.5
+    assert a.total_frames == 2400
+
+
+def test_render_animation_frames_cpu():
+    from fractalrenderer_tpu.anim.renderer import render_animation_frames
+
+    a = make_zoom_anim()
+    a.export_width, a.export_height = 48, 24
+    a.target_fps = 1  # 10 frames
+    out = render_animation_frames(a, frames=[0, 5, 9])
+    assert out.shape == (3, 24, 48, 3)
+    assert np.isfinite(out).all()
+    # zooming in changes the image
+    assert np.abs(out[0] - out[2]).max() > 0.05
+
+
+def test_animation_renderer_writes_pngs(tmp_path):
+    from fractalrenderer_tpu.anim.renderer import (AnimationRenderer,
+                                                   RenderStatus)
+    from fractalrenderer_tpu.utils.png import read_png
+
+    a = make_zoom_anim()
+    a.duration, a.target_fps = 4.0, 1  # 4 frames
+    a.export_width, a.export_height = 48, 24
+    r = AnimationRenderer(batch_size=3)
+    seen = []
+    r.on_frame_complete = lambda f, total: seen.append(f)
+    ok = r.start_render(a, str(tmp_path))
+    assert ok and r.progress.status == RenderStatus.COMPLETE
+    assert sorted(seen) == [0, 1, 2, 3]
+    img = read_png(str(tmp_path / "frame_000000.png"))
+    assert img.shape == (24, 48, 3)
+
+
+def test_animation_renderer_needs_two_keyframes(tmp_path):
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+
+    a = Animation()
+    a.keyframes.append(Keyframe(0.0, Scene()))
+    errs = []
+    r = AnimationRenderer()
+    r.on_render_error = errs.append
+    assert not r.start_render(a, str(tmp_path))
+    assert errs and "2 keyframes" in errs[0]
+
+
+def test_ffmpeg_command_matrix():
+    # video_encoder.cpp:82-224
+    s = video.VideoEncodeSettings(output_filename="out.mp4",
+                                  codec=video.VideoCodec.H264,
+                                  quality=video.VideoQuality.HIGH, crf=20,
+                                  fps=30)
+    cmd = video.build_ffmpeg_command("frames", s)
+    assert cmd[:5] == ["ffmpeg", "-y", "-framerate", "30", "-i"]
+    assert cmd[5].endswith("frame_%06d.png")
+    assert ["-c:v", "libx264"] == cmd[6:8]
+    assert "-crf" in cmd and cmd[cmd.index("-crf") + 1] == "20"
+    assert "yuv420p" in cmd
+    assert cmd[-5:] == ["out.mp4", "-progress", "pipe:1", "-loglevel",
+                        "warning"]
+
+    s.codec, s.quality = video.VideoCodec.VP9, video.VideoQuality.LOSSLESS
+    cmd = video.build_ffmpeg_command("frames", s)
+    assert "libvpx-vp9" in cmd and "-lossless" in cmd and "-row-mt" in cmd
+
+    s.codec, s.quality = video.VideoCodec.PRORES, video.VideoQuality.DRAFT
+    cmd = video.build_ffmpeg_command("frames", s)
+    assert "prores_ks" in cmd and "yuv422p10le" in cmd
+
+    s.codec, s.quality = video.VideoCodec.AV1, video.VideoQuality.GOOD
+    cmd = video.build_ffmpeg_command("frames", s)
+    assert "libaom-av1" in cmd and "-cpu-used" in cmd
+
+    s.codec, s.quality = video.VideoCodec.H265, video.VideoQuality.LOSSLESS
+    cmd = video.build_ffmpeg_command("frames", s)
+    assert "libx265" in cmd and "lossless=1" in cmd
+
+
+def test_encoder_graceful_without_frames(tmp_path):
+    enc = video.VideoEncoder()
+    s = video.VideoEncodeSettings(output_filename=str(tmp_path / "o.mp4"))
+    ok = enc.encode(str(tmp_path), s)
+    assert not ok
+    assert enc.progress.finished
+    assert ("No frames" in enc.progress.error
+            or "FFmpeg not found" in enc.progress.error)

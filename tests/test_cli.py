@@ -1,0 +1,116 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu import cli
+from fractalrenderer_tpu.scene import FractalType
+from fractalrenderer_tpu.utils.png import read_png
+
+
+def test_render_basic(tmp_path, capsys):
+    out = str(tmp_path / "m.png")
+    rc = cli.main(["render", "--width", "48", "--height", "24",
+                   "--iters", "32", "--out", out])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (24, 48, 3)
+    assert "Rendered 48x24 Mandelbrot" in capsys.readouterr().out
+
+
+def test_render_preset_and_metadata(tmp_path):
+    out = str(tmp_path / "sea.png")
+    rc = cli.main(["render", "--preset", "Seahorse Valley", "--width", "32",
+                   "--height", "16", "--iters", "32", "--out", out,
+                   "--bit-depth", "16"])
+    assert rc == 0
+    raw = open(out, "rb").read()
+    assert b"Zoom\x000.008000000" in raw
+    assert read_png(out).dtype == np.uint16
+
+
+def test_render_scene_file_and_overrides(tmp_path):
+    sf = tmp_path / "s.json"
+    sf.write_text(json.dumps({"fractal_type": "julia", "zoom": 2.0,
+                              "max_iterations": 16}))
+    out = str(tmp_path / "j.png")
+    rc = cli.main(["render", "--scene", str(sf), "--width", "32",
+                   "--height", "16", "--julia-preset", "San Marco",
+                   "--out", out])
+    assert rc == 0
+    assert read_png(out).shape == (16, 32, 3)
+
+
+def test_scene_from_args_mapping():
+    args = cli.build_parser().parse_args(
+        ["render", "--type", "phoenix", "--phoenix-p", "0.2",
+         "--phoenix-r", "-0.3", "--stripes", "--stripe-density", "5",
+         "--iters", "77"])
+    s = cli.scene_from_args(args)
+    assert s.fractal_type == FractalType.PHOENIX
+    assert s.phoenix_p == 0.2 and s.phoenix_r == -0.3
+    assert s.stripe_enabled and s.stripe_density == 5
+    assert s.max_iterations == 77
+
+
+def test_export_print_cap(tmp_path, capsys):
+    rc = cli.main(["export-print", "--width", "20000", "--height", "20000",
+                   "--supersample", "--out", str(tmp_path / "x.png")])
+    assert rc == 2
+    assert "32000" in capsys.readouterr().err
+
+
+def test_export_print_small(tmp_path):
+    out = str(tmp_path / "p.png")
+    rc = cli.main(["export-print", "--width", "32", "--height", "16",
+                   "--iters", "16", "--out", out])
+    assert rc == 0
+    img = read_png(out)
+    assert img.dtype == np.uint16 and img.shape == (16, 32, 3)
+    raw = open(out, "rb").read()
+    assert b"pHYs" in raw and b"Print Size (inches)" in raw
+
+
+def test_animate_zoom(tmp_path):
+    out_dir = str(tmp_path / "frames")
+    rc = cli.main(["animate", "--zoom-to", "0.5", "--duration", "3",
+                   "--fps", "1", "--width", "32", "--height", "16",
+                   "--iters", "16", "--out-dir", out_dir])
+    assert rc == 0
+    files = sorted(os.listdir(out_dir))
+    assert files == ["frame_000000.png", "frame_000001.png",
+                     "frame_000002.png"]
+
+
+def test_animate_franim(tmp_path):
+    from fractalrenderer_tpu.anim import franim
+    from fractalrenderer_tpu.anim.keyframes import Animation, Keyframe
+    from fractalrenderer_tpu.scene import Scene
+
+    a = Animation(duration=2.0, target_fps=1, export_width=32,
+                  export_height=16)
+    a.keyframes.append(Keyframe(0.0, Scene(max_iterations=16, zoom=2.0)))
+    a.keyframes.append(Keyframe(2.0, Scene(max_iterations=16, zoom=0.5)))
+    fpath = str(tmp_path / "z.franim")
+    franim.save(a, fpath)
+    out_dir = str(tmp_path / "frames")
+    rc = cli.main(["animate", "--franim", fpath, "--out-dir", out_dir])
+    assert rc == 0
+    assert len(os.listdir(out_dir)) == 2
+
+
+def test_presets_and_info(capsys):
+    assert cli.main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "Seahorse Valley" in out and "Douady's Rabbit" in out
+    assert "40x60 @ 300 DPI" in out
+    assert cli.main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "fractalrenderer_tpu" in out and "backend" in out
+
+
+def test_encode_without_frames(tmp_path, capsys):
+    rc = cli.main(["encode", str(tmp_path), "--out",
+                   str(tmp_path / "o.mp4")])
+    assert rc == 1
