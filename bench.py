@@ -1,0 +1,64 @@
+"""Benchmark: BASELINE config #1 — Mandelbrot 1920x1080, default viewport,
+256 max-iter, smooth coloring (full render pipeline on device).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Target: >= 1 Gpixel/s/chip (BASELINE.md) → vs_baseline = Mpix/s / 1000.
+
+Timing method: the device link (axon tunnel) makes per-call host timing
+unreliable, so K frames are rendered inside one jitted device-side loop
+(distinct zooms, summed output to defeat CSE) and the amortized per-frame
+time is (T(K) - T(1)) measured at the single fetch that forces completion.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu.scene import Scene
+
+    W, H, ITERS = 1920, 1080, 256
+    scene = Scene(max_iterations=ITERS)
+    cfg = common.scene_static_cfg(scene, W, H, "mandelbrot", "centered",
+                                  False)
+    base = {k: jnp.float32(v)
+            for k, v in common.scene_dyn_params(scene).items()}
+
+    def run(K):
+        @jax.jit
+        def f(dyn):
+            def body(k, acc):
+                d = dict(dyn)
+                d["zoom"] = dyn["zoom"] + k.astype(jnp.float32) * 1e-6
+                return acc + common._render_impl(cfg, d)
+            return jax.lax.fori_loop(
+                0, K, body, jnp.zeros((H, W, 3), jnp.float32))
+
+        out = f(base)
+        t0 = time.perf_counter()
+        float(out[0, 0, 0])  # forces execution + completion
+        return time.perf_counter() - t0
+
+    run(1)          # compile K=1 variant + warm anything shared
+    t1 = min(run(1), run(1))
+    K = 64
+    run(K)          # compile K variant
+    tK = min(run(K), run(K))
+    per_frame = max((tK - t1) / (K - 1), 1e-9)
+    mpix_s = W * H / per_frame / 1e6
+
+    print(json.dumps({
+        "metric": "mandelbrot_1080p_256iter_render",
+        "value": round(mpix_s, 1),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Reference-orbit computation (z <- z^2 + c at arbitrary precision).
+
+Port of DeepZoomManager::compute_reference_orbit (deep_zoom_system.cpp:
+363-448 double path, :262-361 MPFR path).  The orbit is a host-side scalar
+loop — O(max_iter) bigint work shared by every pixel — so it runs natively:
+a C++ fixed-point engine (native/orbit.cpp, built on demand, loaded via
+ctypes) with a pure-Python bignum fallback.
+
+Semantics (matching the reference):
+- store z BEFORE each update; check escape on the stored z; the escaped z is
+  the final stored entry (deep_zoom_system.cpp:294-319).
+- double path escapes at |z| > 2; HP path at |z|^2 > 4 — identical; we use
+  mag^2 > 4 everywhere.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from fractions import Fraction
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from .hp import HPFloat, precision_mode_for_zoom
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "liborbit.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the native orbit library; None on failure."""
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.orbit_compute.restype = ctypes.c_long
+            lib.orbit_compute.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def _to_limbs(value: Union[str, float, HPFloat], frac_bits: int,
+              n_limbs: int) -> Tuple[np.ndarray, int]:
+    if isinstance(value, HPFloat):
+        man = value.man << (frac_bits - value.bits) if frac_bits >= value.bits \
+            else value.man >> (value.bits - frac_bits)
+    else:
+        frac = Fraction(value if isinstance(value, str) else float(value))
+        man = round(frac * (1 << frac_bits))
+    sign = -1 if man < 0 else (1 if man > 0 else 0)
+    man = abs(man)
+    limbs = np.zeros(n_limbs, np.uint64)
+    for i in range(n_limbs):
+        limbs[i] = man & 0xFFFFFFFFFFFFFFFF
+        man >>= 64
+    if man:
+        raise OverflowError("coordinate magnitude exceeds fixed-point range")
+    return limbs, sign
+
+
+def compute_orbit_python(cx: Union[str, float, HPFloat],
+                         cy: Union[str, float, HPFloat],
+                         precision_bits: int, max_iter: int,
+                         escape_mag_sq: float = 4.0) -> np.ndarray:
+    """Pure-Python bignum fallback — identical semantics to the native path."""
+    bits = precision_bits
+    one = 1 << bits
+
+    def to_man(v):
+        if isinstance(v, HPFloat):
+            return v.man << (bits - v.bits) if bits >= v.bits \
+                else v.man >> (v.bits - bits)
+        return round(Fraction(v if isinstance(v, str) else float(v)) * one)
+
+    cxm, cym = to_man(cx), to_man(cy)
+    zr = zi = 0
+    out = np.empty((max_iter, 2), np.float64)
+    stored = 0
+    import math
+
+    def to_f64(man: int) -> float:
+        # float(man) itself overflows beyond ~2^1024; scale via bit_length.
+        if man == 0:
+            return 0.0
+        sign = -1.0 if man < 0 else 1.0
+        m = abs(man)
+        shift = max(m.bit_length() - 53, 0)
+        return sign * math.ldexp(m >> shift, shift - bits)
+
+    for i in range(max_iter):
+        dre = to_f64(zr)
+        dim = to_f64(zi)
+        out[i] = (dre, dim)
+        stored = i + 1
+        mag2 = dre * dre + dim * dim
+        if mag2 > escape_mag_sq or not np.isfinite(mag2):
+            break
+        nzr = ((zr * zr - zi * zi) >> bits) + cxm
+        nzi = ((zr * zi) >> (bits - 1)) + cym
+        zr, zi = nzr, nzi
+    return out[:stored]
+
+
+def compute_orbit(cx: Union[str, float, HPFloat],
+                  cy: Union[str, float, HPFloat],
+                  precision_bits: int, max_iter: int,
+                  escape_mag_sq: float = 4.0,
+                  force_python: bool = False) -> np.ndarray:
+    """Returns an (L, 2) float64 array of the reference orbit, trimmed at
+    escape (L <= max_iter)."""
+    precision_bits = max(64, int(precision_bits))
+    lib = None if force_python else _load_native()
+    if lib is None:
+        return compute_orbit_python(cx, cy, precision_bits, max_iter,
+                                    escape_mag_sq)
+    # 8 integer bits of headroom (|z| <= 2 pre-escape, c within ±2)
+    frac_bits = precision_bits
+    n_limbs = (frac_bits + 8 + 63) // 64
+    cx_l, sx = _to_limbs(cx, frac_bits, n_limbs)
+    cy_l, sy = _to_limbs(cy, frac_bits, n_limbs)
+    out_re = np.empty(max_iter, np.float64)
+    out_im = np.empty(max_iter, np.float64)
+    n = lib.orbit_compute(
+        cx_l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sx,
+        cy_l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sy,
+        n_limbs, frac_bits, max_iter, escape_mag_sq,
+        out_re.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return np.stack([out_re[:n], out_im[:n]], axis=1)
+
+
+def orbit_for_scene(scene, max_iter: Optional[int] = None,
+                    force_python: bool = False):
+    """Compute the orbit for a Scene's (possibly high-precision) center.
+    Returns (orbit (L,2) f64, precision_bits, mode)."""
+    zoom = float(Fraction(scene.hp_zoom)) if scene.hp_zoom else scene.zoom
+    mode, bits = precision_mode_for_zoom(zoom)
+    cx = scene.hp_center_x if scene.hp_center_x is not None else scene.center_x
+    cy = scene.hp_center_y if scene.hp_center_y is not None else scene.center_y
+    mi = max_iter if max_iter is not None else scene.max_iterations
+    orbit = compute_orbit(cx, cy, bits, mi, force_python=force_python)
+    return orbit, bits, mode

@@ -1,0 +1,158 @@
+"""Deep-zoom renderer: host HP reference orbit + TPU perturbation kernel +
+glitch-correcting secondary references.
+
+Pipeline (config #4 of BASELINE.md):
+1. Compute the reference orbit at the scene center in arbitrary precision
+   (deepzoom/orbit.py — native C++ fixed-point or Python bignum).
+2. Run the perturbation kernel (ops/perturbation.py); every pixel iterates
+   only its low-precision delta on the VPU.
+3. Pixels flagged by the Pauldelbrot glitch criterion are re-rendered
+   against secondary reference orbits centered on a glitched pixel, up to
+   ``max_references`` rounds — the correct version of what the reference
+   left unwired (mandelbrot_deep_zoom.comp:253-259).
+4. Color with the deep-zoom palette set (test_deep_zoom.comp:73-103); the
+   reference's deep-zoom shader applies no enhance/ACES post chain.
+
+Supersampling: scene.samples_per_pixel (1/2/4, fractal_state.h:91) renders
+s^2 jittered samples per pixel with uniform subpixel offsets.
+"""
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..deepzoom import orbit as orbit_mod
+from ..deepzoom.hp import HPFloat, precision_mode_for_zoom
+from ..ops import coloring
+from ..ops.coloring import ColorParams
+from ..ops.dd import dd_from_string
+from ..ops.perturbation import perturbation_fields
+from ..scene import Scene
+
+
+def _dd_of(value, fallback: float) -> Tuple[float, float]:
+    if value is not None:
+        return dd_from_string(str(value))
+    return dd_from_string(repr(float(fallback)))
+
+
+def _scene_coords(scene: Scene):
+    cx = scene.hp_center_x if scene.hp_center_x is not None else scene.center_x
+    cy = scene.hp_center_y if scene.hp_center_y is not None else scene.center_y
+    zoom = scene.hp_zoom if scene.hp_zoom is not None else scene.zoom
+    return cx, cy, zoom
+
+
+def render_fields(scene: Scene, width: int, height: int,
+                  max_references: int = 16, glitch_tol: float = 1e-6,
+                  offset: Tuple[float, float] = (0.0, 0.0),
+                  force_python_orbit: bool = False):
+    """Returns (n, zx, zy, glitch_remaining, info dict)."""
+    cx, cy, zoom = _scene_coords(scene)
+    zoom_f = float(Fraction(str(zoom)))
+    mode, bits = precision_mode_for_zoom(zoom_f)
+    max_iter = scene.max_iterations
+
+    center_x_dd = _dd_of(cx, 0.0)
+    center_y_dd = _dd_of(cy, 0.0)
+    zoom_dd = _dd_of(zoom, 0.0)
+
+    # Past ~1e-7 the f32 continuation c is meaningless; starved pixels are
+    # flagged and re-referenced instead (see ops/perturbation.py).
+    float_cont = zoom_f > 1e-7
+
+    # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
+    # full-strength (interior) reference needs max_iter+1 stored entries.
+    orbit = orbit_mod.compute_orbit(cx, cy, bits, max_iter + 1,
+                                    force_python=force_python_orbit)
+    f = perturbation_fields(
+        orbit, width, height, center_x_dd=center_x_dd,
+        center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
+        bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
+        float_continuation=float_cont)
+    n = np.array(f["n"])
+    zx = np.array(f["zx"])
+    zy = np.array(f["zy"])
+    glitch = np.asarray(f["glitch"]) > 0.5
+    info = {"precision_mode": mode.name, "precision_bits": bits,
+            "reference_iterations": len(orbit), "references_used": 1,
+            "glitched_pixels_initial": int(glitch.sum())}
+
+    # ---- secondary references for glitched pixels ----------------------
+    hp_bits = max(bits, 128)
+    cx_hp = HPFloat(str(cx), hp_bits)
+    cy_hp = HPFloat(str(cy), hp_bits)
+    zoom_hp = HPFloat(str(zoom), hp_bits)
+    pixel_size_hp = zoom_hp * HPFloat(4.0, hp_bits) / HPFloat(float(height),
+                                                             hp_bits)
+    refs = 1
+    prev_glitched = None
+    while glitch.any() and refs < max_references:
+        remaining = int(glitch.sum())
+        if prev_glitched is not None and remaining >= prev_glitched:
+            break  # no progress — bail rather than loop on hopeless pixels
+        prev_glitched = remaining
+        ys, xs = np.nonzero(glitch)
+        # Prefer the flagged pixel that survived longest: its orbit is the
+        # longest available and resolves starved pixels fastest.
+        pick = int(np.argmax(n[ys, xs]))
+        py, px = int(ys[pick]), int(xs[pick])
+        uvx = (px + offset[0]) / width
+        uvy = (py + offset[1]) / height
+        offx = (uvx - 0.5) * (width / height)
+        offy = uvy - 0.5
+        ref_cx = cx_hp + pixel_size_hp * HPFloat(offx, hp_bits)
+        ref_cy = cy_hp + pixel_size_hp * HPFloat(offy, hp_bits)
+
+        orbit2 = orbit_mod.compute_orbit(ref_cx, ref_cy, bits, max_iter + 1,
+                                         force_python=force_python_orbit)
+        # delta relative to the new reference needs shift = center - ref
+        shift_x = dd_from_string((cx_hp - ref_cx).to_string(40))
+        shift_y = dd_from_string((cy_hp - ref_cy).to_string(40))
+        f2 = perturbation_fields(
+            orbit2, width, height,
+            center_x_dd=dd_from_string(ref_cx.to_string(40)),
+            center_y_dd=dd_from_string(ref_cy.to_string(40)),
+            zoom_dd=zoom_dd, max_iter=max_iter, bailout=scene.bailout,
+            glitch_tol=glitch_tol, ref_shift_x=shift_x, ref_shift_y=shift_y,
+            offset=offset, float_continuation=float_cont)
+        n2 = np.asarray(f2["n"])
+        zx2 = np.asarray(f2["zx"])
+        zy2 = np.asarray(f2["zy"])
+        g2 = np.asarray(f2["glitch"]) > 0.5
+        fix = glitch & ~g2
+        n[fix] = n2[fix]
+        zx[fix] = zx2[fix]
+        zy[fix] = zy2[fix]
+        glitch = glitch & g2
+        refs += 1
+
+    info["references_used"] = refs
+    info["glitched_pixels_remaining"] = int(glitch.sum())
+    return n, zx, zy, glitch, info
+
+
+def render(scene: Scene, width: int, height: int,
+           return_info: bool = False, **kw):
+    p = ColorParams(
+        max_iterations=scene.max_iterations, bailout=scene.bailout,
+        palette_mode=scene.palette_mode, color_offset=scene.color_offset,
+        color_scale=scene.color_scale)
+    spp = max(int(scene.samples_per_pixel), 1)
+    acc = np.zeros((height, width, 3), np.float32)
+    infos = []
+    for sy in range(spp):
+        for sx in range(spp):
+            off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
+            n, zx, zy, _, info = render_fields(scene, width, height,
+                                               offset=off, **kw)
+            acc += np.asarray(
+                coloring.color_deep_zoom(np, n, zx, zy, p))
+            infos.append(info)
+    img = acc / np.float32(spp * spp)
+    if return_info:
+        return img, infos[0]
+    return img

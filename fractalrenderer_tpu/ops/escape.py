@@ -38,7 +38,8 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 # signature uniform across families.
 P_CX, P_CY, P_ZOOM, P_OFFX, P_OFFY, P_BAIL2, P_LIMIT = range(7)
 P_A0, P_A1, P_A2, P_A3 = 7, 8, 9, 10
-NPARAMS = 11
+P_ROW0 = 11  # global row of this shard's first output row (multi-chip)
+NPARAMS = 12
 
 FAMILIES = ("mandelbrot", "julia", "burning_ship", "phoenix")
 
@@ -120,15 +121,21 @@ def _iter_chunk(family: str, track_trap: bool, track_stripe: bool,
     return jax.lax.fori_loop(0, chunk, body, state)
 
 
-def _make_kernel(family: str, width: int, height: int, max_iter_cap: int,
+def _make_kernel(family: str, width: int, height: int, map_height: int,
+                 max_iter_cap: int,
                  track_trap: bool, track_stripe: bool, use_julia: bool,
                  tile: Tuple[int, int], chunk: int):
+    """``height`` is the local output extent (a row band when sharded);
+    ``map_height`` is the full image height used by the pixel→plane mapping
+    and bounds; params[P_ROW0] carries the band's global first row."""
     th, tw = tile
 
     def kernel(params_ref, *out_refs):
         tj = pl.program_id(1)
         ti = pl.program_id(0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+        row0 = params_ref[0, P_ROW0].astype(jnp.int32)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                + ti * th + row0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
         pyf = rows.astype(jnp.float32)
         pxf = cols.astype(jnp.float32)
@@ -146,20 +153,20 @@ def _make_kernel(family: str, width: int, height: int, max_iter_cap: int,
         a3 = params_ref[0, P_A3]
 
         if family == "mandelbrot":
-            cr, ci = mapping.map_centered(jnp, pxf, pyf, width, height,
+            cr, ci = mapping.map_centered(jnp, pxf, pyf, width, map_height,
                                           cx, cy, zoom, offx, offy)
             zx0 = jnp.zeros((th, tw), jnp.float32)
             zy0 = jnp.zeros((th, tw), jnp.float32)
             add_re = add_im = jnp.float32(0.0)
         elif family == "julia":
-            zr, zi = mapping.map_uv(jnp, pxf, pyf, width, height,
+            zr, zi = mapping.map_uv(jnp, pxf, pyf, width, map_height,
                                     cx, cy, zoom, offx, offy)
             zx0, zy0 = zr, zi
             cr = jnp.broadcast_to(a0, (th, tw))
             ci = jnp.broadcast_to(a1, (th, tw))
             add_re = add_im = jnp.float32(0.0)
         else:  # burning_ship / phoenix: c from pixel via uv mapping
-            cr, ci = mapping.map_uv(jnp, pxf, pyf, width, height,
+            cr, ci = mapping.map_uv(jnp, pxf, pyf, width, map_height,
                                     cx, cy, zoom, offx, offy)
             zx0 = jnp.zeros((th, tw), jnp.float32)
             zy0 = jnp.zeros((th, tw), jnp.float32)
@@ -191,9 +198,10 @@ def _make_kernel(family: str, width: int, height: int, max_iter_cap: int,
             x1 = sqx0 - sqy0 + cr
             y1 = (2.0 * zx0) * zy0 + ci
 
-        # Out-of-bounds lanes (partial edge tiles) get poisoned squares so
-        # the escape latch is false from step 1 → no wasted iterations.
-        in_bounds = (rows < height) & (cols < width)
+        # Out-of-bounds lanes (partial edge tiles / padded shard rows) get
+        # poisoned squares so the escape latch is false from step 1.
+        in_bounds = (rows < map_height) & (cols < width) \
+            & (rows - row0 < height)
         big = jnp.float32(3.4e38)
         state0 = {
             "zx": x1, "zy": y1,
@@ -257,17 +265,19 @@ def _make_kernel(family: str, width: int, height: int, max_iter_cap: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("family", "width", "height", "max_iter_cap",
+    static_argnames=("family", "width", "height", "map_height",
+                     "max_iter_cap",
                      "track_trap", "track_stripe", "use_julia", "tile",
                      "chunk", "interpret"))
 def _escape_call(params, *, family: str, width: int, height: int,
+                 map_height: int,
                  max_iter_cap: int, track_trap: bool, track_stripe: bool,
                  use_julia: bool, tile: Tuple[int, int], chunk: int,
                  interpret: bool):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
-    kernel = _make_kernel(family, width, height, max_iter_cap, track_trap,
-                          track_stripe, use_julia, tile, chunk)
+    kernel = _make_kernel(family, width, height, map_height, max_iter_cap,
+                          track_trap, track_stripe, use_julia, tile, chunk)
 
     out_shapes = [
         jax.ShapeDtypeStruct((height, width), jnp.int32),   # n
@@ -308,12 +318,15 @@ def escape_fields(family: str, width: int, height: int, *,
                   trap_radius=0.5, stripe_density=10.0,
                   track_trap: bool = False, track_stripe: bool = False,
                   iter_limit=None, tile=None, chunk: int = 16,
+                  row0=0.0, map_height: Optional[int] = None,
                   interpret=None) -> Dict[str, jax.Array]:
     """Compute escape-time fields for one AA sample.
 
     ``max_iter`` is the static compile-time cap; ``iter_limit`` (traced,
     defaults to max_iter) allows batched renders with per-frame iteration
-    counts without recompiling.
+    counts without recompiling.  For multi-chip row-band sharding pass the
+    band's global first row as ``row0`` (traced) and the full image height
+    as ``map_height``; the output still covers ``height`` local rows.
     """
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r}")
@@ -345,11 +358,12 @@ def escape_fields(family: str, width: int, height: int, *,
         # so a limit below 1 is meaningless
         jnp.maximum(jnp.asarray(iter_limit, jnp.float32), 1.0),
         jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
-        jnp.float32(a[3]),
+        jnp.float32(a[3]), jnp.asarray(row0, jnp.float32),
     ]).reshape(1, NPARAMS)
 
     outs = _escape_call(
         params, family=family, width=width, height=height,
+        map_height=int(map_height if map_height is not None else height),
         max_iter_cap=int(max_iter), track_trap=track_trap,
         track_stripe=track_stripe, use_julia=use_julia,
         tile=tuple(tile), chunk=chunk, interpret=bool(interpret))

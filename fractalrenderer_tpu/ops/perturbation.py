@@ -1,0 +1,298 @@
+"""Perturbation deep-zoom Pallas kernel.
+
+TPU port of shaders/test_deep_zoom.comp with two deliberate fixes over the
+reference (BASELINE.json demands a *correct, glitch-free* render):
+
+1. Index-consistent escape test.  The reference tests
+   ``z_full = orbit[i] + dz_{i+1}`` (test_deep_zoom.comp:165), mixing orbit
+   step i with delta step i+1; we test against ``orbit[i+1]``.
+2. Glitch detection (Pauldelbrot criterion): a pixel whose full value
+   collapses to ``|z| < tol * |Z_ref|`` has lost all relative precision and
+   is flagged; the deep-zoom model re-renders flagged pixels against a
+   secondary reference orbit (models/deep_zoom.py).  The reference shipped
+   detection only in its unused shader (mandelbrot_deep_zoom.comp:253-259).
+
+Coordinate mapping (test_deep_zoom.comp:117-143): uv = texel/size;
+``pixel_size = zoom * 4/height`` (note: the deep-zoom view spans 4*zoom
+vertically, unlike the other fractals' 1*zoom — faithful);
+``dc = pixel_size * ((uv-0.5)*aspect, uv-0.5)`` in double-double;
+``delta = float(dc)``.
+
+The reference orbit is shared by every pixel and consumed sequentially, so
+it lives in SMEM and each iteration broadcasts two scalar reads.
+
+After the orbit is exhausted (reference escaped before max_iter), pixels
+continue with plain f32 iteration from the current full z
+(test_deep_zoom.comp:175-203).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dd
+from .pallas_utils import cdiv, default_interpret, pick_tile
+
+# params vector layout (f32, SMEM)
+(Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_ZH, Q_ZL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
+ Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
+ Q_OFFY) = range(16)
+NQ = 16
+
+MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
+
+
+def _make_kernel(width: int, height: int, tile: Tuple[int, int], chunk: int,
+                 float_continuation: bool):
+    th, tw = tile
+
+    def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
+               n_ref, zx_ref, zy_ref, glitch_ref):
+        tj = pl.program_id(1)
+        ti = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+        in_bounds = (rows < height) & (cols < width)
+
+        limit = params_ref[0, Q_LIMIT].astype(jnp.int32)
+        bail2 = params_ref[0, Q_BAIL2]
+        ref_len = params_ref[0, Q_REFLEN].astype(jnp.int32)
+        glitch_tol = params_ref[0, Q_GLITCH_TOL]
+
+        # --- per-pixel delta c in double-double (comp:117-143) ----------
+        wf = jnp.float32(width)
+        hf = jnp.float32(height)
+        uvx = cols.astype(jnp.float32) / wf + params_ref[0, Q_OFFX] / wf
+        uvy = rows.astype(jnp.float32) / hf + params_ref[0, Q_OFFY] / hf
+        aspect = wf / hf
+        off_x = (uvx - 0.5) * aspect
+        off_y = uvy - 0.5
+        zoom_dd = (params_ref[0, Q_ZH], params_ref[0, Q_ZL])
+        pixel_size = dd.dd_mul_float(jnp, zoom_dd, jnp.float32(4.0) / hf)
+        dcx = dd.dd_mul_float(jnp, pixel_size, off_x)
+        dcy = dd.dd_mul_float(jnp, pixel_size, off_y)
+        # secondary-reference shift: delta relative to the re-centered orbit
+        shift_x = (params_ref[0, Q_SHIFTXH], params_ref[0, Q_SHIFTXL])
+        shift_y = (params_ref[0, Q_SHIFTYH], params_ref[0, Q_SHIFTYL])
+        bs = jnp.broadcast_to
+        dcx = dd.dd_add(jnp, dcx, (bs(shift_x[0], (th, tw)),
+                                   bs(shift_x[1], (th, tw))))
+        dcy = dd.dd_add(jnp, dcy, (bs(shift_y[0], (th, tw)),
+                                   bs(shift_y[1], (th, tw))))
+        delta_r = dd.dd_to_float(jnp, dcx)
+        delta_i = dd.dd_to_float(jnp, dcy)
+
+        # full c in f32 for the float-continuation phase (comp:139-141)
+        cx_dd = dd.dd_add(jnp, (params_ref[0, Q_CXH], params_ref[0, Q_CXL]),
+                          dcx)
+        cy_dd = dd.dd_add(jnp, (params_ref[0, Q_CYH], params_ref[0, Q_CYL]),
+                          dcy)
+        c_r = dd.dd_to_float(jnp, cx_dd)
+        c_i = dd.dd_to_float(jnp, cy_dd)
+
+        # --- phase 1: perturbation against the reference orbit ----------
+        # peel step 0: dz_1 = delta; z_full = orbit[1] + dz_1
+        pert_end = jnp.minimum(limit, ref_len - 1)
+        z1r = orbit_re_ref[1] + delta_r
+        z1i = orbit_im_ref[1] + delta_i
+        big = jnp.float32(3.4e38)
+        state0 = {
+            "dzr": delta_r, "dzi": delta_i,
+            "zfr": jnp.where(in_bounds, z1r, big),
+            "zfi": jnp.where(in_bounds, z1i, jnp.float32(0.0)),
+            "nf": jnp.zeros((th, tw), jnp.float32),
+            "glitch": jnp.zeros((th, tw), jnp.float32),
+            "i": jnp.int32(1),
+        }
+
+        def pert_chunk(s):
+            def body(k, s):
+                del k
+                s = dict(s)
+                i = s["i"]
+                mag2 = s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"]
+                alive = (mag2 <= bail2) & (i < pert_end)
+                s["nf"] = s["nf"] + alive.astype(jnp.float32)
+                zr = orbit_re_ref[i]
+                zi = orbit_im_ref[i]
+                dzr, dzi = s["dzr"], s["dzi"]
+                # dz <- 2*Z*dz + dz^2 + delta  (comp:156-163)
+                t1r = 2.0 * (zr * dzr - zi * dzi)
+                t1i = 2.0 * (zr * dzi + zi * dzr)
+                t2r = dzr * dzr - dzi * dzi
+                t2i = (2.0 * dzr) * dzi
+                ndzr = t1r + t2r + delta_r
+                ndzi = t1i + t2i + delta_i
+                nzfr = orbit_re_ref[i + 1] + ndzr
+                nzfi = orbit_im_ref[i + 1] + ndzi
+                s["dzr"] = jnp.where(alive, ndzr, dzr)
+                s["dzi"] = jnp.where(alive, ndzi, dzi)
+                s["zfr"] = jnp.where(alive, nzfr, s["zfr"])
+                s["zfi"] = jnp.where(alive, nzfi, s["zfi"])
+                # Pauldelbrot glitch criterion on the live full value
+                zmag2 = nzfr * nzfr + nzfi * nzfi
+                bad = alive & (zmag2 < glitch_tol * orbit_mag2_ref[i + 1])
+                s["glitch"] = jnp.maximum(s["glitch"],
+                                          bad.astype(jnp.float32))
+                s["i"] = i + 1
+                return s
+
+            return jax.lax.fori_loop(0, chunk, body, s)
+
+        def cond1(carry):
+            s, keep = carry
+            return (s["i"] < pert_end) & keep
+
+        def body1(carry):
+            s, _ = carry
+            s = pert_chunk(s)
+            keep = jnp.any(s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2)
+            return s, keep
+
+        s, _ = jax.lax.while_loop(cond1, body1, (state0, jnp.bool_(True)))
+
+        if not float_continuation:
+            # Deep mode: a pixel still alive when the reference orbit ran
+            # out cannot be finished in f32 — flag it for a secondary
+            # reference (models/deep_zoom.py) instead of iterating garbage.
+            alive_end = (s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2)
+            starved = alive_end & (pert_end < limit)
+            s["glitch"] = jnp.maximum(s["glitch"],
+                                      starved.astype(jnp.float32))
+
+        # --- phase 2: float continuation past the orbit end -------------
+        # (comp:181-203) — continue z <- z^2 + c from the current full z.
+        def cont_chunk(s):
+            def body(k, s):
+                del k
+                s = dict(s)
+                i = s["i"]
+                zfr, zfi = s["zfr"], s["zfi"]
+                mag2 = zfr * zfr + zfi * zfi
+                alive = (mag2 <= bail2) & (i < limit)
+                s["nf"] = s["nf"] + alive.astype(jnp.float32)
+                x = zfr * zfr - zfi * zfi + c_r
+                y = (2.0 * zfr) * zfi + c_i
+                s["zfr"] = jnp.where(alive, x, zfr)
+                s["zfi"] = jnp.where(alive, y, zfi)
+                s["i"] = i + 1
+                return s
+
+            return jax.lax.fori_loop(0, chunk, body, s)
+
+        def cond2(carry):
+            s, keep = carry
+            return (s["i"] < limit) & keep
+
+        def body2(carry):
+            s, _ = carry
+            s = cont_chunk(s)
+            keep = jnp.any(s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2)
+            return s, keep
+
+        if float_continuation:
+            s, _ = jax.lax.while_loop(cond2, body2, (s, jnp.bool_(True)))
+
+        interior = (s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2) \
+            & in_bounds
+        n = jnp.where(interior, limit,
+                      s["nf"].astype(jnp.int32) * in_bounds.astype(jnp.int32))
+        n_ref[:, :] = n
+        zx_ref[:, :] = s["zfr"]
+        zy_ref[:, :] = s["zfi"]
+        glitch_ref[:, :] = s["glitch"] * in_bounds.astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "orbit_cap", "tile", "chunk",
+                     "interpret", "float_continuation"))
+def _pert_call(params, orbit_re, orbit_im, orbit_mag2, *, width, height,
+               orbit_cap, tile, chunk, interpret, float_continuation):
+    th, tw = tile
+    grid = (cdiv(height, th), cdiv(width, tw))
+    kernel = _make_kernel(width, height, tile, chunk, float_continuation)
+    out_shapes = (
+        jax.ShapeDtypeStruct((height, width), jnp.int32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+    )
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=tuple(out_spec for _ in out_shapes),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(params, orbit_re, orbit_im, orbit_mag2)
+
+
+def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
+                        center_x_dd: Tuple[float, float],
+                        center_y_dd: Tuple[float, float],
+                        zoom_dd: Tuple[float, float],
+                        max_iter: int, bailout: float = 4.0,
+                        glitch_tol: float = 1e-6,
+                        ref_shift_x: Tuple[float, float] = (0.0, 0.0),
+                        ref_shift_y: Tuple[float, float] = (0.0, 0.0),
+                        offset: Tuple[float, float] = (0.0, 0.0),
+                        iter_limit=None, tile=None, chunk: int = 16,
+                        float_continuation: bool = True,
+                        interpret: Optional[bool] = None
+                        ) -> Dict[str, jax.Array]:
+    """Run the perturbation kernel against a precomputed reference orbit
+    ((L, 2) float64 from deepzoom.orbit).  Returns n/zx/zy/glitch fields.
+
+    ``ref_shift_*`` is (scene_center - orbit_center) as dd, used when
+    re-rendering glitched pixels against a secondary reference.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    if tile is None:
+        tile = pick_tile(height, width, max_tile=(64, 256))
+    if iter_limit is None:
+        iter_limit = max_iter
+    L = int(min(len(orbit), MAX_ORBIT_SMEM))
+    bailout = max(2.0, float(bailout))  # comp:114
+
+    cap = int(min(max(max_iter + 1, 2), MAX_ORBIT_SMEM))
+    orbit_re = np.zeros(cap, np.float32)
+    orbit_im = np.zeros(cap, np.float32)
+    orbit_re[:L] = orbit[:L, 0].astype(np.float32)
+    orbit_im[:L] = orbit[:L, 1].astype(np.float32)
+    mag2 = orbit_re * orbit_re + orbit_im * orbit_im
+
+    params = np.zeros((1, NQ), np.float32)
+    params[0, Q_CXH], params[0, Q_CXL] = center_x_dd
+    params[0, Q_CYH], params[0, Q_CYL] = center_y_dd
+    params[0, Q_ZH], params[0, Q_ZL] = zoom_dd
+    params[0, Q_LIMIT] = max(1, int(iter_limit))
+    params[0, Q_BAIL2] = bailout * bailout
+    params[0, Q_REFLEN] = L
+    params[0, Q_GLITCH_TOL] = glitch_tol
+    params[0, Q_SHIFTXH], params[0, Q_SHIFTXL] = ref_shift_x
+    params[0, Q_SHIFTYH], params[0, Q_SHIFTYL] = ref_shift_y
+    params[0, Q_OFFX], params[0, Q_OFFY] = offset
+
+    n, zx, zy, glitch = _pert_call(
+        jnp.asarray(params), jnp.asarray(orbit_re), jnp.asarray(orbit_im),
+        jnp.asarray(mag2), width=width, height=height, orbit_cap=cap,
+        tile=tuple(tile), chunk=chunk, interpret=bool(interpret),
+        float_continuation=bool(float_continuation))
+    return {"n": n, "zx": zx, "zy": zy, "glitch": glitch}

@@ -1,0 +1,260 @@
+"""Multi-chip sharded rendering and progressive giant stills.
+
+BASELINE config #5: a 16K×16K still sharded across a TPU mesh with a
+gather-free tile decomposition.  Each device owns a contiguous row band of
+the image (shard_map over the 'rows' axis); the escape kernel receives the
+band's global first row and the full-image mapping height, so no device
+reads anything another device wrote — the only cross-chip traffic is the
+final (optional) assembly of the output array.
+
+Giant stills additionally stream through the host: the image is rendered in
+row bands, each band written as a PNG tile on disk; an interrupted export
+resumes by skipping completed tiles; the assembly pass concatenates tiles
+into one 16-bit PNG without ever materializing the full image
+(utils/png.PNGWriter streams scanlines).  This replaces the reference's
+single 4GB-staging-buffer print export (vk_engine.cpp:1939-2003) which
+cannot exceed one GPU allocation.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import common
+from ..scene import FractalType, Scene
+from ..utils import png
+from ..utils.image import to_export_orientation
+from .mesh import make_render_mesh, pad_to_multiple
+
+_FAMILY = {
+    FractalType.MANDELBROT: ("mandelbrot", "centered", False),
+    FractalType.JULIA: ("julia", "uv", True),
+    FractalType.BURNING_SHIP: ("burning_ship", "uv", True),
+    FractalType.PHOENIX: ("phoenix", "uv", True),
+}
+
+
+def _band_render_fn(cfg: common.StaticCfg, band_h: int, full_h: int):
+    """Render `band_h` local rows starting at traced global row `row0`."""
+    from ..ops import coloring
+    from ..ops.escape import escape_fields
+    from ..ops import mapping as mp
+
+    track_trap, track_stripe = common._track_flags(cfg)
+    if cfg.aa_convention == "centered":
+        offsets = mp.aa_offsets_centered(cfg.aa)
+    else:
+        offsets = mp.aa_offsets_uv(cfg.aa, cfg.width)
+
+    def fn(dyn, row0):
+        p = common._color_params(cfg, dyn)
+        acc = jnp.zeros((band_h, cfg.width, 3), jnp.float32)
+        for off in offsets:
+            f = escape_fields(
+                cfg.family, cfg.width, band_h,
+                center_x=dyn["center_x"], center_y=dyn["center_y"],
+                zoom=dyn["zoom"], max_iter=cfg.max_iter,
+                bailout=dyn["bailout"], offset=off,
+                julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
+                phoenix_p=dyn["phoenix_p"], phoenix_r=dyn["phoenix_r"],
+                use_julia=cfg.use_julia,
+                trap_radius=dyn["orbit_trap_radius"],
+                stripe_density=dyn["stripe_density"],
+                track_trap=track_trap, track_stripe=track_stripe,
+                iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
+                row0=row0, map_height=full_h, interpret=cfg.interpret)
+            if cfg.family == "mandelbrot":
+                trap = f.get("trap", jnp.full_like(f["zx"], 1e20))
+                acc = acc + coloring.color_mandelbrot(jnp, f["n"], f["zx"],
+                                                      f["zy"], trap, p)
+            elif cfg.family == "julia":
+                acc = acc + coloring.color_julia(jnp, f["n"], f["zx"],
+                                                 f["zy"], p)
+            elif cfg.family == "burning_ship":
+                trap = f.get("trap", jnp.full_like(f["zx"], 1e10))
+                stripe = f.get("stripe", jnp.zeros_like(f["zx"]))
+                acc = acc + coloring.color_burning_ship(
+                    jnp, f["n"], f["zx"], f["zy"], trap, stripe, p)
+            else:
+                acc = acc + coloring.color_phoenix(jnp, f["n"], f["zx"],
+                                                   f["zy"], p)
+        color = acc / jnp.float32(len(offsets))
+        b = dyn["brightness"]
+        sat = dyn["saturation"]
+        c = dyn["contrast"]
+        if cfg.clamp_mins:
+            b = jnp.maximum(b, 0.1)
+            sat = jnp.maximum(sat, 0.0)
+            c = jnp.maximum(c, 0.1)
+        color = coloring.enhance_color(jnp, color, b, sat, c)
+        color = coloring.aces_tonemap(jnp, color)
+        return coloring.gamma_correct(jnp, color)
+
+    return fn
+
+
+def render_sharded(scene: Scene, width: int, height: int,
+                   mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Render one frame with its rows sharded across the mesh's 'rows' axis
+    (gather-free: each device computes and owns its band)."""
+    if mesh is None:
+        mesh = make_render_mesh()
+    n_rows = mesh.shape["rows"]
+    fam, conv, clamp = _FAMILY[scene.fractal_type]
+    h_pad = pad_to_multiple(height, n_rows)
+    band_h = h_pad // n_rows
+    cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)
+    band_fn = _band_render_fn(cfg, band_h, height)
+    dyn = {k: jnp.float32(v) for k, v in common.scene_dyn_params(scene).items()}
+
+    def shard_body(dyn):
+        ridx = jax.lax.axis_index("rows")
+        row0 = (ridx * band_h).astype(jnp.float32)
+        return band_fn(dyn, row0)
+
+    fn = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(),), out_specs=P("rows"),
+        check_vma=False))
+    out = fn(dyn)
+    return np.asarray(out)[:height]
+
+
+def render_frames_sharded(scenes, width: int, height: int,
+                          mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Batch of frames sharded over ('frames', 'rows'): data-parallel frames
+    × spatial row bands (BASELINE configs #2/#3 at multi-chip scale).  All
+    scenes must share a static config; iteration counts may differ."""
+    if mesh is None:
+        mesh = make_render_mesh(frames=1)
+    n_frames = mesh.shape["frames"]
+    n_rows = mesh.shape["rows"]
+    fam, conv, clamp = _FAMILY[scenes[0].fractal_type]
+    cap = max(s.max_iterations for s in scenes)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        common.scene_static_cfg(scenes[0], width, height, fam, conv, clamp),
+        max_iter=cap)
+    nf_pad = pad_to_multiple(len(scenes), n_frames)
+    h_pad = pad_to_multiple(height, n_rows)
+    band_h = h_pad // n_rows
+    band_fn = _band_render_fn(cfg, band_h, height)
+
+    dyns = [common.scene_dyn_params(s) for s in scenes]
+    dyns += [dyns[-1]] * (nf_pad - len(dyns))
+    batch = {k: jnp.asarray([d[k] for d in dyns], jnp.float32)
+             for k in dyns[0]}
+
+    def shard_body(batch):
+        ridx = jax.lax.axis_index("rows")
+        row0 = (ridx * band_h).astype(jnp.float32)
+        # each frame-shard renders its local frames' band sequentially
+        return jax.lax.map(lambda d: band_fn(d, row0), batch)
+
+    fn = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("frames"),), out_specs=P("frames", "rows"),
+        check_vma=False))
+    out = fn(batch)
+    return np.asarray(out)[:len(scenes), :height]
+
+
+# ---------------------------------------------------------------------------
+# Progressive / resumable giant stills
+# ---------------------------------------------------------------------------
+
+def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
+                       band_rows: int = 512, tile_dir: Optional[str] = None,
+                       resume: bool = True, bit_depth: int = 16,
+                       dpi: Optional[float] = 300.0,
+                       mesh: Optional[Mesh] = None,
+                       use_mesh: bool = False,
+                       progress_cb=None) -> Dict:
+    """Stream a huge still to disk in row bands (config #5).
+
+    Each band is rendered (optionally mesh-sharded), written as
+    ``band_%05d.png`` in ``tile_dir``, and finally assembled into one PNG by
+    streaming scanlines — peak host memory is one band.  With ``resume``,
+    completed bands are skipped on restart (manifest.json tracks geometry).
+    """
+    tile_dir = tile_dir or out_path + ".tiles"
+    os.makedirs(tile_dir, exist_ok=True)
+    manifest_path = os.path.join(tile_dir, "manifest.json")
+    manifest = {"width": width, "height": height, "band_rows": band_rows,
+                "scene": scene.to_dict()}
+    if resume and os.path.exists(manifest_path):
+        old = json.load(open(manifest_path))
+        if {k: old.get(k) for k in ("width", "height", "band_rows", "scene")} \
+                != manifest:
+            # stale tiles from a different job — start over
+            for f in os.listdir(tile_dir):
+                os.remove(os.path.join(tile_dir, f))
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+
+    fam, conv, clamp = _FAMILY[scene.fractal_type]
+    cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)
+    n_bands = -(-height // band_rows)
+    rendered = 0
+    skipped = 0
+
+    if use_mesh:
+        if mesh is None:
+            mesh = make_render_mesh()
+        n_rows = mesh.shape["rows"]
+        sub_h = pad_to_multiple(band_rows, n_rows) // n_rows
+        band_fn = _band_render_fn(cfg, sub_h, height)
+
+        def shard_body(dyn, band_row0):
+            ridx = jax.lax.axis_index("rows")
+            row0 = band_row0 + (ridx * sub_h).astype(jnp.float32)
+            return band_fn(dyn, row0)
+
+        sharded = jax.jit(jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), P()), out_specs=P("rows"),
+            check_vma=False))
+    else:
+        band_fn = _band_render_fn(cfg, band_rows, height)
+        sharded = jax.jit(band_fn)
+
+    dyn = {k: jnp.float32(v) for k, v in common.scene_dyn_params(scene).items()}
+
+    for b in range(n_bands):
+        tile_path = os.path.join(tile_dir, f"band_{b:05d}.png")
+        if resume and os.path.exists(tile_path):
+            skipped += 1
+            continue
+        row0 = b * band_rows
+        band = np.asarray(sharded(dyn, jnp.float32(row0))) if use_mesh \
+            else np.asarray(sharded(dyn, jnp.float32(row0)))
+        band = band[:min(band_rows, height - row0)]
+        # write tiles atomically so a crash never leaves a bad tile
+        tmp = tile_path + ".tmp"
+        png.write_png(tmp, band, bit_depth=bit_depth)
+        os.replace(tmp, tile_path)
+        rendered += 1
+        if progress_cb:
+            progress_cb(b + 1, n_bands)
+
+    # -- assembly: stream tiles into the final PNG (flipped orientation) --
+    meta = {"Software": "fractalrenderer_tpu (giant still)",
+            **scene.metadata_summary()}
+    with open(out_path, "wb") as fp:
+        with png.PNGWriter(fp, width, height, bit_depth=bit_depth,
+                           channels=3, metadata=meta, dpi=dpi) as w:
+            # export orientation = vertical flip ⇒ write bands in reverse,
+            # each band's rows reversed
+            for b in reversed(range(n_bands)):
+                tile = png.read_png(os.path.join(tile_dir, f"band_{b:05d}.png"))
+                w.write_rows(to_export_orientation(tile))
+    return {"bands": n_bands, "rendered": rendered, "skipped": skipped,
+            "tile_dir": tile_dir, "out": out_path}

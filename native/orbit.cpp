@@ -1,0 +1,211 @@
+// High-precision reference-orbit computation for deep zoom.
+//
+// TPU-native replacement for the reference's MPFR orbit loop
+// (deep_zoom_system.cpp:262-361 high-precision path, :363-448 double path):
+// iterate z <- z^2 + c in fixed-point arbitrary precision, storing each z as
+// a double pair, trimmed at escape.  This is the framework's host-side
+// native hot loop (10k-1M bigint iterations), called from Python via ctypes
+// (see fractalrenderer_tpu/deepzoom/orbit.py, which also has a pure-Python
+// fallback).
+//
+// Representation: sign-magnitude fixed point, little-endian u64 limbs,
+// value = sign * magnitude / 2^frac_bits.  Schoolbook multiplication with
+// unsigned __int128 accumulation — precision is <= 4096 bits (64 limbs), so
+// schoolbook beats anything fancier.
+//
+// Build: make -C native (produces liborbit.so).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+namespace {
+
+struct Big {
+    int sign = 0;                 // -1, 0, +1
+    std::vector<u64> m;           // magnitude, little-endian
+
+    explicit Big(size_t limbs = 0) : m(limbs, 0) {}
+};
+
+int cmp_mag(const std::vector<u64>& a, const std::vector<u64>& b) {
+    size_t n = a.size() > b.size() ? a.size() : b.size();
+    for (size_t i = n; i-- > 0;) {
+        u64 av = i < a.size() ? a[i] : 0;
+        u64 bv = i < b.size() ? b[i] : 0;
+        if (av != bv) return av < bv ? -1 : 1;
+    }
+    return 0;
+}
+
+void add_mag(const std::vector<u64>& a, const std::vector<u64>& b,
+             std::vector<u64>& out) {
+    size_t n = a.size() > b.size() ? a.size() : b.size();
+    out.assign(n + 1, 0);
+    u128 carry = 0;
+    for (size_t i = 0; i < n; ++i) {
+        u128 s = carry;
+        if (i < a.size()) s += a[i];
+        if (i < b.size()) s += b[i];
+        out[i] = (u64)s;
+        carry = s >> 64;
+    }
+    out[n] = (u64)carry;
+    while (out.size() > 1 && out.back() == 0) out.pop_back();
+}
+
+// |a| >= |b| required
+void sub_mag(const std::vector<u64>& a, const std::vector<u64>& b,
+             std::vector<u64>& out) {
+    out.assign(a.size(), 0);
+    __int128 borrow = 0;
+    for (size_t i = 0; i < a.size(); ++i) {
+        __int128 d = (__int128)a[i] - (i < b.size() ? b[i] : 0) - borrow;
+        borrow = 0;
+        if (d < 0) { d += ((__int128)1 << 64); borrow = 1; }
+        out[i] = (u64)d;
+    }
+    while (out.size() > 1 && out.back() == 0) out.pop_back();
+}
+
+void add_signed(const Big& a, const Big& b, Big& out) {
+    if (a.sign == 0) { out = b; return; }
+    if (b.sign == 0) { out = a; return; }
+    if (a.sign == b.sign) {
+        out.sign = a.sign;
+        add_mag(a.m, b.m, out.m);
+        return;
+    }
+    int c = cmp_mag(a.m, b.m);
+    if (c == 0) { out.sign = 0; out.m.assign(1, 0); return; }
+    if (c > 0) { out.sign = a.sign; sub_mag(a.m, b.m, out.m); }
+    else       { out.sign = b.sign; sub_mag(b.m, a.m, out.m); }
+}
+
+// out = (a * b) >> frac_bits (signed); schoolbook
+void mul_shift(const Big& a, const Big& b, int frac_bits, Big& out) {
+    if (a.sign == 0 || b.sign == 0) {
+        out.sign = 0;
+        out.m.assign(1, 0);
+        return;
+    }
+    size_t na = a.m.size(), nb = b.m.size();
+    std::vector<u64> prod(na + nb, 0);
+    for (size_t i = 0; i < na; ++i) {
+        u128 carry = 0;
+        u64 ai = a.m[i];
+        if (ai == 0) continue;
+        for (size_t j = 0; j < nb; ++j) {
+            u128 cur = (u128)ai * b.m[j] + prod[i + j] + carry;
+            prod[i + j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        size_t k = i + nb;
+        while (carry) {
+            u128 cur = (u128)prod[k] + carry;
+            prod[k] = (u64)cur;
+            carry = cur >> 64;
+            ++k;
+        }
+    }
+    // shift right by frac_bits
+    int limb_shift = frac_bits / 64;
+    int bit_shift = frac_bits % 64;
+    size_t np = prod.size();
+    std::vector<u64> shifted;
+    shifted.reserve(np);
+    for (size_t i = limb_shift; i < np; ++i) {
+        u64 lo = prod[i] >> bit_shift;
+        u64 hi = (bit_shift && i + 1 < np) ? (prod[i + 1] << (64 - bit_shift))
+                                           : 0;
+        shifted.push_back(lo | hi);
+    }
+    if (shifted.empty()) shifted.push_back(0);
+    while (shifted.size() > 1 && shifted.back() == 0) shifted.pop_back();
+    out.m = std::move(shifted);
+    out.sign = (out.m.size() == 1 && out.m[0] == 0)
+                   ? 0 : a.sign * b.sign;
+}
+
+double to_double(const Big& a, int frac_bits) {
+    if (a.sign == 0) return 0.0;
+    // The top three limbs carry >= 128 significant bits — more than enough
+    // for a correctly-rounded-to-within-1ulp double.
+    size_t n = a.m.size();
+    int exp_of_msl = (int)(n - 1) * 64 - frac_bits;
+    double d = std::ldexp((double)a.m[n - 1], exp_of_msl);
+    if (n >= 2) d += std::ldexp((double)a.m[n - 2], exp_of_msl - 64);
+    if (n >= 3) d += std::ldexp((double)a.m[n - 3], exp_of_msl - 128);
+    return a.sign < 0 ? -d : d;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compute the reference orbit z <- z^2 + c, storing z (as doubles) BEFORE
+// each update and stopping when |z|^2 > escape_mag_sq (then the escaped z is
+// the last stored entry), exactly like deep_zoom_system.cpp:294-323/391-419.
+//
+// cx/cy are fixed-point magnitudes (little-endian u64 limbs, n_limbs each)
+// with separate signs; value = sign * limbs / 2^frac_bits.
+// Returns the stored orbit length (<= max_iter).
+long orbit_compute(const u64* cx_limbs, int sign_x,
+                   const u64* cy_limbs, int sign_y,
+                   int n_limbs, int frac_bits,
+                   long max_iter, double escape_mag_sq,
+                   double* out_re, double* out_im) {
+    Big cx, cy;
+    cx.m.assign(cx_limbs, cx_limbs + n_limbs);
+    cy.m.assign(cy_limbs, cy_limbs + n_limbs);
+    while (cx.m.size() > 1 && cx.m.back() == 0) cx.m.pop_back();
+    while (cy.m.size() > 1 && cy.m.back() == 0) cy.m.pop_back();
+    cx.sign = (cx.m.size() == 1 && cx.m[0] == 0) ? 0 : sign_x;
+    cy.sign = (cy.m.size() == 1 && cy.m[0] == 0) ? 0 : sign_y;
+
+    Big zr(1), zi(1), t1, t2, t3, nr, ni;
+    zr.sign = zi.sign = 0;
+    zr.m.assign(1, 0);
+    zi.m.assign(1, 0);
+
+    long stored = 0;
+    for (long i = 0; i < max_iter; ++i) {
+        double dre = to_double(zr, frac_bits);
+        double dim = to_double(zi, frac_bits);
+        out_re[i] = dre;
+        out_im[i] = dim;
+        stored = i + 1;
+        double mag2 = dre * dre + dim * dim;
+        if (mag2 > escape_mag_sq || !std::isfinite(mag2)) break;
+
+        // z = z^2 + c
+        mul_shift(zr, zr, frac_bits, t1);   // zr^2
+        mul_shift(zi, zi, frac_bits, t2);   // zi^2
+        t2.sign = -t2.sign;
+        add_signed(t1, t2, t3);             // zr^2 - zi^2
+        add_signed(t3, cx, nr);             // + cx
+
+        mul_shift(zr, zi, frac_bits, t1);   // zr*zi
+        // *2 == shift left by 1
+        {
+            u64 carry = 0;
+            for (size_t k = 0; k < t1.m.size(); ++k) {
+                u64 nv = (t1.m[k] << 1) | carry;
+                carry = t1.m[k] >> 63;
+                t1.m[k] = nv;
+            }
+            if (carry) t1.m.push_back(carry);
+        }
+        add_signed(t1, cy, ni);             // + cy
+
+        zr = nr;
+        zi = ni;
+    }
+    return stored;
+}
+
+}  // extern "C"

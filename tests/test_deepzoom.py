@@ -1,0 +1,322 @@
+"""Precision stack tests: dd arithmetic, HP fixed-point, reference orbits,
+perturbation kernel (interpret mode on CPU), deep-zoom manager."""
+import math
+
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu.deepzoom import hp, manager, orbit
+from fractalrenderer_tpu.ops import dd
+
+
+# ---------------------------------------------------------------------------
+# dd arithmetic
+# ---------------------------------------------------------------------------
+
+def test_two_sum_exact(rng):
+    a = rng.uniform(-1e6, 1e6, 256).astype(np.float32)
+    b = rng.uniform(-1e-3, 1e-3, 256).astype(np.float32)
+    s, e = dd.two_sum(np, a, b)
+    exact = a.astype(np.float64) + b.astype(np.float64)
+    got = s.astype(np.float64) + e.astype(np.float64)
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_two_prod_exact(rng):
+    a = rng.uniform(-100, 100, 256).astype(np.float32)
+    b = rng.uniform(-100, 100, 256).astype(np.float32)
+    p, e = dd.two_prod(np, a, b)
+    exact = a.astype(np.float64) * b.astype(np.float64)
+    got = p.astype(np.float64) + e.astype(np.float64)
+    # p + e == a*b exactly when no overflow in the split
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_dd_add_accuracy(rng):
+    va = rng.uniform(-2, 2, 128)
+    vb = rng.uniform(-2, 2, 128) * 1e-9
+    ah = va.astype(np.float32)
+    al = (va - ah).astype(np.float32)
+    bh = vb.astype(np.float32)
+    bl = (vb - bh).astype(np.float32)
+    hi, lo = dd.dd_add(np, (ah, al), (bh, bl))
+    got = hi.astype(np.float64) + lo.astype(np.float64)
+    rel = np.abs(got - (va + vb)) / np.maximum(np.abs(va + vb), 1e-30)
+    assert rel.max() < 2 ** -44
+
+
+def test_dd_mul_accuracy(rng):
+    va = rng.uniform(-2, 2, 128)
+    vb = rng.uniform(-2, 2, 128)
+    ah = va.astype(np.float32)
+    al = (va - ah).astype(np.float32)
+    bh = vb.astype(np.float32)
+    bl = (vb - bh).astype(np.float32)
+    hi, lo = dd.dd_mul(np, (ah, al), (bh, bl))
+    got = hi.astype(np.float64) + lo.astype(np.float64)
+    rel = np.abs(got - va * vb) / np.maximum(np.abs(va * vb), 1e-30)
+    assert rel.max() < 2 ** -40
+
+
+def test_dd_from_string_beats_double():
+    # A value needing > 17 digits: hi+lo recovers what one f64 cannot
+    s = "-0.74364388703715158432948573"
+    hi, lo = dd.dd_from_string(s)
+    from fractions import Fraction
+
+    err_dd = abs(Fraction(hi) + Fraction(lo) - Fraction(s))
+    err_f32 = abs(Fraction(np.float32(float(s)).item()) - Fraction(s))
+    assert err_dd < err_f32 * 1e-5
+    assert err_dd < Fraction(1, 10 ** 13)
+
+
+def test_dd_complex_square_add():
+    # (1.5 + 0.25i)^2 + (0.1 + 0.2i) = 2.1875 + 0.95i
+    zr = dd.dd_from_float(np, np.float32(1.5))
+    zi = dd.dd_from_float(np, np.float32(0.25))
+    cr = dd.dd_from_float(np, np.float32(0.1))
+    ci = dd.dd_from_float(np, np.float32(0.2))
+    nr, ni = dd.ddc_square_add(np, zr, zi, cr, ci)
+    # sum hi+lo in f64; the expectation uses the f32-rounded c components
+    got_r = float(nr[0]) + float(nr[1])
+    got_i = float(ni[0]) + float(ni[1])
+    want_r = 1.5 ** 2 - 0.25 ** 2 + float(np.float32(0.1))
+    want_i = 2 * 1.5 * 0.25 + float(np.float32(0.2))
+    assert got_r == pytest.approx(want_r, abs=1e-12)
+    assert got_i == pytest.approx(want_i, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# HP fixed point
+# ---------------------------------------------------------------------------
+
+def test_hpfloat_roundtrip_and_arith():
+    a = hp.HPFloat("0.1", 256)
+    b = hp.HPFloat("0.2", 256)
+    c = a + b
+    assert abs(c.to_double() - 0.3) < 1e-70 + 1e-15
+    assert (a * b).to_double() == pytest.approx(0.02, rel=1e-15)
+    assert (b / a).to_double() == pytest.approx(2.0, rel=1e-15)
+    assert (-a).to_double() == pytest.approx(-0.1)
+    assert b > a and a < b and a == hp.HPFloat("0.1", 256)
+
+
+def test_hpfloat_precision_beyond_double():
+    # 1 + 2^-100 is distinguishable at 256 bits
+    one = hp.HPFloat(1, 256)
+    tiny = hp.HPFloat(1, 256) / hp.HPFloat(2 ** 100, 256)
+    s = one + tiny
+    assert s > one
+    assert s.to_double() == 1.0  # below double resolution
+
+
+def test_hpfloat_to_string():
+    x = hp.HPFloat("-1.25", 128)
+    assert x.to_string(4).startswith("-1.2500")
+
+
+def test_hpcomplex_square():
+    z = hp.HPComplex("1.5", "-0.5", 128)
+    sq = z.square()
+    assert sq.real.to_double() == pytest.approx(2.0)
+    assert sq.imag.to_double() == pytest.approx(-1.5)
+    assert z.magnitude_squared().to_double() == pytest.approx(2.5)
+
+
+def test_precision_bits_formula():
+    # high_precision_math.h:303-316
+    assert hp.calculate_precision_bits_for_zoom(1e-10) == 64
+    assert hp.calculate_precision_bits_for_zoom(1e-13) == 64
+    b = hp.calculate_precision_bits_for_zoom(1e-20)
+    assert b == 64 + int(20 * 3.32) + 64
+    assert hp.calculate_precision_bits_for_zoom(1e-15) == 64 + int(15 * 3.32) + 64
+    assert hp.calculate_precision_bits_for_zoom(1e-2000) == 4096  # clamped
+
+
+def test_precision_mode_thresholds():
+    # deep_zoom_system.cpp:226-249
+    assert hp.precision_mode_for_zoom(1e-6)[0] == hp.PrecisionMode.DOUBLE
+    assert hp.precision_mode_for_zoom(1e-20)[0] == hp.PrecisionMode.QUAD
+    assert hp.precision_mode_for_zoom(1e-35)[0] == hp.PrecisionMode.ARBITRARY
+
+
+def test_arbitrary_float():
+    a = hp.ArbitraryFloat.from_double(123.456)
+    assert a.exponent == 2 and a.mantissa == pytest.approx(1.23456)
+    assert a.to_double() == pytest.approx(123.456)
+    b = hp.ArbitraryFloat.from_double(1e-8)
+    assert (a * b).to_double() == pytest.approx(123.456e-8)
+
+
+# ---------------------------------------------------------------------------
+# reference orbits
+# ---------------------------------------------------------------------------
+
+def test_orbit_matches_f64_iteration():
+    c = complex(-0.743643887037151, 0.13182590420533)
+    o = orbit.compute_orbit_python(c.real, c.imag, 128, 100)
+    z = 0j
+    for i in range(len(o)):
+        assert abs(complex(o[i, 0], o[i, 1]) - z) < 1e-12
+        z = z * z + c
+
+
+def test_orbit_escape_trimming():
+    # c = 1 escapes fast: orbit [0, 1, 2] then |z|^2 = 4 is not > 4; z=5
+    o = orbit.compute_orbit_python(1.0, 0.0, 128, 100)
+    assert len(o) == 4  # z: 0, 1, 2, 5 -> |5|^2 > 4 stops
+    np.testing.assert_allclose(o[:, 0], [0, 1, 2, 5])
+
+
+def test_orbit_interior_full_length():
+    o = orbit.compute_orbit_python(-1.0, 0.0, 128, 500)
+    assert len(o) == 500
+
+
+def test_native_orbit_matches_python():
+    if orbit._load_native() is None:
+        pytest.skip("native orbit lib unavailable")
+    for cx, cy, bits in [("-0.7436438870371", "0.1318259042053", 128),
+                         ("0.25", "0", 256),
+                         ("-1.4011551890920506", "0", 512)]:
+        a = orbit.compute_orbit(cx, cy, bits, 3000)
+        b = orbit.compute_orbit_python(cx, cy, bits, 3000)
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_orbit_high_precision_string():
+    # A center needing > double precision: 65-digit string
+    cx = "-0.743643887037151001882355212130123456789012345678901234567890123"
+    o = orbit.compute_orbit(cx, "0.13182590420533", 512, 200)
+    assert len(o) > 0 and np.isfinite(o).all()
+
+
+# ---------------------------------------------------------------------------
+# perturbation kernel (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+def _pert(cx, cy, zoom, max_iter, W=48, H=32, **kw):
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    orb = orbit.compute_orbit(cx, cy, 64, max_iter)
+    return perturbation_fields(
+        orb, W, H, center_x_dd=dd_from_string(cx),
+        center_y_dd=dd_from_string(cy), zoom_dd=dd_from_string(zoom),
+        max_iter=max_iter, **kw), orb
+
+
+def test_perturbation_moderate_zoom_vs_f64():
+    cx, cy, zoom = "-0.743643887037151", "0.13182590420533", "1e-5"
+    W, H, MI = 48, 32, 600
+    f, orb = _pert(cx, cy, zoom, MI, W, H)
+    n = np.asarray(f["n"])
+
+    py, px = np.mgrid[0:H, 0:W].astype(np.float64)
+    ps = 1e-5 * 4 / H
+    cr = float(cx) + (px / W - 0.5) * (W / H) * ps
+    ci = float(cy) + (py / H - 0.5) * ps
+    zr = np.zeros_like(cr)
+    zi = np.zeros_like(ci)
+    nref = np.zeros(cr.shape, np.int64)
+    alive = np.ones(cr.shape, bool)
+    for _ in range(MI):
+        x = zr * zr - zi * zi + cr
+        y = 2 * zr * zi + ci
+        zr = np.where(alive, x, zr)
+        zi = np.where(alive, y, zi)
+        esc = alive & (zr * zr + zi * zi > 16.0)
+        nref = np.where(alive & ~esc, nref + 1, nref)
+        alive &= ~esc
+    mism = (n != nref).mean()
+    # f32 deltas flip chaotic boundary pixels; structure must agree
+    assert mism < 0.15, f"mismatch {mism}"
+    assert abs((n == MI).mean() - (nref == MI).mean()) < 0.05
+
+
+def test_perturbation_starved_pixels_flagged():
+    # Reference at an escaping center with deep zoom: pixels outliving the
+    # orbit must be flagged, not garbage-iterated.
+    cx, cy = "0.245670923653024", "0.580340963154017"
+    f, orb = _pert(cx, cy, "1e-9", 400, float_continuation=False)
+    assert len(orb) < 400  # center escapes
+    g = np.asarray(f["glitch"])
+    n = np.asarray(f["n"])
+    # any pixel reported interior/long-lived without flag would be a bug
+    long_lived = n >= len(orb) - 1
+    assert (g[long_lived] > 0.5).all()
+
+
+def test_deep_zoom_model_end_to_end():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="-0.74364388703715158",
+              hp_center_y="0.13182590420531198",
+              hp_zoom="1e-9", max_iterations=3000, use_perturbation=True)
+    img, info = deep_zoom.render(s, 48, 32, return_info=True,
+                                 max_references=3)
+    assert img.shape == (32, 48, 3)
+    assert np.isfinite(img).all()
+    assert info["references_used"] >= 1
+    # the render must have structure (not a flat color)
+    assert img.std() > 0.01
+
+
+def test_deep_zoom_scene_dispatch():
+    import fractalrenderer_tpu as fr
+
+    s = fr.Scene(fractal_type=fr.FractalType.DEEP_ZOOM, zoom=1e-4,
+                 max_iterations=300, use_perturbation=True)
+    img = np.asarray(fr.render(s, 32, 16))
+    assert img.shape == (16, 32, 3) and np.isfinite(img).all()
+
+
+# ---------------------------------------------------------------------------
+# manager
+# ---------------------------------------------------------------------------
+
+def test_manager_precision_and_depth():
+    m = manager.DeepZoomManager()
+    m.state.zoom = 1e-16
+    m.update_precision_mode()
+    assert m.state.precision_mode == hp.PrecisionMode.QUAD
+    assert m.state.high_precision_enabled
+    m.update(0.0)
+    assert m.state.zoom_depth_level == 3
+    m.state.zoom = 1e-8
+    m.update(0.0)
+    assert m.state.zoom_depth_level == 1
+    # estimate formula (deep_zoom_system.cpp:200-202)
+    assert m.state.estimated_render_time == pytest.approx(
+        m.state.max_iterations * 0.001 * 1 * 1.5)
+
+
+def test_manager_zoom_path_animation():
+    m = manager.DeepZoomManager()
+    m.state.use_perturbation = False  # skip orbit computation in update
+    m.zoom_to(-0.75, 0.1, 1e-6, duration=2.0)
+    # First update consumes the zero-duration start keyframe (the reference
+    # resets the clock on keyframe advance, deep_zoom_system.cpp:498-516).
+    m.update(1.0)
+    assert m.state.zoom_animating and m.state.zoom == pytest.approx(2.0)
+    m.update(1.0)  # halfway through the second keyframe
+    assert m.state.zoom == pytest.approx(
+        math.exp(math.log(2.0) + 0.5 * (math.log(1e-6) - math.log(2.0))))
+    m.update(2.5)
+    assert not m.state.zoom_animating
+    assert m.state.zoom == pytest.approx(1e-6)
+    assert m.state.zoom_progress == 1.0
+
+
+def test_manager_export_and_presets():
+    m = manager.DeepZoomManager()
+    txt = m.export_coordinates()
+    assert "Center X" in txt and "Iterations" in txt
+    path = manager.preset_zoom_path("Seahorse")
+    assert len(path) == 2 and path[1].zoom == 1e-6
+    s = m.to_scene()
+    assert s.fractal_type.name == "DEEP_ZOOM"
+

@@ -1,0 +1,106 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4: xla_force_host_platform_device_count)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu import Scene, FractalType, render
+from fractalrenderer_tpu.parallel import (make_render_mesh,
+                                          render_frames_sharded,
+                                          render_giant_still, render_sharded)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multiple (virtual) devices")
+
+
+def test_mesh_construction():
+    m = make_render_mesh()
+    assert m.shape["rows"] == len(jax.devices())
+    m2 = make_render_mesh(frames=2)
+    assert m2.shape["frames"] == 2
+    assert m2.shape["rows"] == len(jax.devices()) // 2
+    with pytest.raises(ValueError):
+        make_render_mesh(frames=3)
+
+
+def test_sharded_matches_single_device():
+    s = Scene(max_iterations=48)
+    W, H = 96, 48
+    single = np.asarray(render(s, W, H))
+    sharded = render_sharded(s, W, H)
+    assert sharded.shape == single.shape
+    # identical math, identical tiling inside each band → exact equality
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_height_not_divisible():
+    s = Scene(max_iterations=32)
+    W, H = 64, 50  # 50 rows over 8 devices → 7-row padded bands
+    single = np.asarray(render(s, W, H))
+    sharded = render_sharded(s, W, H)
+    assert sharded.shape == (H, W, 3)
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_julia():
+    s = Scene(fractal_type=FractalType.JULIA, max_iterations=32, zoom=3.0)
+    out = render_sharded(s, 64, 32)
+    ref = np.asarray(render(s, 64, 32))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_frames_sharded():
+    scenes = [Scene(max_iterations=32, zoom=z) for z in (3.0, 1.5, 0.8, 0.5)]
+    mesh = make_render_mesh(frames=2)
+    out = render_frames_sharded(scenes, 64, 32, mesh)
+    assert out.shape == (4, 32, 64, 3)
+    for i, s in enumerate(scenes):
+        # frames batch uses a shared iteration cap; same here (all 32)
+        ref = np.asarray(render(s, 64, 32))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_giant_still_resume(tmp_path):
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(max_iterations=24)
+    out = str(tmp_path / "big.png")
+    info = render_giant_still(s, 96, 80, out, band_rows=32,
+                              bit_depth=8, dpi=None)
+    assert info["bands"] == 3 and info["rendered"] == 3
+    img = read_png(out)
+    assert img.shape == (80, 96, 3)
+    # resume: all bands skipped
+    info2 = render_giant_still(s, 96, 80, out, band_rows=32,
+                               bit_depth=8, dpi=None)
+    assert info2["skipped"] == 3 and info2["rendered"] == 0
+    # band-streamed output equals a monolithic render (flipped at export)
+    ref = np.asarray(render(s, 96, 80))[::-1]
+    ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(img, ref8)
+
+
+def test_giant_still_scene_change_invalidates(tmp_path):
+    s1 = Scene(max_iterations=24)
+    out = str(tmp_path / "big.png")
+    render_giant_still(s1, 64, 40, out, band_rows=20, bit_depth=8, dpi=None)
+    s2 = s1.with_(zoom=1.0)
+    info = render_giant_still(s2, 64, 40, out, band_rows=20, bit_depth=8,
+                              dpi=None)
+    assert info["rendered"] == 2  # stale tiles discarded, re-rendered
+
+
+def test_giant_still_sharded_mesh(tmp_path):
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(max_iterations=24)
+    out = str(tmp_path / "mesh.png")
+    info = render_giant_still(s, 64, 64, out, band_rows=32, bit_depth=8,
+                              dpi=None, use_mesh=True)
+    assert info["rendered"] == 2
+    img = read_png(out)
+    ref = np.asarray(render(s, 64, 64))[::-1]
+    ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(img, ref8)
