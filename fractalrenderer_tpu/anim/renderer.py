@@ -114,6 +114,29 @@ class AnimationRenderer:
             return True
         cap = max(s.max_iterations for s in scenes)
 
+        # Mandelbulb / deep-zoom frames take the per-frame model path (3D
+        # raymarch and perturbation don't fit the 2D batch pipeline).
+        if scenes[0].fractal_type not in _FAMILY:
+            from .. import models
+
+            for f, sc in enumerate(scenes):
+                if self._cancel:
+                    self.progress.status = RenderStatus.CANCELLED
+                    return False
+                img = np.asarray(models.render(sc, width, height))
+                path = os.path.join(output_folder, f"frame_{f:06d}.png")
+                png.write_png(path, to_export_orientation(img),
+                              bit_depth=bit_depth)
+                self.progress.current_frame = f
+                self.progress.progress = (f + 1) / total
+                self.progress.elapsed_time = _time.monotonic() - start
+                if self.on_frame_complete:
+                    self.on_frame_complete(f, total)
+            self.progress.status = RenderStatus.COMPLETE
+            if self.on_render_complete:
+                self.on_render_complete(output_folder)
+            return True
+
         # Group consecutive frames by static config so each group compiles
         # once; palette switches / toggle changes start a new group.
         groups: List[_Group] = []

@@ -1,0 +1,239 @@
+"""Mandelbulb renderer — distance-estimator raymarcher
+(shaders/mandelbulb.comp), the one 3D family.
+
+The DE/camera/shading math lives in ops/bulb_math (backend-agnostic); this
+module supplies two march drivers over it:
+
+- a jitted XLA path (`render`) using lax.while_loop for the march and the DE
+  inner loop — the mandelbulb's arithmetic intensity is dominated by
+  transcendentals (pow/acos/atan2/sincos per DE step), so plain XLA fusion
+  is already compute-bound; a Pallas variant is future tuning headroom.
+- a numpy golden twin (`render_numpy`) with identical masked-update
+  semantics for tests.
+
+AA: N×N subpixel offsets (sx, sy)/aa like the 2D centered convention
+(mandelbulb.comp:201-205), averaged before the enhance/ACES/gamma chain.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bulb_math as bm
+from ..ops import coloring
+from ..scene import Scene
+
+
+def _bulb_params(scene: Scene) -> bm.BulbParams:
+    return bm.BulbParams(
+        camera_distance=scene.camera_distance,
+        rotation_y=scene.rotation_y,
+        power=scene.mandelbulb_power,
+        max_iterations=scene.max_iterations,
+        color_offset=scene.color_offset,
+        color_scale=scene.color_scale,
+        palette_mode=scene.palette_mode,
+        time=scene.time,
+        fov=scene.fov,
+        brightness=scene.color_brightness,
+        saturation=scene.color_saturation,
+        contrast=scene.color_contrast,
+        aa_samples=max(scene.antialiasing_samples, 1),
+    ).clamped()
+
+
+# ---------------------------------------------------------------------------
+# DE evaluation (shared structure, xp-specific loop driver)
+# ---------------------------------------------------------------------------
+
+def _de_jax(px, py, pz, power, max_iter):
+    """DE + escape iteration via lax.while_loop (escape latch masked)."""
+    shape = px.shape
+    z = (px, py, pz)
+    dr = jnp.ones(shape, jnp.float32)
+    esc = jnp.full(shape, float(max_iter), jnp.float32)
+    r = jnp.sqrt(px * px + py * py + pz * pz)
+
+    def cond(s):
+        i, zx, zy, zz, dr, r, esc, active = s
+        return (i < max_iter) & jnp.any(active)
+
+    def body(s):
+        i, zx, zy, zz, dr, r, esc, active = s
+        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+        escaped_now = active & (r > 2.0)
+        esc = jnp.where(escaped_now, i.astype(jnp.float32), esc)
+        active = active & (r <= 2.0) & (r >= 1e-4)
+        zx, zy, zz, dr, _ = bm.de_step(jnp, zx, zy, zz, dr, px, py, pz,
+                                       power, active)
+        return (i + 1, zx, zy, zz, dr, r, esc, active)
+
+    active0 = jnp.ones(shape, bool)
+    i, zx, zy, zz, dr, r, esc, active = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), px, py, pz, dr, r, esc, active0))
+    r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+    return bm.de_finish(jnp, r, dr), esc
+
+
+def _de_numpy(px, py, pz, power, max_iter):
+    shape = px.shape
+    zx, zy, zz = px.copy(), py.copy(), pz.copy()
+    dr = np.ones(shape, np.float32)
+    esc = np.full(shape, float(max_iter), np.float32)
+    active = np.ones(shape, bool)
+    r = np.sqrt(zx * zx + zy * zy + zz * zz)
+    for i in range(max_iter):
+        if not active.any():
+            break
+        r = np.sqrt(zx * zx + zy * zy + zz * zz)
+        escaped_now = active & (r > 2.0)
+        esc = np.where(escaped_now, np.float32(i), esc)
+        active = active & (r <= 2.0) & (r >= 1e-4)
+        zx, zy, zz, dr, _ = bm.de_step(np, zx, zy, zz, dr, px, py, pz,
+                                       np.float32(power), active)
+    r = np.sqrt(zx * zx + zy * zy + zz * zz)
+    return bm.de_finish(np, r, dr), esc
+
+
+def _march(xp, de_fn, ro, rdx, rdy, rdz, power, max_iter):
+    """Raymarch (mandelbulb.comp:133-167 loop): returns
+    (hit mask, t, d_at_hit, escape_iter)."""
+    shape = rdx.shape
+    f32 = lambda v: xp.asarray(v, xp.float32)
+
+    def pos(t):
+        return ro[0] + rdx * t, ro[1] + rdy * t, ro[2] + rdz * t
+
+    if xp is np:
+        t = np.full(shape, 0.001, np.float32)
+        hit = np.zeros(shape, bool)
+        active = np.ones(shape, bool)
+        d_hit = np.zeros(shape, np.float32)
+        esc_hit = np.zeros(shape, np.float32)
+        for _ in range(bm.MAX_STEPS):
+            if not active.any():
+                break
+            d, esc = de_fn(*pos(t), power, max_iter)
+            bad = ~np.isfinite(d)
+            threshold = np.maximum(1e-4, 1e-3 * t)
+            hit_now = active & ~bad & (d < threshold)
+            hit |= hit_now
+            d_hit = np.where(hit_now, d, d_hit)
+            esc_hit = np.where(hit_now, esc, esc_hit)
+            out = (t > bm.MAX_DIST) | (d > bm.MAX_DIST)
+            active = active & ~hit_now & ~bad & ~out
+            t = np.where(active, t + np.maximum(d * 0.5, 0.0005), t)
+        return hit, t, d_hit, esc_hit
+
+    def cond(s):
+        step, t, hit, active, d_hit, esc_hit = s
+        return (step < bm.MAX_STEPS) & jnp.any(active)
+
+    def body(s):
+        step, t, hit, active, d_hit, esc_hit = s
+        d, esc = de_fn(*pos(t), power, max_iter)
+        bad = ~jnp.isfinite(d)
+        threshold = jnp.maximum(f32(1e-4), 1e-3 * t)
+        hit_now = active & ~bad & (d < threshold)
+        hit = hit | hit_now
+        d_hit = jnp.where(hit_now, d, d_hit)
+        esc_hit = jnp.where(hit_now, esc, esc_hit)
+        out = (t > bm.MAX_DIST) | (d > bm.MAX_DIST)
+        active = active & ~hit_now & ~bad & ~out
+        t = jnp.where(active, t + jnp.maximum(d * 0.5, 0.0005), t)
+        return (step + 1, t, hit, active, d_hit, esc_hit)
+
+    s0 = (jnp.int32(0), jnp.full(shape, 0.001, jnp.float32),
+          jnp.zeros(shape, bool), jnp.ones(shape, bool),
+          jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    _, t, hit, _, d_hit, esc_hit = jax.lax.while_loop(cond, body, s0)
+    return hit, t, d_hit, esc_hit
+
+
+def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
+                   off=(0.0, 0.0)):
+    ro, dyn_power = bm.camera_setup(p)
+    if xp is np:
+        pyg, pxg = np.mgrid[0:height, 0:width].astype(np.float32)
+    else:
+        pyg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+        pxg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    pxg = pxg + xp.float32(off[0])
+    pyg = pyg + xp.float32(off[1])
+    rdx, rdy, rdz = bm.ray_dirs(xp, pxg, pyg, width, height, ro, p.fov)
+
+    hit, t, d_hit, esc_hit = _march(xp, de_fn, ro, rdx, rdy, rdz,
+                                    dyn_power, p.max_iterations)
+
+    hx = ro[0] + rdx * t
+    hy = ro[1] + rdy * t
+    hz = ro[2] + rdz * t
+    # normal by forward differences (mandelbulb.comp:113-123)
+    eps = 1e-3
+    d0, _ = de_fn(hx, hy, hz, dyn_power, p.max_iterations)
+    dxp, _ = de_fn(hx + eps, hy, hz, dyn_power, p.max_iterations)
+    dyp, _ = de_fn(hx, hy + eps, hz, dyn_power, p.max_iterations)
+    dzp, _ = de_fn(hx, hy, hz + eps, dyn_power, p.max_iterations)
+    nx, ny, nz = dxp - d0, dyp - d0, dzp - d0
+    nl = xp.sqrt(nx * nx + ny * ny + nz * nz)
+    fallback = nl < 1e-4
+    nl = xp.maximum(nl, 1e-12)
+    nx = xp.where(fallback, xp.zeros_like(nx), nx / nl)
+    ny = xp.where(fallback, xp.ones_like(ny), ny / nl)
+    nz = xp.where(fallback, xp.zeros_like(nz), nz / nl)
+
+    # AO samples (mandelbulb.comp:156-157): k = 0.01, 0.03, ..., 0.13
+    de_ao = []
+    k = 0.01
+    while k < 0.15:
+        dk, _ = de_fn(hx + nx * k, hy + ny * k, hz + nz * k, dyn_power,
+                      p.max_iterations)
+        de_ao.append(dk)
+        k += 0.02
+
+    hit_color = bm.shade_hit(xp, (hx, hy, hz), (nx, ny, nz),
+                             (rdx, rdy, rdz), d_hit, esc_hit, t, p,
+                             dyn_power, de_ao)
+    sky = bm.sky_color(xp, (rdx, rdy, rdz))
+    return xp.where(hit[..., None], hit_color, sky)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled(width: int, height: int, p: bm.BulbParams):
+    def fn():
+        acc = jnp.zeros((height, width, 3), jnp.float32)
+        aa = p.aa_samples
+        for sy in range(aa):
+            for sx in range(aa):
+                acc = acc + _render_sample(
+                    jnp, _de_jax, width, height, p, (sx / aa, sy / aa))
+        color = acc / jnp.float32(aa * aa)
+        color = coloring.enhance_color(jnp, color, p.brightness,
+                                       p.saturation, p.contrast)
+        color = coloring.aces_tonemap(jnp, color)
+        return coloring.gamma_correct(jnp, color)
+
+    return jax.jit(fn)
+
+
+def render(scene: Scene, width: int, height: int, **kw):
+    return _compiled(width, height, _bulb_params(scene))()
+
+
+def render_numpy(scene: Scene, width: int, height: int) -> np.ndarray:
+    p = _bulb_params(scene)
+    aa = p.aa_samples
+    acc = np.zeros((height, width, 3), np.float32)
+    for sy in range(aa):
+        for sx in range(aa):
+            acc += _render_sample(np, _de_numpy, width, height, p,
+                                  (sx / aa, sy / aa))
+    color = acc / np.float32(aa * aa)
+    color = coloring.enhance_color(np, color, p.brightness, p.saturation,
+                                   p.contrast)
+    color = coloring.aces_tonemap(np, color)
+    return coloring.gamma_correct(np, color)

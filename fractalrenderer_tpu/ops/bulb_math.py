@@ -1,0 +1,178 @@
+"""Mandelbulb math — distance estimator, camera, shading — backend-agnostic
+(xp = numpy or jax.numpy) so the Pallas kernel and the numpy golden twin
+share one implementation.
+
+Ports shaders/mandelbulb.comp:
+- DE: power-θφ triplex formula with derivative tracking (:96-108)
+- camera: y-rotated orbit with animated distance/power (:192-198)
+- shading: Phong + rim + glow + filament + AO + depth fog (:133-167)
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+from . import palettes as pal
+
+MAX_STEPS = 200
+MAX_DIST = 10.0
+
+
+@dataclass(frozen=True)
+class BulbParams:
+    camera_distance: float = 3.0
+    rotation_y: float = 0.0
+    power: float = 8.0
+    max_iterations: int = 256
+    color_offset: float = 0.0
+    color_scale: float = 1.0
+    palette_mode: int = 0
+    time: float = 0.0
+    fov: float = 1.0
+    rotation_speed: float = 0.3
+    brightness: float = 1.0
+    saturation: float = 1.0
+    contrast: float = 1.0
+    aa_samples: int = 1
+
+    def clamped(self) -> "BulbParams":
+        """Input clamps from mandelbulb.comp:177-190."""
+        from dataclasses import replace
+
+        return replace(
+            self,
+            camera_distance=max(self.camera_distance, 0.1),
+            power=min(max(self.power, 2.0), 16.0),
+            max_iterations=min(max(self.max_iterations, 1), 1024),
+            color_scale=max(self.color_scale, 0.1),
+            palette_mode=min(max(self.palette_mode, 0), 5),
+            fov=min(max(self.fov, 0.1), 3.0),
+            rotation_speed=self.rotation_speed if self.rotation_speed != 0.0
+            else 0.3,
+            brightness=max(self.brightness, 0.1),
+            saturation=max(self.saturation, 0.0),
+            contrast=max(self.contrast, 0.1),
+        )
+
+
+def camera_setup(p: BulbParams) -> Tuple[Tuple[float, float, float], float]:
+    """Animated camera origin + dynamic power (mandelbulb.comp:192-198)."""
+    rotation = p.rotation_y + p.rotation_speed * p.time
+    dyn_dist = p.camera_distance * (1.0 + 0.3 * math.sin(p.time * 0.5))
+    # ro = rot_y(rotation) @ (0, 0, dyn_dist)
+    c, s = math.cos(rotation), math.sin(rotation)
+    ro = (s * dyn_dist, 0.0, c * dyn_dist)
+    dyn_power = p.power + 0.5 * math.sin(p.time * 0.7)
+    return ro, dyn_power
+
+
+def ray_dirs(xp, px, py, width, height, ro, fov):
+    """Per-pixel ray directions (mandelbulb.comp:204-209)."""
+    ux = (px - width * 0.5) / height
+    uy = (py - height * 0.5) / height
+    rox, roy, roz = ro
+    rlen = math.sqrt(rox * rox + roy * roy + roz * roz)
+    fwd = (-rox / rlen, -roy / rlen, -roz / rlen)
+    # right = normalize(cross((0,1,0), forward)); up = cross(forward, right)
+    rx, ry, rz = fwd[2], 0.0, -fwd[0]
+    rl = math.sqrt(rx * rx + rz * rz) or 1.0
+    right = (rx / rl, 0.0, rz / rl)
+    up = (fwd[1] * right[2] - fwd[2] * right[1],
+          fwd[2] * right[0] - fwd[0] * right[2],
+          fwd[0] * right[1] - fwd[1] * right[0])
+    dx = fwd[0] + right[0] * ux * fov + up[0] * uy * fov
+    dy = fwd[1] + right[1] * ux * fov + up[1] * uy * fov
+    dz = fwd[2] + right[2] * ux * fov + up[2] * uy * fov
+    inv = 1.0 / xp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv, dy * inv, dz * inv
+
+
+def de_step(xp, zx, zy, zz, dr, px, py, pz, power, active):
+    """One DE iteration (mandelbulb.comp:98-104), masked by ``active``."""
+    r = xp.sqrt(zx * zx + zy * zy + zz * zz)
+    rs = xp.maximum(r, 1e-12)
+    theta = xp.arccos(xp.clip(zz / rs, -1.0, 1.0))
+    phi = xp.arctan2(zy, zx)
+    r_pow = xp.power(rs, power - 1.0)
+    ndr = r_pow * power * dr + 1.0
+    zr = xp.power(rs, power)
+    th = theta * power
+    ph = phi * power
+    st = xp.sin(th)
+    nzx = zr * (st * xp.cos(ph)) + px
+    nzy = zr * (xp.sin(ph) * st) + py
+    nzz = zr * xp.cos(th) + pz
+    zx = xp.where(active, nzx, zx)
+    zy = xp.where(active, nzy, zy)
+    zz = xp.where(active, nzz, zz)
+    dr = xp.where(active, ndr, dr)
+    return zx, zy, zz, dr, r
+
+
+def de_finish(xp, r, dr):
+    """DE return value (mandelbulb.comp:106-107)."""
+    de = 0.5 * xp.log(xp.maximum(r, 1e-12)) * r / xp.maximum(dr, 1e-12)
+    return xp.where((r < 1e-4) | (dr < 1e-4), xp.zeros_like(de), de)
+
+
+def shade_hit(xp, pos, normal, rd, d_at_hit, escape_iter, t, params, dyn_power,
+              de_at_offsets):
+    """Hit shading (mandelbulb.comp:141-160).  ``de_at_offsets`` is the list
+    of DE values at pos + normal*k for the AO loop, k = 0.01..0.15 step .02."""
+    p = params
+    nx, ny, nz = normal
+    ll = math.sqrt(1.0 + 1.0 + 0.8 * 0.8)
+    lx, ly, lz = 1.0 / ll, 1.0 / ll, 0.8 / ll
+    diffuse = xp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    ambient = 0.15
+    vx, vy, vz = -rd[0], -rd[1], -rd[2]
+    # reflect(-light, normal) = -l + 2(n·l)n
+    ndl = nx * lx + ny * ly + nz * lz
+    rx = -lx + 2.0 * ndl * nx
+    ry = -ly + 2.0 * ndl * ny
+    rz = -lz + 2.0 * ndl * nz
+    spec = xp.power(xp.maximum(vx * rx + vy * ry + vz * rz, 0.0), 64.0)
+    rim = xp.power(1.0 - xp.maximum(nx * vx + ny * vy + nz * vz, 0.0), 2.0)
+    glow = xp.exp(-8.0 * d_at_hit)
+    filament = xp.exp(-30.0 * d_at_hit)
+
+    pr = xp.sqrt(pos[0] ** 2 + pos[1] ** 2 + pos[2] ** 2)
+    log_pr = xp.log(xp.maximum(pr, 1e-12))
+    it = escape_iter + 1.0 - xp.log(xp.maximum(log_pr, 1e-12)) \
+        / math.log(dyn_power + 1e-4)
+    it = it / float(p.max_iterations)
+    it = pal._fract(xp, p.color_offset
+                    + xp.power(xp.maximum(it, 0.0), 0.6) * p.color_scale)
+    base = pal.bulb_color(xp, it, p.palette_mode)
+    alt = pal.bulb_color(xp, pal._fract(xp, it + 0.33),
+                         (p.palette_mode + 1) % 6)
+    mixw = 0.3 + 0.3 * math.sin(p.time * 0.5)
+    color = base * (1.0 - mixw) + alt * mixw
+
+    shade = (ambient + diffuse * 0.9)[..., None]
+    color = color * shade
+    color = color + spec[..., None] * 0.5
+    color = color + rim[..., None] * 0.25
+    color = color + glow[..., None] * 0.5
+    fil = filament[..., None]
+    color = color + xp.stack([xp.ones_like(filament),
+                              xp.full_like(filament, 0.8),
+                              xp.full_like(filament, 0.5)], axis=-1) * fil * 0.5
+    ao = xp.zeros_like(d_at_hit)
+    for de_k in de_at_offsets:
+        ao = ao + xp.exp(-10.0 * de_k)
+    ao = 1.0 - ao / 8.0
+    color = color * (ao * 0.8 + 0.2)[..., None]
+    dist_factor = xp.clip(t / MAX_DIST, 0.0, 1.0)
+    fog = (dist_factor * 0.6)[..., None]
+    sky_blue = pal._vec3(xp, 0.0, 0.0, 0.1)
+    return color * (1.0 - fog) + sky_blue * fog
+
+
+def sky_color(xp, rd):
+    """Miss shading (mandelbulb.comp:165-166)."""
+    sky = xp.clip(rd[1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+    dark = pal._vec3(xp, 0.02, 0.02, 0.05)
+    light = pal._vec3(xp, 0.5, 0.6, 0.8)
+    return dark * (1.0 - sky) + light * sky

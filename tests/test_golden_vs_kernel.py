@@ -165,3 +165,24 @@ def test_render_all_families_finite():
         assert img.shape == (24, 48, 3)
         assert np.isfinite(img).all()
         assert (img >= 0).all() and (img <= 1).all()
+
+
+def test_julia_c_sweep_batch():
+    # BASELINE config #2: batch of c values in one dispatch
+    from fractalrenderer_tpu.models.julia import render_c_sweep
+    from fractalrenderer_tpu.presets import JULIA_PRESETS
+    from fractalrenderer_tpu import Scene, FractalType, render
+
+    s = Scene(fractal_type=FractalType.JULIA, max_iterations=32, zoom=3.0)
+    cs = list(JULIA_PRESETS.values())
+    out = np.asarray(render_c_sweep(s, cs, 48, 24))
+    assert out.shape == (len(cs), 24, 48, 3)
+    # each sweep entry equals the single render with that c (tiny fp
+    # differences off-TPU from batching context; exact on TPU)
+    for i, (cr, ci) in enumerate(cs):
+        ref = np.asarray(render(s.with_(julia_c_real=cr, julia_c_imag=ci),
+                                48, 24))
+        if ON_TPU:
+            np.testing.assert_array_equal(out[i], ref)
+        else:
+            np.testing.assert_allclose(out[i], ref, atol=1e-5)

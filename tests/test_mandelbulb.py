@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu.models import mandelbulb
+from fractalrenderer_tpu.ops import bulb_math as bm
+from fractalrenderer_tpu.scene import FractalType, Scene
+
+
+def test_clamps_match_reference():
+    # mandelbulb.comp:177-190
+    p = bm.BulbParams(camera_distance=0.01, power=99.0, max_iterations=9999,
+                      color_scale=0.0, palette_mode=42, fov=10.0,
+                      rotation_speed=0.0, brightness=0.0, saturation=-1.0,
+                      contrast=0.0).clamped()
+    assert p.camera_distance == 0.1
+    assert p.power == 16.0
+    assert p.max_iterations == 1024
+    assert p.color_scale == 0.1
+    assert p.palette_mode == 5
+    assert p.fov == 3.0
+    assert p.rotation_speed == 0.3  # zero → default 0.3
+    assert p.brightness == 0.1 and p.saturation == 0.0 and p.contrast == 0.1
+
+
+def test_camera_setup():
+    p = bm.BulbParams(camera_distance=3.0, rotation_y=0.0, time=0.0)
+    ro, power = bm.camera_setup(p)
+    assert ro == pytest.approx((0.0, 0.0, 3.0))
+    assert power == pytest.approx(8.0)
+    p2 = bm.BulbParams(time=1.0)
+    ro2, power2 = bm.camera_setup(p2)
+    assert power2 == pytest.approx(8.0 + 0.5 * np.sin(0.7))
+
+
+def test_de_sphere_behaviour():
+    # Far from the set the DE must be positive and roughly the distance.
+    px = np.array([3.0], np.float32)
+    py = np.array([0.0], np.float32)
+    pz = np.array([0.0], np.float32)
+    d, esc = mandelbulb._de_numpy(px, py, pz, 8.0, 64)
+    assert d[0] > 0.1
+    # Inside (origin): z stays tiny, DE ~ 0
+    d0, _ = mandelbulb._de_numpy(np.zeros(1, np.float32),
+                                 np.zeros(1, np.float32),
+                                 np.zeros(1, np.float32), 8.0, 64)
+    assert d0[0] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_render_numpy_structure():
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=24)
+    img = mandelbulb.render_numpy(s, 64, 36)
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.02  # bulb vs sky
+
+
+def test_render_jax_matches_numpy():
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=24)
+    a = mandelbulb.render_numpy(s, 48, 27)
+    b = np.asarray(mandelbulb.render(s, 48, 27))
+    # transcendental differences flip a few boundary pixels
+    assert np.abs(a - b).mean() < 1e-3
+    bad = (np.abs(a - b) > 0.05).any(axis=-1)
+    assert bad.mean() < 0.02
+
+
+def test_dispatch_and_aa():
+    import fractalrenderer_tpu as fr
+
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=16,
+              antialiasing_samples=2)
+    img = np.asarray(fr.render(s, 32, 18))
+    assert img.shape == (18, 32, 3) and np.isfinite(img).all()
+
+
+def test_power_presets_render_differently():
+    base = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=16)
+    img8 = mandelbulb.render_numpy(base, 32, 18)
+    img4 = mandelbulb.render_numpy(base.with_(mandelbulb_power=4.0), 32, 18)
+    assert np.abs(img8 - img4).max() > 0.05
