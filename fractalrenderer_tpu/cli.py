@@ -124,8 +124,17 @@ def _render(scene: Scene, width: int, height: int, golden: bool):
 
 def cmd_render(args) -> int:
     scene = scene_from_args(args)
+    if args.debug:
+        from .utils.diag import scene_debug_summary
+
+        print(scene_debug_summary(scene), file=sys.stderr)
     t0 = time.monotonic()
-    img = _render(scene, args.width, args.height, args.golden)
+    if getattr(args, "precision", "f32") == "dd":
+        from .models.mandelbrot import render_dd
+
+        img = render_dd(scene, args.width, args.height)
+    else:
+        img = _render(scene, args.width, args.height, args.golden)
     dt = time.monotonic() - t0
     meta = {"Software": "fractalrenderer_tpu",
             "Fractal": scene.fractal_type.display_name,
@@ -245,6 +254,59 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_giant(args) -> int:
+    from .parallel import render_giant_still
+
+    scene = scene_from_args(args)
+    done = [0]
+
+    def cb(b, total):
+        print(f"\rband {b}/{total}", end="", flush=True)
+        done[0] = b
+
+    info = render_giant_still(
+        scene, args.width, args.height, args.out,
+        band_rows=args.band_rows, tile_dir=args.tile_dir,
+        resume=not args.no_resume, bit_depth=args.bit_depth, dpi=args.dpi,
+        use_mesh=args.mesh, progress_cb=cb)
+    print(f"\n{info['rendered']} bands rendered, {info['skipped']} resumed "
+          f"-> {info['out']}")
+    return 0
+
+
+def cmd_zoom_path(args) -> int:
+    """Render one of the reference's deep-zoom preset sequences
+    (deep_zoom_system.cpp:575-602) as a frame sequence with log-zoom
+    interpolation."""
+    import math
+
+    from .deepzoom.manager import preset_zoom_path
+    from .models import render as model_render
+    from .scene import FractalType
+
+    path = preset_zoom_path(args.preset_zoom)
+    start, end = path[0], path[1]
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = scene_from_args(args).with_(fractal_type=FractalType.DEEP_ZOOM,
+                                       use_perturbation=True)
+    for f in range(args.frames):
+        t = f / max(args.frames - 1, 1)
+        cx = start.center_x + t * (end.center_x - start.center_x)
+        cy = start.center_y + t * (end.center_y - start.center_y)
+        zoom = math.exp(math.log(start.zoom)
+                        + t * (math.log(end.zoom) - math.log(start.zoom)))
+        sc = base.with_(center_x=cx, center_y=cy, zoom=zoom,
+                        hp_center_x=repr(cx), hp_center_y=repr(cy),
+                        hp_zoom=repr(zoom))
+        img = np.asarray(model_render(sc, args.width, args.height))
+        png.write_png(os.path.join(args.out_dir, f"frame_{f:06d}.png"),
+                      to_export_orientation(img))
+        print(f"\rframe {f+1}/{args.frames} zoom={zoom:.3e}", end="",
+              flush=True)
+    print()
+    return 0
+
+
 def cmd_presets(args) -> int:
     print("Location presets (fractal_state.h:171-189):")
     for p in presets_mod.MANDELBROT_PRESETS + presets_mod.BURNING_SHIP_PRESETS:
@@ -304,6 +366,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dpi", type=float, default=None)
     p.add_argument("--golden", action="store_true",
                    help="render with the CPU golden reference (slow)")
+    p.add_argument("--precision", default="f32", choices=("f32", "dd"),
+                   help="dd = double-double kernel (mandelbrot only)")
+    p.add_argument("--debug", action="store_true",
+                   help="print a scene debug summary")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("export-print",
@@ -353,6 +419,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio", default=None)
     p.add_argument("--cleanup-frames", action="store_true")
     p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("giant", help="progressive/resumable giant still")
+    _add_scene_args(p)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--band-rows", type=int, default=512)
+    p.add_argument("--out", default="giant.png")
+    p.add_argument("--bit-depth", type=int, default=16, choices=(8, 16))
+    p.add_argument("--dpi", type=float, default=300.0)
+    p.add_argument("--tile-dir", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard each band across all devices")
+    p.set_defaults(fn=cmd_giant)
+
+    p = sub.add_parser("zoom-path", help="render a deep-zoom preset sequence")
+    _add_scene_args(p)
+    p.add_argument("--preset-zoom", required=True,
+                   help="Seahorse|Elephant|Mini (deep_zoom_system presets)")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--out-dir", default="zoom_frames")
+    p.set_defaults(fn=cmd_zoom_path)
 
     p = sub.add_parser("presets", help="list all preset tables")
     p.set_defaults(fn=cmd_presets)

@@ -10,6 +10,9 @@ from ..scene import FractalType, Scene
 
 
 def render(scene: Scene, width: int, height: int, **kw):
+    from ..utils.diag import validate_scene
+
+    scene = validate_scene(scene)  # compute_effect_manager.h:335-345 repairs
     ft = scene.fractal_type
     if ft == FractalType.MANDELBROT:
         from . import mandelbrot

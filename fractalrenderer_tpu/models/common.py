@@ -112,57 +112,71 @@ def _color_params(cfg: StaticCfg, dyn: dict) -> ColorParams:
     )
 
 
-def _render_impl(cfg: StaticCfg, dyn: dict) -> jax.Array:
+def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
+    """Build fn(dyn, row0) rendering ``band_h`` local rows whose global
+    first row is the traced scalar ``row0`` — the single pipeline behind
+    whole-frame renders (row0=0) and multi-chip row-band shards
+    (parallel/tiled.py)."""
     track_trap, track_stripe = _track_flags(cfg)
     if cfg.aa_convention == "centered":
         offsets = mapping.aa_offsets_centered(cfg.aa)
     else:
         offsets = mapping.aa_offsets_uv(cfg.aa, cfg.width)
 
-    p = _color_params(cfg, dyn)
-    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-    for off in offsets:
-        f = escape_fields(
-            cfg.family, cfg.width, cfg.height,
-            center_x=dyn["center_x"], center_y=dyn["center_y"],
-            zoom=dyn["zoom"], max_iter=cfg.max_iter,
-            bailout=dyn["bailout"], offset=off,
-            julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
-            phoenix_p=dyn["phoenix_p"], phoenix_r=dyn["phoenix_r"],
-            use_julia=cfg.use_julia,
-            trap_radius=dyn["orbit_trap_radius"],
-            stripe_density=dyn["stripe_density"],
-            track_trap=track_trap, track_stripe=track_stripe,
-            iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
-            interpret=cfg.interpret)
-        if cfg.family == "mandelbrot":
-            trap = f.get("trap", jnp.full_like(f["zx"], 1e20))
-            acc = acc + coloring.color_mandelbrot(jnp, f["n"], f["zx"],
-                                                  f["zy"], trap, p)
-        elif cfg.family == "julia":
-            acc = acc + coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p)
-        elif cfg.family == "burning_ship":
-            trap = f.get("trap", jnp.full_like(f["zx"], 1e10))
-            stripe = f.get("stripe", jnp.zeros_like(f["zx"]))
-            acc = acc + coloring.color_burning_ship(jnp, f["n"], f["zx"],
-                                                    f["zy"], trap, stripe, p)
-        elif cfg.family == "phoenix":
-            acc = acc + coloring.color_phoenix(jnp, f["n"], f["zx"], f["zy"], p)
-        else:
-            raise ValueError(cfg.family)
+    def fn(dyn, row0):
+        p = _color_params(cfg, dyn)
+        acc = jnp.zeros((band_h, cfg.width, 3), jnp.float32)
+        for off in offsets:
+            f = escape_fields(
+                cfg.family, cfg.width, band_h,
+                center_x=dyn["center_x"], center_y=dyn["center_y"],
+                zoom=dyn["zoom"], max_iter=cfg.max_iter,
+                bailout=dyn["bailout"], offset=off,
+                julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
+                phoenix_p=dyn["phoenix_p"], phoenix_r=dyn["phoenix_r"],
+                use_julia=cfg.use_julia,
+                trap_radius=dyn["orbit_trap_radius"],
+                stripe_density=dyn["stripe_density"],
+                track_trap=track_trap, track_stripe=track_stripe,
+                iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
+                row0=row0, map_height=full_h, interpret=cfg.interpret)
+            if cfg.family == "mandelbrot":
+                trap = f.get("trap", jnp.full_like(f["zx"], 1e20))
+                acc = acc + coloring.color_mandelbrot(jnp, f["n"], f["zx"],
+                                                      f["zy"], trap, p)
+            elif cfg.family == "julia":
+                acc = acc + coloring.color_julia(jnp, f["n"], f["zx"],
+                                                 f["zy"], p)
+            elif cfg.family == "burning_ship":
+                trap = f.get("trap", jnp.full_like(f["zx"], 1e10))
+                stripe = f.get("stripe", jnp.zeros_like(f["zx"]))
+                acc = acc + coloring.color_burning_ship(
+                    jnp, f["n"], f["zx"], f["zy"], trap, stripe, p)
+            elif cfg.family == "phoenix":
+                acc = acc + coloring.color_phoenix(jnp, f["n"], f["zx"],
+                                                   f["zy"], p)
+            else:
+                raise ValueError(cfg.family)
 
-    color = acc / jnp.float32(len(offsets))
-    brightness = dyn["brightness"]
-    saturation = dyn["saturation"]
-    contrast = dyn["contrast"]
-    if cfg.clamp_mins:
-        # julia.comp:319-322 — clamp floors (traced-safe)
-        brightness = jnp.maximum(brightness, 0.1)
-        saturation = jnp.maximum(saturation, 0.0)
-        contrast = jnp.maximum(contrast, 0.1)
-    color = coloring.enhance_color(jnp, color, brightness, saturation, contrast)
-    color = coloring.aces_tonemap(jnp, color)
-    return coloring.gamma_correct(jnp, color)
+        color = acc / jnp.float32(len(offsets))
+        brightness = dyn["brightness"]
+        saturation = dyn["saturation"]
+        contrast = dyn["contrast"]
+        if cfg.clamp_mins:
+            # julia.comp:319-322 — clamp floors (traced-safe)
+            brightness = jnp.maximum(brightness, 0.1)
+            saturation = jnp.maximum(saturation, 0.0)
+            contrast = jnp.maximum(contrast, 0.1)
+        color = coloring.enhance_color(jnp, color, brightness, saturation,
+                                       contrast)
+        color = coloring.aces_tonemap(jnp, color)
+        return coloring.gamma_correct(jnp, color)
+
+    return fn
+
+
+def _render_impl(cfg: StaticCfg, dyn: dict) -> jax.Array:
+    return band_render_fn(cfg, cfg.height, cfg.height)(dyn, jnp.float32(0.0))
 
 
 @functools.lru_cache(maxsize=256)

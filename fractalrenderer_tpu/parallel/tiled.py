@@ -41,65 +41,6 @@ _FAMILY = {
 }
 
 
-def _band_render_fn(cfg: common.StaticCfg, band_h: int, full_h: int):
-    """Render `band_h` local rows starting at traced global row `row0`."""
-    from ..ops import coloring
-    from ..ops.escape import escape_fields
-    from ..ops import mapping as mp
-
-    track_trap, track_stripe = common._track_flags(cfg)
-    if cfg.aa_convention == "centered":
-        offsets = mp.aa_offsets_centered(cfg.aa)
-    else:
-        offsets = mp.aa_offsets_uv(cfg.aa, cfg.width)
-
-    def fn(dyn, row0):
-        p = common._color_params(cfg, dyn)
-        acc = jnp.zeros((band_h, cfg.width, 3), jnp.float32)
-        for off in offsets:
-            f = escape_fields(
-                cfg.family, cfg.width, band_h,
-                center_x=dyn["center_x"], center_y=dyn["center_y"],
-                zoom=dyn["zoom"], max_iter=cfg.max_iter,
-                bailout=dyn["bailout"], offset=off,
-                julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
-                phoenix_p=dyn["phoenix_p"], phoenix_r=dyn["phoenix_r"],
-                use_julia=cfg.use_julia,
-                trap_radius=dyn["orbit_trap_radius"],
-                stripe_density=dyn["stripe_density"],
-                track_trap=track_trap, track_stripe=track_stripe,
-                iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
-                row0=row0, map_height=full_h, interpret=cfg.interpret)
-            if cfg.family == "mandelbrot":
-                trap = f.get("trap", jnp.full_like(f["zx"], 1e20))
-                acc = acc + coloring.color_mandelbrot(jnp, f["n"], f["zx"],
-                                                      f["zy"], trap, p)
-            elif cfg.family == "julia":
-                acc = acc + coloring.color_julia(jnp, f["n"], f["zx"],
-                                                 f["zy"], p)
-            elif cfg.family == "burning_ship":
-                trap = f.get("trap", jnp.full_like(f["zx"], 1e10))
-                stripe = f.get("stripe", jnp.zeros_like(f["zx"]))
-                acc = acc + coloring.color_burning_ship(
-                    jnp, f["n"], f["zx"], f["zy"], trap, stripe, p)
-            else:
-                acc = acc + coloring.color_phoenix(jnp, f["n"], f["zx"],
-                                                   f["zy"], p)
-        color = acc / jnp.float32(len(offsets))
-        b = dyn["brightness"]
-        sat = dyn["saturation"]
-        c = dyn["contrast"]
-        if cfg.clamp_mins:
-            b = jnp.maximum(b, 0.1)
-            sat = jnp.maximum(sat, 0.0)
-            c = jnp.maximum(c, 0.1)
-        color = coloring.enhance_color(jnp, color, b, sat, c)
-        color = coloring.aces_tonemap(jnp, color)
-        return coloring.gamma_correct(jnp, color)
-
-    return fn
-
-
 def render_sharded(scene: Scene, width: int, height: int,
                    mesh: Optional[Mesh] = None) -> np.ndarray:
     """Render one frame with its rows sharded across the mesh's 'rows' axis
@@ -111,7 +52,7 @@ def render_sharded(scene: Scene, width: int, height: int,
     h_pad = pad_to_multiple(height, n_rows)
     band_h = h_pad // n_rows
     cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)
-    band_fn = _band_render_fn(cfg, band_h, height)
+    band_fn = common.band_render_fn(cfg, band_h, height)
     dyn = {k: jnp.float32(v) for k, v in common.scene_dyn_params(scene).items()}
 
     def shard_body(dyn):
@@ -146,7 +87,7 @@ def render_frames_sharded(scenes, width: int, height: int,
     nf_pad = pad_to_multiple(len(scenes), n_frames)
     h_pad = pad_to_multiple(height, n_rows)
     band_h = h_pad // n_rows
-    band_fn = _band_render_fn(cfg, band_h, height)
+    band_fn = common.band_render_fn(cfg, band_h, height)
 
     dyns = [common.scene_dyn_params(s) for s in scenes]
     dyns += [dyns[-1]] * (nf_pad - len(dyns))
@@ -211,7 +152,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             mesh = make_render_mesh()
         n_rows = mesh.shape["rows"]
         sub_h = pad_to_multiple(band_rows, n_rows) // n_rows
-        band_fn = _band_render_fn(cfg, sub_h, height)
+        band_fn = common.band_render_fn(cfg, sub_h, height)
 
         def shard_body(dyn, band_row0):
             ridx = jax.lax.axis_index("rows")
@@ -223,7 +164,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             in_specs=(P(), P()), out_specs=P("rows"),
             check_vma=False))
     else:
-        band_fn = _band_render_fn(cfg, band_rows, height)
+        band_fn = common.band_render_fn(cfg, band_rows, height)
         sharded = jax.jit(band_fn)
 
     dyn = {k: jnp.float32(v) for k, v in common.scene_dyn_params(scene).items()}

@@ -1,0 +1,103 @@
+"""Diagnostics & observability — the framework's equivalent of the
+reference's runtime self-checks (SURVEY.md §4/§5):
+
+- scene_debug_summary: debug_print_fractal_state (vk_engine.h:198-214)
+- validate_scene: the NaN/zero repair clamps the reference applies while
+  packing push constants (compute_effect_manager.h:335-345)
+- params_layout_selfcheck: verify_push_constant_layout (vk_engine.cpp:
+  420-446) — asserts the SMEM scalar-parameter layouts are consistent
+- trace: a jax.profiler wrapper for kernel-level timing
+"""
+from __future__ import annotations
+
+import contextlib
+import math
+from typing import Optional
+
+from ..scene import Scene
+
+
+def scene_debug_summary(scene: Scene) -> str:
+    lines = [
+        "=== Scene ===",
+        f"type={scene.fractal_type.display_name}",
+        f"center=({scene.center_x!r}, {scene.center_y!r}) zoom={scene.zoom!r}",
+        f"iterations={scene.max_iterations} bailout={scene.bailout} "
+        f"aa={scene.antialiasing_samples}",
+        f"palette={scene.palette_mode} offset={scene.color_offset} "
+        f"scale={scene.color_scale}",
+        f"effects: interior={scene.interior_style} "
+        f"trap={scene.orbit_trap_enabled}@{scene.orbit_trap_radius} "
+        f"stripes={scene.stripe_enabled}@{scene.stripe_density}",
+        f"enhance: b={scene.color_brightness} s={scene.color_saturation} "
+        f"c={scene.color_contrast}",
+    ]
+    if scene.fractal_type.name == "JULIA" or scene.use_julia_set:
+        lines.append(f"julia c = {scene.julia_c_real} + {scene.julia_c_imag}i")
+    if scene.fractal_type.name == "PHOENIX":
+        lines.append(f"phoenix p={scene.phoenix_p} r={scene.phoenix_r} "
+                     f"julia_mode={scene.use_julia_set}")
+    if scene.fractal_type.name == "MANDELBULB":
+        lines.append(f"bulb power={scene.mandelbulb_power} "
+                     f"cam={scene.camera_distance} rot={scene.rotation_y} "
+                     f"fov={scene.fov} time={scene.time}")
+    if scene.hp_center_x or scene.hp_zoom:
+        lines.append(f"hp: x={scene.hp_center_x} y={scene.hp_center_y} "
+                     f"zoom={scene.hp_zoom}")
+    return "\n".join(lines)
+
+
+def validate_scene(scene: Scene) -> Scene:
+    """Repair degenerate values the way the reference does before packing
+    push constants (compute_effect_manager.h:335-345): zero/NaN/inf zoom →
+    default, degenerate bailout → default."""
+    fixes = {}
+    z = scene.zoom
+    if not math.isfinite(z) or z == 0.0:
+        fixes["zoom"] = 3.0
+    b = scene.bailout
+    if not math.isfinite(b) or b <= 0.0:
+        fixes["bailout"] = 4.0
+    if scene.max_iterations < 1:
+        fixes["max_iterations"] = 1
+    return scene.with_(**fixes) if fixes else scene
+
+
+def params_layout_selfcheck() -> bool:
+    """Cross-module layout assertion (analog of the reference's
+    verify_push_constant_layout memory self-check)."""
+    from ..ops import dd_escape, escape, perturbation
+
+    assert escape.NPARAMS == 12
+    assert escape.P_ROW0 == 11
+    # index sets must be dense and unique
+    esc_idx = [escape.P_CX, escape.P_CY, escape.P_ZOOM, escape.P_OFFX,
+               escape.P_OFFY, escape.P_BAIL2, escape.P_LIMIT, escape.P_A0,
+               escape.P_A1, escape.P_A2, escape.P_A3, escape.P_ROW0]
+    assert sorted(esc_idx) == list(range(escape.NPARAMS))
+    pert_idx = [getattr(perturbation, f"Q_{n}") for n in (
+        "CXH", "CXL", "CYH", "CYL", "ZH", "ZL", "LIMIT", "BAIL2", "REFLEN",
+        "GLITCH_TOL", "SHIFTXH", "SHIFTXL", "SHIFTYH", "SHIFTYL", "OFFX",
+        "OFFY")]
+    assert sorted(pert_idx) == list(range(perturbation.NQ))
+    dd_idx = [getattr(dd_escape, f"D_{n}") for n in (
+        "CXH", "CXL", "CYH", "CYL", "ZH", "ZL", "LIMIT", "BAIL2", "OFFX",
+        "OFFY", "ROW0")]
+    assert sorted(dd_idx) == list(range(dd_escape.ND))
+    return True
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str] = None):
+    """Profile the enclosed renders with jax.profiler (SURVEY.md §5:
+    'wall-clock + jax.profiler traces')."""
+    import jax
+
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -114,3 +114,36 @@ def test_encode_without_frames(tmp_path, capsys):
     rc = cli.main(["encode", str(tmp_path), "--out",
                    str(tmp_path / "o.mp4")])
     assert rc == 1
+
+
+def test_giant_cli(tmp_path):
+    out = str(tmp_path / "g.png")
+    rc = cli.main(["giant", "--width", "64", "--height", "48",
+                   "--band-rows", "16", "--iters", "16", "--out", out,
+                   "--bit-depth", "8", "--tile-dir", str(tmp_path / "t")])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (48, 64, 3)
+
+
+def test_render_dd_cli(tmp_path):
+    out = str(tmp_path / "dd.png")
+    rc = cli.main(["render", "--width", "32", "--height", "16",
+                   "--iters", "24", "--precision", "dd", "--out", out,
+                   "--debug"])
+    assert rc == 0
+    assert read_png(out).shape == (16, 32, 3)
+
+
+def test_diag_selfcheck_and_validate():
+    from fractalrenderer_tpu.utils.diag import (params_layout_selfcheck,
+                                                scene_debug_summary,
+                                                validate_scene)
+    from fractalrenderer_tpu.scene import Scene
+
+    assert params_layout_selfcheck()
+    s = validate_scene(Scene(zoom=float("nan"), bailout=0.0,
+                             max_iterations=0))
+    assert s.zoom == 3.0 and s.bailout == 4.0 and s.max_iterations == 1
+    txt = scene_debug_summary(Scene())
+    assert "center=" in txt and "iterations=256" in txt

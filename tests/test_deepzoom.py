@@ -320,3 +320,79 @@ def test_manager_export_and_presets():
     s = m.to_scene()
     assert s.fractal_type.name == "DEEP_ZOOM"
 
+
+
+# ---------------------------------------------------------------------------
+# direct double-double escape kernel (precision tier 2)
+# ---------------------------------------------------------------------------
+
+def _f64_mandelbrot_counts(cx, cy, zoom, W, H, max_iter, bail=4.0):
+    py, px = np.mgrid[0:H, 0:W].astype(np.float64)
+    ux = (px - 0.5 * W) / H
+    uy = (py - 0.5 * H) / H
+    cr = cx + ux * zoom
+    ci = cy + uy * zoom
+    zr = np.zeros_like(cr)
+    zi = np.zeros_like(ci)
+    n = np.zeros(cr.shape, np.int64)
+    alive = np.ones(cr.shape, bool)
+    for _ in range(max_iter):
+        x = zr * zr - zi * zi + cr
+        y = 2 * zr * zi + ci
+        zr = np.where(alive, x, zr)
+        zi = np.where(alive, y, zi)
+        esc = alive & (zr * zr + zi * zi > bail * bail)
+        n = np.where(alive & ~esc, n + 1, n)
+        alive &= ~esc
+    return n
+
+
+def test_dd_escape_beats_f32_at_depth():
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.dd_escape import dd_escape_fields
+    from fractalrenderer_tpu.ops.escape import escape_fields
+
+    # zoom 1e-9: f32 coordinates collapse (pixel spacing ~1e-11), dd holds
+    cx, cy, zoom = -0.743643887037151, 0.13182590420533, 1e-9
+    W, H, MI = 48, 32, 1500
+    oracle = _f64_mandelbrot_counts(cx, cy, zoom, W, H, MI)
+
+    f_dd = dd_escape_fields(
+        W, H, center_x_dd=dd_from_string(repr(cx)),
+        center_y_dd=dd_from_string(repr(cy)),
+        zoom_dd=dd_from_string(repr(zoom)), max_iter=MI)
+    mism_dd = (np.asarray(f_dd["n"]) != oracle).mean()
+
+    f_f32 = escape_fields("mandelbrot", W, H, center_x=cx, center_y=cy,
+                          zoom=zoom, max_iter=MI)
+    mism_f32 = (np.asarray(f_f32["n"]) != oracle).mean()
+
+    # f32 coordinates give every pixel the same c → flat garbage; dd must be
+    # dramatically closer to the f64 oracle
+    assert mism_dd < 0.2, f"dd mismatch {mism_dd}"
+    assert mism_f32 > 0.5, f"f32 unexpectedly fine {mism_f32}"
+
+
+def test_dd_escape_matches_f32_when_shallow():
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.dd_escape import dd_escape_fields
+
+    # at zoom 3 the dd kernel must agree with the f64 oracle essentially
+    # everywhere
+    W, H, MI = 64, 32, 96
+    oracle = _f64_mandelbrot_counts(-0.5, 0.0, 3.0, W, H, MI)
+    f = dd_escape_fields(W, H, center_x_dd=dd_from_string("-0.5"),
+                         center_y_dd=dd_from_string("0"),
+                         zoom_dd=dd_from_string("3"), max_iter=MI)
+    mism = (np.asarray(f["n"]) != oracle).mean()
+    assert mism < 0.02, f"mismatch {mism}"
+
+
+def test_render_dd_model():
+    from fractalrenderer_tpu.models.mandelbrot import render_dd
+    from fractalrenderer_tpu.scene import Scene
+
+    s = Scene(hp_center_x="-0.743643887037151", hp_center_y="0.13182590420533",
+              hp_zoom="1e-9", max_iterations=800)
+    img = render_dd(s, 32, 16)
+    assert img.shape == (16, 32, 3) and np.isfinite(img).all()
