@@ -44,12 +44,13 @@ def main() -> None:
         float(out[0, 0, 0])  # forces execution + completion
         return time.perf_counter() - t0
 
-    run(1)          # compile K=1 variant + warm anything shared
-    t1 = min(run(1), run(1))
     K = 64
+    run(1)          # compile K=1 variant + warm anything shared
     run(K)          # compile K variant
-    tK = min(run(K), run(K))
-    per_frame = max((tK - t1) / (K - 1), 1e-9)
+    # The tunneled device link adds large, variable fetch latency; measure
+    # several rounds and keep the best (t_K - t_1) estimate.
+    per_frame = min(
+        max((run(K) - run(1)) / (K - 1), 1e-9) for _ in range(3))
     mpix_s = W * H / per_frame / 1e6
 
     print(json.dumps({

@@ -1,0 +1,209 @@
+"""Extended benchmark suite — all five BASELINE.md configs.
+
+The driver contract lives in bench.py (one JSON line, config #1); this
+script measures everything and writes bench_all.json for the record:
+
+1. Mandelbrot 1080p/256-iter full render (Mpix/s)
+2. Julia c-sweep, batch of 16 at 1080p (Mpix/s over the batch)
+3. 300-frame .franim-style zoom animation at 1080p, device-side (fps)
+4. Deep zoom 1e-12 / 10k iters with perturbation (seconds, glitches)
+5. 16K x 16K progressive giant still (Mpix/s end-to-end incl. PNG IO)
+
+Usage: python bench_all.py [--quick] [--skip 4,5]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _device_loop_time(make_body, K, shape):
+    """Time K device-side iterations amortized against one fetch."""
+    @jax.jit
+    def f():
+        def body(k, acc):
+            return acc + make_body(k)
+        return jax.lax.fori_loop(0, K, body, jnp.zeros(shape, jnp.float32))
+
+    out = f()
+    t0 = time.perf_counter()
+    float(out.ravel()[0])
+    return time.perf_counter() - t0
+
+
+def bench_mandelbrot_1080p():
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu.scene import Scene
+
+    W, H = 1920, 1080
+    cfg = common.scene_static_cfg(Scene(max_iterations=256), W, H,
+                                  "mandelbrot", "centered", False)
+    base = {k: jnp.float32(v) for k, v in
+            common.scene_dyn_params(Scene(max_iterations=256)).items()}
+
+    def body(k):
+        d = dict(base)
+        d["zoom"] = base["zoom"] + k.astype(jnp.float32) * 1e-6
+        return common._render_impl(cfg, d)
+
+    t1 = min(_device_loop_time(body, 1, (H, W, 3)) for _ in range(2))
+    t64 = min(_device_loop_time(body, 64, (H, W, 3)) for _ in range(2))
+    per = (t64 - t1) / 63
+    return {"config": "mandelbrot_1080p_256iter", "ms_per_frame":
+            round(per * 1e3, 3), "mpix_s": round(W * H / per / 1e6, 1)}
+
+
+def bench_julia_sweep():
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    W, H, B = 1920, 1080, 16
+    s = Scene(fractal_type=FractalType.JULIA, max_iterations=256, zoom=3.0)
+    cfg = common.scene_static_cfg(s, W, H, "julia", "uv", True)
+    base = {k: jnp.float32(v) for k, v in common.scene_dyn_params(s).items()}
+    c_re = jnp.linspace(-0.9, -0.6, B)
+    c_im = jnp.linspace(0.1, 0.3, B)
+
+    def body(k):
+        def frame(i, acc):
+            d = dict(base)
+            d["julia_c_real"] = c_re[i] + k.astype(jnp.float32) * 1e-6
+            d["julia_c_imag"] = c_im[i]
+            return acc + common._render_impl(cfg, d)
+        return jax.lax.fori_loop(0, B, frame,
+                                 jnp.zeros((H, W, 3), jnp.float32))
+
+    t1 = _device_loop_time(body, 1, (H, W, 3))
+    t4 = _device_loop_time(body, 4, (H, W, 3))
+    per_batch = (t4 - t1) / 3
+    return {"config": "julia_c_sweep_16x1080p",
+            "ms_per_batch": round(per_batch * 1e3, 2),
+            "mpix_s": round(B * W * H / per_batch / 1e6, 1)}
+
+
+def bench_animation(frames=300):
+    from fractalrenderer_tpu.anim.keyframes import (Animation,
+                                                    InterpolationType,
+                                                    Keyframe)
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu.scene import Scene
+
+    W, H = 1920, 1080
+    anim = Animation(duration=frames / 30.0, target_fps=30)
+    anim.keyframes.append(Keyframe(0.0, Scene(zoom=2.5, max_iterations=256),
+                                   InterpolationType.LINEAR))
+    anim.keyframes.append(Keyframe(anim.duration,
+                                   Scene(center_x=-0.743643887037151,
+                                         center_y=0.13182590420533,
+                                         zoom=0.008, max_iterations=1024),
+                                   InterpolationType.LINEAR))
+    scenes = [anim.interpolate(anim.frame_time(f)) for f in range(frames)]
+    cap = max(s.max_iterations for s in scenes)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        common.scene_static_cfg(scenes[0], W, H, "mandelbrot", "centered",
+                                False), max_iter=cap)
+    dyns = [common.scene_dyn_params(s) for s in scenes]
+    batch = {k: jnp.asarray([d[k] for d in dyns], jnp.float32)
+             for k in dyns[0]}
+
+    @jax.jit
+    def f(batch):
+        def body(i, acc):
+            d = {k: v[i] for k, v in batch.items()}
+            return acc + common._render_impl(cfg, d)
+        return jax.lax.fori_loop(0, frames, body,
+                                 jnp.zeros((H, W, 3), jnp.float32))
+
+    out = f(batch)
+    float(out[0, 0, 0])  # warm + fetch
+    out = f(batch)
+    t0 = time.perf_counter()
+    float(out[0, 0, 0])
+    dt = time.perf_counter() - t0
+    return {"config": f"zoom_animation_{frames}f_1080p",
+            "seconds": round(dt, 2), "fps": round(frames / dt, 1)}
+
+
+def bench_deep_zoom():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="-0.74364388703715158",
+              hp_center_y="0.13182590420531198",
+              hp_zoom="1e-12", max_iterations=10000, use_perturbation=True)
+    t0 = time.perf_counter()
+    n, zx, zy, glitch, info = deep_zoom.render_fields(s, 1920, 1080)
+    dt = time.perf_counter() - t0
+    return {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
+            **{k: info[k] for k in ("references_used",
+                                    "glitched_pixels_initial",
+                                    "glitched_pixels_remaining")}}
+
+
+def bench_giant(width=16384, height=16384):
+    import os
+    import tempfile
+
+    from fractalrenderer_tpu.parallel import render_giant_still
+    from fractalrenderer_tpu.scene import Scene
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "giant.png")
+        t0 = time.perf_counter()
+        info = render_giant_still(Scene(max_iterations=256), width, height,
+                                  out, band_rows=1024, bit_depth=16,
+                                  resume=False)
+        dt = time.perf_counter() - t0
+        size = os.path.getsize(out)
+    return {"config": f"giant_{width}x{height}_16bit",
+            "seconds": round(dt, 1),
+            "mpix_s_end_to_end": round(width * height / dt / 1e6, 1),
+            "png_bytes": size}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller animation/giant sizes")
+    ap.add_argument("--skip", default="", help="comma list of config numbers")
+    args = ap.parse_args()
+    skip = {int(x) for x in args.skip.split(",") if x}
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+    benches = {
+        1: bench_mandelbrot_1080p,
+        2: bench_julia_sweep,
+        3: (lambda: bench_animation(60)) if args.quick else bench_animation,
+        4: bench_deep_zoom,
+        5: (lambda: bench_giant(4096, 4096)) if args.quick
+        else bench_giant,
+    }
+    for num, fn in benches.items():
+        if num in skip:
+            continue
+        t0 = time.perf_counter()
+        try:
+            results[f"config{num}"] = fn()
+        except Exception as e:  # record, keep going
+            results[f"config{num}"] = {"error": str(e)[:300]}
+        results[f"config{num}"]["wall_incl_compile_s"] = round(
+            time.perf_counter() - t0, 1)
+        print(json.dumps({f"config{num}": results[f"config{num}"]}),
+              flush=True)
+
+    with open("bench_all.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,12 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
         offsets = mapping.aa_offsets_centered(cfg.aa)
     else:
         offsets = mapping.aa_offsets_uv(cfg.aa, cfg.width)
+    # Analytic interior skip is exact for n but zeroes the interior z, so
+    # it is only safe when nothing reads interior z (see ops/escape.py).
+    interior_skip = (cfg.family == "mandelbrot"
+                     and not cfg.stripe_enabled
+                     and not cfg.orbit_trap_enabled
+                     and cfg.interior_style != 2)
 
     def fn(dyn, row0):
         p = _color_params(cfg, dyn)
@@ -139,7 +145,8 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
                 stripe_density=dyn["stripe_density"],
                 track_trap=track_trap, track_stripe=track_stripe,
                 iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
-                row0=row0, map_height=full_h, interpret=cfg.interpret)
+                row0=row0, map_height=full_h, interior_skip=interior_skip,
+                interpret=cfg.interpret)
             if cfg.family == "mandelbrot":
                 trap = f.get("trap", jnp.full_like(f["zx"], 1e20))
                 acc = acc + coloring.color_mandelbrot(jnp, f["n"], f["zx"],

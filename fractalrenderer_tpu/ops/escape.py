@@ -121,10 +121,24 @@ def _iter_chunk(family: str, track_trap: bool, track_stripe: bool,
     return jax.lax.fori_loop(0, chunk, body, state)
 
 
+def _cardioid_or_bulb(cr, ci):
+    """Analytic main-cardioid / period-2-bulb membership (exact interior:
+    these points mathematically never escape).  q = (x-1/4)^2 + y^2;
+    cardioid: q*(q + (x-1/4)) <= y^2/4; bulb: (x+1)^2 + y^2 <= 1/16."""
+    xq = cr - 0.25
+    y2 = ci * ci
+    q = xq * xq + y2
+    in_cardioid = q * (q + xq) <= 0.25 * y2
+    xb = cr + 1.0
+    in_bulb = xb * xb + y2 <= 0.0625
+    return in_cardioid | in_bulb
+
+
 def _make_kernel(family: str, width: int, height: int, map_height: int,
                  max_iter_cap: int,
                  track_trap: bool, track_stripe: bool, use_julia: bool,
-                 tile: Tuple[int, int], chunk: int):
+                 tile: Tuple[int, int], chunk: int,
+                 interior_skip: bool = False):
     """``height`` is the local output extent (a row band when sharded);
     ``map_height`` is the full image height used by the pixel→plane mapping
     and bounds; params[P_ROW0] carries the band's global first row."""
@@ -202,11 +216,19 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
         # poisoned squares so the escape latch is false from step 1.
         in_bounds = (rows < map_height) & (cols < width) \
             & (rows - row0 < height)
+        live0 = in_bounds
+        if interior_skip:
+            # Provably-interior pixels (main cardioid / period-2 bulb) skip
+            # all iteration; they are restored as n=limit, z=0 at the end.
+            # Only enabled when nothing downstream consumes interior z
+            # (no stripes / orbit traps / trap-glow interior).
+            skip = _cardioid_or_bulb(cr, ci)
+            live0 = live0 & ~skip
         big = jnp.float32(3.4e38)
         state0 = {
             "zx": x1, "zy": y1,
-            "sqx": jnp.where(in_bounds, x1 * x1, big),
-            "sqy": jnp.where(in_bounds, y1 * y1, big),
+            "sqx": jnp.where(live0, x1 * x1, big),
+            "sqy": jnp.where(live0, y1 * y1, big),
             "nf": jnp.zeros((th, tw), jnp.float32),
             "i": jnp.int32(1),
         }
@@ -250,11 +272,18 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
         interior = (s["sqx"] + s["sqy"] <= bail2) & in_bounds
         n = jnp.where(interior, limit,
                       s["nf"].astype(jnp.int32) * in_bounds.astype(jnp.int32))
+        zx_out = s["zx"]
+        zy_out = s["zy"]
+        if interior_skip:
+            skip = _cardioid_or_bulb(cr, ci) & in_bounds
+            n = jnp.where(skip, limit, n)
+            zx_out = jnp.where(skip, jnp.float32(0.0), zx_out)
+            zy_out = jnp.where(skip, jnp.float32(0.0), zy_out)
 
         it = iter(out_refs)
         next(it)[:, :] = n
-        next(it)[:, :] = s["zx"]
-        next(it)[:, :] = s["zy"]
+        next(it)[:, :] = zx_out
+        next(it)[:, :] = zy_out
         if track_trap:
             next(it)[:, :] = s["trap"]
         if track_stripe:
@@ -268,16 +297,17 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
     static_argnames=("family", "width", "height", "map_height",
                      "max_iter_cap",
                      "track_trap", "track_stripe", "use_julia", "tile",
-                     "chunk", "interpret"))
+                     "chunk", "interpret", "interior_skip"))
 def _escape_call(params, *, family: str, width: int, height: int,
                  map_height: int,
                  max_iter_cap: int, track_trap: bool, track_stripe: bool,
                  use_julia: bool, tile: Tuple[int, int], chunk: int,
-                 interpret: bool):
+                 interpret: bool, interior_skip: bool):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(family, width, height, map_height, max_iter_cap,
-                          track_trap, track_stripe, use_julia, tile, chunk)
+                          track_trap, track_stripe, use_julia, tile, chunk,
+                          interior_skip)
 
     out_shapes = [
         jax.ShapeDtypeStruct((height, width), jnp.int32),   # n
@@ -319,6 +349,7 @@ def escape_fields(family: str, width: int, height: int, *,
                   track_trap: bool = False, track_stripe: bool = False,
                   iter_limit=None, tile=None, chunk: int = 16,
                   row0=0.0, map_height: Optional[int] = None,
+                  interior_skip: bool = False,
                   interpret=None) -> Dict[str, jax.Array]:
     """Compute escape-time fields for one AA sample.
 
@@ -366,7 +397,8 @@ def escape_fields(family: str, width: int, height: int, *,
         map_height=int(map_height if map_height is not None else height),
         max_iter_cap=int(max_iter), track_trap=track_trap,
         track_stripe=track_stripe, use_julia=use_julia,
-        tile=tuple(tile), chunk=chunk, interpret=bool(interpret))
+        tile=tuple(tile), chunk=chunk, interpret=bool(interpret),
+        interior_skip=bool(interior_skip and family == "mandelbrot"))
 
     names = ["n", "zx", "zy"]
     if track_trap:
