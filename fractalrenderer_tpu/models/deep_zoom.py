@@ -18,6 +18,7 @@ s^2 jittered samples per pixel with uniform subpixel offsets.
 """
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 from typing import Optional, Tuple
 
@@ -68,17 +69,27 @@ def render_fields(scene: Scene, width: int, height: int,
     # full-strength (interior) reference needs max_iter+1 stored entries.
     orbit = orbit_mod.compute_orbit(cx, cy, bits, max_iter + 1,
                                     force_python=force_python_orbit)
+
+    series = None
+    if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0:
+        from ..deepzoom.series import compute_series_skip
+
+        aspect = width / height
+        dc_max = zoom_f * 4.0 / height * math.hypot(0.5 * aspect, 0.5)
+        series = compute_series_skip(orbit, dc_max)
+
     f = perturbation_fields(
         orbit, width, height, center_x_dd=center_x_dd,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
-        float_continuation=float_cont)
+        float_continuation=float_cont, series=series)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
     glitch = np.asarray(f["glitch"]) > 0.5
     info = {"precision_mode": mode.name, "precision_bits": bits,
             "reference_iterations": len(orbit), "references_used": 1,
+            "series_skip": series.n_skip if series else 0,
             "glitched_pixels_initial": int(glitch.sum())}
 
     # ---- secondary references for glitched pixels ----------------------

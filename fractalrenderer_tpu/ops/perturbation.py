@@ -42,8 +42,8 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 # params vector layout (f32, SMEM)
 (Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_ZH, Q_ZL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
- Q_OFFY) = range(16)
-NQ = 16
+ Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP) = range(23)
+NQ = 23
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 
@@ -97,18 +97,33 @@ def _make_kernel(width: int, height: int, tile: Tuple[int, int], chunk: int,
         c_i = dd.dd_to_float(jnp, cy_dd)
 
         # --- phase 1: perturbation against the reference orbit ----------
-        # peel step 0: dz_1 = delta; z_full = orbit[1] + dz_1
+        # Initial state via the series approximation
+        # δ_{n0} = ((C·δc + B)·δc + A)·δc  (deepzoom/series.py); the default
+        # coefficients A=1, B=C=0, n0=1 reduce exactly to the peeled
+        # update 0 of the plain path (δ_1 = δc).
+        n0 = params_ref[0, Q_NSKIP].astype(jnp.int32)
+        ar, ai = params_ref[0, Q_AR], params_ref[0, Q_AI]
+        br, bi = params_ref[0, Q_BR], params_ref[0, Q_BI]
+        cr3, ci3 = params_ref[0, Q_CR], params_ref[0, Q_CI]
+        tr, ti = cr3, ci3
+        tr, ti = (tr * delta_r - ti * delta_i + br,
+                  tr * delta_i + ti * delta_r + bi)
+        tr, ti = (tr * delta_r - ti * delta_i + ar,
+                  tr * delta_i + ti * delta_r + ai)
+        dz0r = tr * delta_r - ti * delta_i
+        dz0i = tr * delta_i + ti * delta_r
         pert_end = jnp.minimum(limit, ref_len - 1)
-        z1r = orbit_re_ref[1] + delta_r
-        z1i = orbit_im_ref[1] + delta_i
+        z1r = orbit_re_ref[n0] + dz0r
+        z1i = orbit_im_ref[n0] + dz0i
         big = jnp.float32(3.4e38)
         state0 = {
-            "dzr": delta_r, "dzi": delta_i,
+            "dzr": dz0r, "dzi": dz0i,
             "zfr": jnp.where(in_bounds, z1r, big),
             "zfi": jnp.where(in_bounds, z1i, jnp.float32(0.0)),
-            "nf": jnp.zeros((th, tw), jnp.float32),
+            "nf": jnp.full((th, tw), (n0 - 1).astype(jnp.float32),
+                           jnp.float32),
             "glitch": jnp.zeros((th, tw), jnp.float32),
-            "i": jnp.int32(1),
+            "i": n0,
         }
 
         def pert_chunk(s):
@@ -254,6 +269,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         offset: Tuple[float, float] = (0.0, 0.0),
                         iter_limit=None, tile=None, chunk: int = 16,
                         float_continuation: bool = True,
+                        series=None,
                         interpret: Optional[bool] = None
                         ) -> Dict[str, jax.Array]:
     """Run the perturbation kernel against a precomputed reference orbit
@@ -289,6 +305,13 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     params[0, Q_SHIFTXH], params[0, Q_SHIFTXL] = ref_shift_x
     params[0, Q_SHIFTYH], params[0, Q_SHIFTYL] = ref_shift_y
     params[0, Q_OFFX], params[0, Q_OFFY] = offset
+    if series is not None and series.n_skip > 1 and series.n_skip < L:
+        params[0, Q_AR], params[0, Q_AI] = series.a.real, series.a.imag
+        params[0, Q_BR], params[0, Q_BI] = series.b.real, series.b.imag
+        params[0, Q_CR], params[0, Q_CI] = series.c.real, series.c.imag
+        params[0, Q_NSKIP] = series.n_skip
+    else:
+        params[0, Q_AR], params[0, Q_NSKIP] = 1.0, 1.0
 
     n, zx, zy, glitch = _pert_call(
         jnp.asarray(params), jnp.asarray(orbit_re), jnp.asarray(orbit_im),

@@ -396,3 +396,45 @@ def test_render_dd_model():
               hp_zoom="1e-9", max_iterations=800)
     img = render_dd(s, 32, 16)
     assert img.shape == (16, 32, 3) and np.isfinite(img).all()
+
+
+# ---------------------------------------------------------------------------
+# series approximation (fractal_state.h:89-90, realized)
+# ---------------------------------------------------------------------------
+
+def test_series_coefficients_predict_delta():
+    from fractalrenderer_tpu.deepzoom.series import compute_series_skip
+
+    cx, cy = "-0.74364388703715158", "0.13182590420531198"
+    orb = orbit.compute_orbit(cx, cy, 64, 3001)
+    dc = 1e-13 + 2e-14j
+    skip = compute_series_skip(orb, abs(dc) * 4)
+    assert skip.n_skip > 10  # deep view → meaningful skip
+
+    # exact delta by direct f64 perturbation to n_skip
+    dz = 0j
+    for n in range(skip.n_skip):
+        Z = complex(orb[n, 0], orb[n, 1])
+        dz = 2 * Z * dz + dz * dz + dc
+    approx = (skip.a * dc) + (skip.b * dc * dc) + (skip.c * dc ** 3)
+    assert abs(approx - dz) <= 1e-5 * max(abs(dz), 1e-300)
+
+
+def test_series_skip_preserves_counts():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    base = Scene(fractal_type=FractalType.DEEP_ZOOM,
+                 hp_center_x="-0.74364388703715158",
+                 hp_center_y="0.13182590420531198",
+                 hp_zoom="1e-9", max_iterations=2500, use_perturbation=True)
+    n0, *_ , i0 = deep_zoom.render_fields(base, 48, 32)
+    s2 = base.with_(use_series_approximation=True)
+    n1, *_ , i1 = deep_zoom.render_fields(s2, 48, 32)
+    assert i1["series_skip"] > 10
+    mism = (n0 != n1).mean()
+    # The series delta (computed in f64 on host) is MORE accurate than the
+    # f32-iterated delta it replaces, so chaotic-boundary pixels legitimately
+    # differ; structure must agree.
+    assert mism < 0.15, f"series skip changed {mism:.3%} of counts"
+    assert abs((n0 == 2500).mean() - (n1 == 2500).mean()) < 0.02
