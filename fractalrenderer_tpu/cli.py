@@ -307,6 +307,15 @@ def cmd_zoom_path(args) -> int:
     return 0
 
 
+def cmd_interactive(args) -> int:
+    from . import viewer
+
+    scene = scene_from_args(args)
+    if args.zoom is None and args.scene is None and args.preset is None:
+        scene = scene.with_(zoom=2.5)
+    return viewer.run(scene)
+
+
 def cmd_presets(args) -> int:
     print("Location presets (fractal_state.h:171-189):")
     for p in presets_mod.MANDELBROT_PRESETS + presets_mod.BURNING_SHIP_PRESETS:
@@ -443,6 +452,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--out-dir", default="zoom_frames")
     p.set_defaults(fn=cmd_zoom_path)
+
+    p = sub.add_parser("interactive", help="terminal viewer (ANSI art REPL)")
+    _add_scene_args(p)
+    p.add_argument("--cols", type=int, default=None)
+    p.add_argument("--rows", type=int, default=None)
+    p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("presets", help="list all preset tables")
     p.set_defaults(fn=cmd_presets)

@@ -15,6 +15,28 @@ def render(scene: Scene, width: int, height: int, **kw):
                         aa_convention="centered", clamp_mins=False, **kw)
 
 
+def distance_field(scene: Scene, width: int, height: int):
+    """Exterior distance-estimate field (pixels → distance to the set) via
+    derivative tracking — the capability of the reference's unwired debug
+    shader (mandelbrot_debug.comp).  Useful for contouring, adaptive AA and
+    boundary-following."""
+    import numpy as np
+
+    from ..ops.coloring import distance_estimate
+    from ..ops.escape import escape_fields
+
+    f = escape_fields(
+        "mandelbrot", width, height, center_x=scene.center_x,
+        center_y=scene.center_y, zoom=scene.zoom,
+        max_iter=scene.max_iterations, bailout=scene.bailout,
+        track_deriv=True)
+    import jax.numpy as jnp
+
+    return np.asarray(distance_estimate(jnp, f["n"], f["zx"], f["zy"],
+                                        f["dzx"], f["dzy"],
+                                        scene.max_iterations))
+
+
 def render_dd(scene: Scene, width: int, height: int):
     """Double-double precision variant (precision tier 2, ops/dd_escape.py):
     same viewport/coloring semantics as render() but with ~2^-48 coordinate

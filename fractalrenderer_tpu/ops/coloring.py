@@ -236,6 +236,18 @@ def color_phoenix(xp, n, zx, zy, p: ColorParams):
 # intentionally honor palette_mode instead of hard-wiring 0 (superset).
 
 
+def distance_estimate(xp, n, zx, zy, dzx, dzy, max_iterations):
+    """Exterior distance estimate d = |z|·ln|z| / |dz| from the derivative
+    field (the quantity mandelbrot_debug.comp:114-137 tracks).  Interior
+    pixels report 0."""
+    max_iter = _f32(xp, max_iterations)
+    zmag = xp.sqrt(zx * zx + zy * zy)
+    dmag = xp.maximum(xp.sqrt(dzx * dzx + dzy * dzy), 1e-30)
+    d = zmag * xp.log(xp.maximum(zmag, 1e-30)) / dmag
+    return xp.where(n.astype(xp.float32) >= max_iter, xp.zeros_like(d),
+                    xp.maximum(d, 0.0))
+
+
 def color_deep_zoom(xp, n, zx, zy, p: ColorParams):
     """test_deep_zoom.comp:73-103.  No post chain (the reference's deep-zoom
     shader writes raw palette colors)."""

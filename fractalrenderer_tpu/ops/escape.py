@@ -19,6 +19,9 @@ Outputs per pixel:
   zx, zy (f32) — z after the escaping update (or after max_iter updates)
   trap (f32, optional) — orbit-trap minimum (family-specific definition)
   stripe (f32, optional) — burning-ship stripe accumulator
+  dzx, dzy (f32, optional) — derivative dz/dc at escape (mandelbrot only;
+      dz <- 2*z*dz + 1, the distance-estimation tracking of the reference's
+      debug shader, mandelbrot_debug.comp:114-137)
 """
 from __future__ import annotations
 
@@ -45,6 +48,7 @@ FAMILIES = ("mandelbrot", "julia", "burning_ship", "phoenix")
 
 
 def _iter_chunk(family: str, track_trap: bool, track_stripe: bool,
+                track_deriv: bool,
                 chunk: int, state: dict, consts):
     """Run `chunk` predicated iterations over a dict-shaped carry.
 
@@ -94,6 +98,13 @@ def _iter_chunk(family: str, track_trap: bool, track_stripe: bool,
             x = sqx - sqy + cr
             y = (2.0 * zx) * zy + ci
 
+        if track_deriv:
+            # dz <- 2*z*dz + 1 with the PRE-update z (debug shader DE)
+            ndx = 2.0 * (zx * s["dzx"] - zy * s["dzy"]) + 1.0
+            ndy = 2.0 * (zx * s["dzy"] + zy * s["dzx"])
+            s["dzx"] = jnp.where(alive, ndx, s["dzx"])
+            s["dzy"] = jnp.where(alive, ndy, s["dzy"])
+
         zx = jnp.where(alive, x, zx)
         zy = jnp.where(alive, y, zy)
 
@@ -138,7 +149,7 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
                  max_iter_cap: int,
                  track_trap: bool, track_stripe: bool, use_julia: bool,
                  tile: Tuple[int, int], chunk: int,
-                 interior_skip: bool = False):
+                 interior_skip: bool = False, track_deriv: bool = False):
     """``height`` is the local output extent (a row band when sharded);
     ``map_height`` is the full image height used by the pixel→plane mapping
     and bounds; params[P_ROW0] carries the band's global first row."""
@@ -254,6 +265,10 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
         if track_stripe:
             # pre-update-0 stripe term sin(0 * d) = 0
             state0["stripe"] = jnp.zeros((th, tw), jnp.float32)
+        if track_deriv:
+            # after update 0: dz_1 = 2*z0*dz0 + 1 = 1 (z0 = dz0 = 0)
+            state0["dzx"] = jnp.ones((th, tw), jnp.float32)
+            state0["dzy"] = jnp.zeros((th, tw), jnp.float32)
 
         def cond(carry):
             s, keep = carry
@@ -261,7 +276,8 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
 
         def body(carry):
             s, _ = carry
-            s = _iter_chunk(family, track_trap, track_stripe, chunk, s, consts)
+            s = _iter_chunk(family, track_trap, track_stripe, track_deriv,
+                            chunk, s, consts)
             return s, jnp.any(s["sqx"] + s["sqy"] <= bail2)
 
         s, _ = jax.lax.while_loop(cond, body, (state0, jnp.bool_(True)))
@@ -288,6 +304,9 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
             next(it)[:, :] = s["trap"]
         if track_stripe:
             next(it)[:, :] = s["stripe"]
+        if track_deriv:
+            next(it)[:, :] = s["dzx"]
+            next(it)[:, :] = s["dzy"]
 
     return kernel
 
@@ -297,17 +316,17 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
     static_argnames=("family", "width", "height", "map_height",
                      "max_iter_cap",
                      "track_trap", "track_stripe", "use_julia", "tile",
-                     "chunk", "interpret", "interior_skip"))
+                     "chunk", "interpret", "interior_skip", "track_deriv"))
 def _escape_call(params, *, family: str, width: int, height: int,
                  map_height: int,
                  max_iter_cap: int, track_trap: bool, track_stripe: bool,
                  use_julia: bool, tile: Tuple[int, int], chunk: int,
-                 interpret: bool, interior_skip: bool):
+                 interpret: bool, interior_skip: bool, track_deriv: bool):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(family, width, height, map_height, max_iter_cap,
                           track_trap, track_stripe, use_julia, tile, chunk,
-                          interior_skip)
+                          interior_skip, track_deriv)
 
     out_shapes = [
         jax.ShapeDtypeStruct((height, width), jnp.int32),   # n
@@ -317,6 +336,9 @@ def _escape_call(params, *, family: str, width: int, height: int,
     if track_trap:
         out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
     if track_stripe:
+        out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
+    if track_deriv:
+        out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
 
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
@@ -349,7 +371,7 @@ def escape_fields(family: str, width: int, height: int, *,
                   track_trap: bool = False, track_stripe: bool = False,
                   iter_limit=None, tile=None, chunk: int = 16,
                   row0=0.0, map_height: Optional[int] = None,
-                  interior_skip: bool = False,
+                  interior_skip: bool = False, track_deriv: bool = False,
                   interpret=None) -> Dict[str, jax.Array]:
     """Compute escape-time fields for one AA sample.
 
@@ -398,11 +420,14 @@ def escape_fields(family: str, width: int, height: int, *,
         max_iter_cap=int(max_iter), track_trap=track_trap,
         track_stripe=track_stripe, use_julia=use_julia,
         tile=tuple(tile), chunk=chunk, interpret=bool(interpret),
-        interior_skip=bool(interior_skip and family == "mandelbrot"))
+        interior_skip=bool(interior_skip and family == "mandelbrot"),
+        track_deriv=bool(track_deriv and family == "mandelbrot"))
 
     names = ["n", "zx", "zy"]
     if track_trap:
         names.append("trap")
     if track_stripe:
         names.append("stripe")
+    if track_deriv and family == "mandelbrot":
+        names += ["dzx", "dzy"]
     return dict(zip(names, outs))

@@ -1,0 +1,166 @@
+"""Interactive terminal viewer — the headless equivalent of the reference's
+SDL/ImGui session (SURVEY.md §7 maps the GUI to 'CLI verbs + camera
+utilities'; this module supplies the *interactive* part).
+
+Renders the scene to ANSI truecolor half-block characters (two pixels per
+character cell) and exposes the reference's interaction vocabulary
+(src/input_handler.h hotkeys) as REPL commands:
+
+  +/-            zoom in/out about the center (0.8x/1.25x + auto-iterations,
+                 vk_engine.cpp:1731-1756)
+  click X Y      zoom toward a pixel (zoom_to_point, vk_engine.cpp:1758-1794)
+  w/a/s/d        pan (zoom-proportional step, input_handler.h:211-248)
+  tab / type T   cycle / set fractal type
+  p N            palette; i N iterations; aa N; e toggle effects
+  preset NAME    location preset; julia NAME; reset (R); save FILE (S)
+  q              quit
+
+Runs on anything with a truecolor terminal; each command re-renders via the
+jitted pipeline (the compiled-cache makes this interactive after the first
+frame).
+"""
+from __future__ import annotations
+
+import shutil
+import sys
+from typing import Optional
+
+import numpy as np
+
+from . import models, presets
+from .scene import FractalType, Scene
+from .utils.image import to_export_orientation
+from .utils.png import write_png
+
+_TYPES = [FractalType.MANDELBROT, FractalType.JULIA,
+          FractalType.BURNING_SHIP, FractalType.MANDELBULB,
+          FractalType.PHOENIX, FractalType.DEEP_ZOOM]
+
+
+def ansi_render(img: np.ndarray) -> str:
+    """f32 RGB (H, W, 3) → ANSI truecolor half-block art (▀: fg=top px,
+    bg=bottom px)."""
+    img8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    h = img8.shape[0] - (img8.shape[0] % 2)
+    top = img8[0:h:2]
+    bot = img8[1:h:2]
+    lines = []
+    for tr, br in zip(top, bot):
+        cells = []
+        for (r1, g1, b1), (r2, g2, b2) in zip(tr, br):
+            cells.append(f"\x1b[38;2;{r1};{g1};{b1}m"
+                         f"\x1b[48;2;{r2};{g2};{b2}m▀")
+        lines.append("".join(cells) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+class Viewer:
+    """Holds the interactive state: the current Scene (the reference's
+    mutable FractalState) and the render geometry."""
+
+    def __init__(self, scene: Optional[Scene] = None,
+                 cols: Optional[int] = None, rows: Optional[int] = None):
+        self.scene = scene or Scene(zoom=2.5)
+        tw, th = shutil.get_terminal_size((100, 40))
+        self.width = cols or min(tw, 140)
+        self.height = (rows or min(th - 4, 44)) * 2  # half blocks
+
+    # -- command handlers --------------------------------------------------
+    def handle(self, line: str) -> Optional[str]:
+        """Apply one command; returns a status message or None to quit."""
+        parts = line.strip().split()
+        if not parts:
+            return ""
+        cmd, args = parts[0].lower(), parts[1:]
+        s = self.scene
+        try:
+            if cmd in ("q", "quit", "exit"):
+                return None
+            if cmd == "+":
+                self.scene = s.zoomed(zoom_in=True)
+            elif cmd == "-":
+                self.scene = s.zoomed(zoom_in=False)
+            elif cmd == "click":
+                px, py = float(args[0]), float(args[1])
+                self.scene = s.zoom_to_point(px, py, self.width, self.height,
+                                             zoom_in=True)
+            elif cmd == "rclick":
+                px, py = float(args[0]), float(args[1])
+                self.scene = s.zoom_to_point(px, py, self.width, self.height,
+                                             zoom_in=False)
+            elif cmd in ("w", "a", "s", "d"):
+                # zoom-proportional pan (input_handler.h:211-248)
+                step = s.zoom * 0.05
+                dx = {"a": -step, "d": step}.get(cmd, 0.0)
+                dy = {"w": -step, "s": step}.get(cmd, 0.0)
+                self.scene = s.with_(center_x=s.center_x + dx,
+                                     center_y=s.center_y + dy)
+            elif cmd == "tab":
+                idx = _TYPES.index(s.fractal_type)
+                self.scene = s.with_(
+                    fractal_type=_TYPES[(idx + 1) % len(_TYPES)])
+            elif cmd == "type":
+                self.scene = s.with_(fractal_type=FractalType.parse(args[0]))
+            elif cmd == "p":
+                self.scene = s.with_(palette_mode=int(args[0]))
+            elif cmd == "i":
+                self.scene = s.with_(max_iterations=int(args[0]))
+            elif cmd == "aa":
+                self.scene = s.with_(antialiasing_samples=int(args[0]))
+            elif cmd == "e":
+                self.scene = s.with_(orbit_trap_enabled=not s.orbit_trap_enabled)
+            elif cmd == "stripes":
+                self.scene = s.with_(stripe_enabled=not s.stripe_enabled)
+            elif cmd in ("r", "reset"):
+                self.scene = s.reset()
+            elif cmd == "preset":
+                self.scene = presets.find_preset(" ".join(args)).apply(s)
+            elif cmd == "julia":
+                cr, ci = presets.JULIA_PRESETS[" ".join(args)]
+                self.scene = s.with_(fractal_type=FractalType.JULIA,
+                                     julia_c_real=cr, julia_c_imag=ci)
+            elif cmd in ("save", "s!"):
+                path = args[0] if args else "screenshot.png"
+                img = np.asarray(models.render(s, self.width * 8,
+                                               self.height * 8))
+                write_png(path, to_export_orientation(img),
+                          metadata=s.metadata_summary())
+                return f"saved {path}"
+            elif cmd == "coords":
+                return (f"center=({s.center_x!r}, {s.center_y!r}) "
+                        f"zoom={s.zoom!r} iters={s.max_iterations}")
+            elif cmd in ("h", "help", "?"):
+                return __doc__.split("commands:")[-1]
+            else:
+                return f"unknown command {cmd!r} (h for help)"
+        except (ValueError, KeyError, IndexError) as e:
+            return f"error: {e}"
+        return ""
+
+    def frame(self) -> str:
+        img = np.asarray(models.render(self.scene, self.width, self.height))
+        # terminal rows go top-down; flip to put +imag at the top like the
+        # reference's exports
+        s = self.scene
+        status = (f"{s.fractal_type.display_name}  "
+                  f"center=({s.center_x:.6g}, {s.center_y:.6g})  "
+                  f"zoom={s.zoom:.3g}  iters={s.max_iterations}  "
+                  f"palette={s.palette_mode}")
+        return ansi_render(img[::-1]) + "\n" + status
+
+
+def run(scene: Optional[Scene] = None) -> int:
+    v = Viewer(scene)
+    print(v.frame())
+    while True:
+        try:
+            line = input("fractal> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        msg = v.handle(line)
+        if msg is None:
+            return 0
+        print(v.frame())
+        if msg:
+            print(msg)

@@ -147,3 +147,36 @@ def test_diag_selfcheck_and_validate():
     assert s.zoom == 3.0 and s.bailout == 4.0 and s.max_iterations == 1
     txt = scene_debug_summary(Scene())
     assert "center=" in txt and "iterations=256" in txt
+
+
+def test_viewer_commands(tmp_path):
+    from fractalrenderer_tpu.viewer import Viewer, ansi_render
+    from fractalrenderer_tpu.scene import Scene, FractalType
+
+    v = Viewer(Scene(max_iterations=16, zoom=2.5), cols=24, rows=8)
+    assert v.handle("+") == ""
+    assert v.scene.zoom == pytest.approx(2.0)
+    assert v.scene.max_iterations == 512  # auto-iteration ladder
+    v.handle("d")
+    assert v.scene.center_x > -0.5
+    v.handle("tab")
+    assert v.scene.fractal_type == FractalType.JULIA
+    v.handle("type burning-ship")
+    assert v.scene.fractal_type == FractalType.BURNING_SHIP
+    v.handle("p 3")
+    assert v.scene.palette_mode == 3
+    v.handle("preset Seahorse Valley")
+    assert v.scene.zoom == 0.008
+    msg = v.handle("coords")
+    assert "zoom=" in msg
+    assert "unknown command" in v.handle("bogus")
+    assert v.handle("q") is None
+    # frame produces ANSI half blocks with a status line
+    v2 = Viewer(Scene(max_iterations=8), cols=16, rows=4)
+    out = v2.frame()
+    assert "▀" in out and "Mandelbrot" in out
+    # save writes a PNG
+    import os
+    path = str(tmp_path / "shot.png")
+    msg = v2.handle(f"save {path}")
+    assert "saved" in msg and os.path.exists(path)

@@ -186,3 +186,24 @@ def test_julia_c_sweep_batch():
             np.testing.assert_array_equal(out[i], ref)
         else:
             np.testing.assert_allclose(out[i], ref, atol=1e-5)
+
+
+def test_distance_estimate_field():
+    # mandelbrot_debug.comp capability: derivative-based exterior DE
+    from fractalrenderer_tpu.models.mandelbrot import distance_field
+    from fractalrenderer_tpu import Scene
+
+    s = Scene(max_iterations=128, zoom=3.0)
+    d = distance_field(s, 96, 64)
+    assert d.shape == (64, 96) and np.isfinite(d).all()
+    # interior reports 0; far exterior has large distance
+    assert (d >= 0).all()
+    assert d[0, 0] > 0.1          # far corner is far from the set
+    assert d.min() == 0.0          # interior present at zoom 3
+    # DE must shrink toward the boundary: compare the far corner with a
+    # pixel adjacent to an interior pixel
+    ys, xs = np.nonzero(d == 0)
+    y, x = ys[len(ys) // 2], xs[len(xs) // 2]
+    if 0 < x < 95:
+        near = max(d[y, x - 1], d[y, x + 1])
+        assert near < d[0, 0]
