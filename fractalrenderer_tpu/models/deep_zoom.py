@@ -99,6 +99,14 @@ def render_fields(scene: Scene, width: int, height: int,
     zoom_hp = HPFloat(str(zoom), hp_bits)
     pixel_size_hp = zoom_hp * HPFloat(4.0, hp_bits) / HPFloat(float(height),
                                                              hp_bits)
+    def pixel_c(py, px):
+        uvx = (px + offset[0]) / width
+        uvy = (py + offset[1]) / height
+        offx = (uvx - 0.5) * (width / height)
+        offy = uvy - 0.5
+        return (cx_hp + pixel_size_hp * HPFloat(offx, hp_bits),
+                cy_hp + pixel_size_hp * HPFloat(offy, hp_bits))
+
     refs = 1
     prev_glitched = None
     while glitch.any() and refs < max_references:
@@ -107,19 +115,22 @@ def render_fields(scene: Scene, width: int, height: int,
             break  # no progress — bail rather than loop on hopeless pixels
         prev_glitched = remaining
         ys, xs = np.nonzero(glitch)
-        # Prefer the flagged pixel that survived longest: its orbit is the
-        # longest available and resolves starved pixels fastest.
-        pick = int(np.argmax(n[ys, xs]))
-        py, px = int(ys[pick]), int(xs[pick])
-        uvx = (px + offset[0]) / width
-        uvy = (py + offset[1]) / height
-        offx = (uvx - 0.5) * (width / height)
-        offy = uvy - 0.5
-        ref_cx = cx_hp + pixel_size_hp * HPFloat(offx, hp_bits)
-        ref_cy = cy_hp + pixel_size_hp * HPFloat(offy, hp_bits)
-
-        orbit2 = orbit_mod.compute_orbit(ref_cx, ref_cy, bits, max_iter + 1,
-                                         force_python=force_python_orbit)
+        # Probe a spread of flagged pixels and adopt the one whose orbit
+        # runs deepest — ideally an interior pixel whose orbit never
+        # escapes, which resolves every starved pixel at once.  Orbit
+        # probes are cheap (native engine, ~2M iter/s).
+        n_cand = min(12, len(ys))
+        idxs = np.linspace(0, len(ys) - 1, n_cand).astype(int)
+        best = None
+        for k in idxs:
+            cxy = pixel_c(int(ys[k]), int(xs[k]))
+            o = orbit_mod.compute_orbit(cxy[0], cxy[1], bits, max_iter + 1,
+                                        force_python=force_python_orbit)
+            if best is None or len(o) > len(best[0]):
+                best = (o, cxy)
+            if len(o) >= max_iter + 1:
+                break  # non-escaping reference found
+        orbit2, (ref_cx, ref_cy) = best
         # delta relative to the new reference needs shift = center - ref
         shift_x = dd_from_string((cx_hp - ref_cx).to_string(40))
         shift_y = dd_from_string((cy_hp - ref_cy).to_string(40))
