@@ -21,17 +21,12 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from ..models import common
-from ..scene import FractalType, Scene
+from ..scene import Scene
 from ..utils import png
 from ..utils.image import to_export_orientation
 from .keyframes import Animation
 
-_FAMILY = {
-    FractalType.MANDELBROT: ("mandelbrot", "centered", False),
-    FractalType.JULIA: ("julia", "uv", True),
-    FractalType.BURNING_SHIP: ("burning_ship", "uv", True),
-    FractalType.PHOENIX: ("phoenix", "uv", True),
-}
+_FAMILY = common.family_map()
 
 
 class RenderStatus(enum.Enum):

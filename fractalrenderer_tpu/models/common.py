@@ -44,6 +44,19 @@ class StaticCfg:
     interpret: Optional[bool] = None
 
 
+# fractal type → (kernel family, AA convention, post-chain clamp) for the
+# four 2D escape-time families (mandelbulb/deep-zoom have their own models).
+def family_map():
+    from ..scene import FractalType
+
+    return {
+        FractalType.MANDELBROT: ("mandelbrot", "centered", False),
+        FractalType.JULIA: ("julia", "uv", True),
+        FractalType.BURNING_SHIP: ("burning_ship", "uv", True),
+        FractalType.PHOENIX: ("phoenix", "uv", True),
+    }
+
+
 # Dynamic parameter pytree: plain dict of f32 scalars.
 DYN_KEYS = ("center_x", "center_y", "zoom", "bailout", "iter_limit",
             "julia_c_real", "julia_c_imag", "phoenix_p", "phoenix_r",

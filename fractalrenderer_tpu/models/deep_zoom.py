@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import math
 from fractions import Fraction
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..deepzoom import orbit as orbit_mod

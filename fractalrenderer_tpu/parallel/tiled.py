@@ -19,26 +19,20 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import common
-from ..scene import FractalType, Scene
+from ..scene import Scene
 from ..utils import png
 from ..utils.image import to_export_orientation
 from .mesh import make_render_mesh, pad_to_multiple
 
-_FAMILY = {
-    FractalType.MANDELBROT: ("mandelbrot", "centered", False),
-    FractalType.JULIA: ("julia", "uv", True),
-    FractalType.BURNING_SHIP: ("burning_ship", "uv", True),
-    FractalType.PHOENIX: ("phoenix", "uv", True),
-}
+_FAMILY = common.family_map()
 
 
 def render_sharded(scene: Scene, width: int, height: int,

@@ -22,7 +22,6 @@ frame).
 from __future__ import annotations
 
 import shutil
-import sys
 from typing import Optional
 
 import numpy as np
