@@ -112,6 +112,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                        dpi: Optional[float] = 300.0,
                        mesh: Optional[Mesh] = None,
                        use_mesh: bool = False,
+                       compress_level: int = 3,
                        progress_cb=None) -> Dict:
     """Stream a huge still to disk in row bands (config #5).
 

@@ -224,3 +224,38 @@ def test_encoder_graceful_without_frames(tmp_path):
     assert enc.progress.finished
     assert ("No frames" in enc.progress.error
             or "FFmpeg not found" in enc.progress.error)
+
+
+def test_palette_switch_splits_groups(tmp_path):
+    # A mid-timeline palette change recompiles once per group, not per frame
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+    from fractalrenderer_tpu.utils.png import read_png
+
+    a = Animation(duration=4.0, target_fps=1, export_width=32,
+                  export_height=16)
+    a.keyframes.append(Keyframe(0.0, Scene(max_iterations=16, palette_mode=0),
+                                InterpolationType.LINEAR))
+    a.keyframes.append(Keyframe(4.0, Scene(max_iterations=16, palette_mode=3),
+                                InterpolationType.LINEAR))
+    r = AnimationRenderer(batch_size=4)
+    assert r.start_render(a, str(tmp_path))
+    first = read_png(str(tmp_path / "frame_000000.png"))
+    last = read_png(str(tmp_path / "frame_000003.png"))
+    # palette switch at t=0.5 -> visibly different colors
+    assert np.abs(first.astype(int) - last.astype(int)).max() > 20
+
+
+def test_mandelbulb_animation_fallback(tmp_path):
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+
+    a = Animation(duration=2.0, target_fps=1, export_width=24,
+                  export_height=12)
+    a.keyframes.append(Keyframe(0.0, Scene(
+        fractal_type=FractalType.MANDELBULB, max_iterations=8,
+        rotation_y=0.0)))
+    a.keyframes.append(Keyframe(2.0, Scene(
+        fractal_type=FractalType.MANDELBULB, max_iterations=8,
+        rotation_y=1.0)))
+    r = AnimationRenderer()
+    assert r.start_render(a, str(tmp_path))
+    assert len(os.listdir(tmp_path)) == 2
