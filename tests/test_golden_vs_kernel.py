@@ -207,3 +207,25 @@ def test_distance_estimate_field():
     if 0 < x < 95:
         near = max(d[y, x - 1], d[y, x + 1])
         assert near < d[0, 0]
+
+
+def test_jit_cache_discipline():
+    # SURVEY §5: dynamic-parameter changes must NOT recompile; structural
+    # changes must compile a separate executable.
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu import Scene
+
+    s = Scene(max_iterations=24)
+    cfg = common.scene_static_cfg(s, 32, 16, "mandelbrot", "centered", False)
+    fn = common.compiled_render_fn(cfg)
+    base = fn._cache_size()
+    for z in (3.0, 1.5, 0.7, 0.31):
+        np.asarray(fn(common.scene_dyn_params(s.with_(zoom=z))))
+    assert fn._cache_size() == max(base, 1)  # one executable for all zooms
+
+    # a palette change is structural → a different compiled fn
+    cfg2 = common.scene_static_cfg(s.with_(palette_mode=3), 32, 16,
+                                   "mandelbrot", "centered", False)
+    assert common.compiled_render_fn(cfg2) is not fn
+    # same cfg → same cached fn object
+    assert common.compiled_render_fn(cfg) is fn
