@@ -208,7 +208,8 @@ def cmd_animate(args) -> int:
             last[0] = f
 
     r.on_frame_complete = on_frame
-    ok = r.start_render(anim, args.out_dir, args.width, args.height)
+    ok = r.start_render(anim, args.out_dir, args.width, args.height,
+                        bit_depth=args.bit_depth)
     print()
     if not ok:
         print("render failed or cancelled", file=sys.stderr)
@@ -304,6 +305,32 @@ def cmd_zoom_path(args) -> int:
         print(f"\rframe {f+1}/{args.frames} zoom={zoom:.3e}", end="",
               flush=True)
     print()
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """BASELINE config #2: render a batch of Julia c values in one device
+    dispatch and write a PNG per c."""
+    from .models.julia import render_c_sweep
+    from .scene import FractalType
+
+    scene = scene_from_args(args).with_(fractal_type=FractalType.JULIA)
+    c0 = tuple(float(v) for v in args.c_start.split(","))
+    c1 = tuple(float(v) for v in args.c_end.split(","))
+    n = max(args.count, 1)
+    cs = [(c0[0] + (c1[0] - c0[0]) * k / max(n - 1, 1),
+           c0[1] + (c1[1] - c0[1]) * k / max(n - 1, 1)) for k in range(n)]
+    t0 = time.monotonic()
+    out = np.asarray(render_c_sweep(scene, cs, args.width, args.height))
+    dt = time.monotonic() - t0
+    os.makedirs(args.out_dir, exist_ok=True)
+    for k, (img, c) in enumerate(zip(out, cs)):
+        png.write_png(os.path.join(args.out_dir, f"sweep_{k:03d}.png"),
+                      to_export_orientation(img),
+                      metadata={"Julia c": f"{c[0]} + {c[1]}i"})
+    mpix = n * args.width * args.height / dt / 1e6
+    print(f"Rendered {n} c values in {dt:.2f}s ({mpix:.0f} Mpix/s) "
+          f"-> {args.out_dir}")
     return 0
 
 
@@ -405,6 +432,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--out-dir", default="frames")
+    p.add_argument("--bit-depth", type=int, default=8, choices=(8, 16))
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--encode", action="store_true")
     p.add_argument("--video-out", default=None)
@@ -452,6 +480,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--out-dir", default="zoom_frames")
     p.set_defaults(fn=cmd_zoom_path)
+
+    p = sub.add_parser("sweep", help="batched Julia c-parameter sweep")
+    _add_scene_args(p)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--c-start", default="-0.9,0.1",
+                   help="start c as 're,im'")
+    p.add_argument("--c-end", default="-0.6,0.3", help="end c as 're,im'")
+    p.add_argument("--count", type=int, default=16)
+    p.add_argument("--out-dir", default="sweep")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("interactive", help="terminal viewer (ANSI art REPL)")
     _add_scene_args(p)

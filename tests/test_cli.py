@@ -180,3 +180,12 @@ def test_viewer_commands(tmp_path):
     path = str(tmp_path / "shot.png")
     msg = v2.handle(f"save {path}")
     assert "saved" in msg and os.path.exists(path)
+
+
+def test_sweep_cli(tmp_path):
+    out_dir = str(tmp_path / "sw")
+    rc = cli.main(["sweep", "--width", "32", "--height", "16",
+                   "--iters", "16", "--count", "3", "--out-dir", out_dir])
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["sweep_000.png", "sweep_001.png",
+                                           "sweep_002.png"]
