@@ -113,11 +113,17 @@ class AnimationRenderer:
         # raymarch and perturbation don't fit the 2D batch pipeline).
         if scenes[0].fractal_type not in _FAMILY:
             from .. import models
+            from ..scene import FractalType
 
             for f, sc in enumerate(scenes):
                 if self._cancel:
                     self.progress.status = RenderStatus.CANCELLED
                     return False
+                if sc.fractal_type == FractalType.MANDELBULB:
+                    # the reference drives the bulb's animation clock from
+                    # the frame time (vk_engine render_animation_frame
+                    # passes time into the dispatch)
+                    sc = sc.with_(time=animation.frame_time(f))
                 img = np.asarray(models.render(sc, width, height))
                 path = os.path.join(output_folder, f"frame_{f:06d}.png")
                 png.write_png(path, to_export_orientation(img),

@@ -49,8 +49,14 @@ def _scene_coords(scene: Scene):
 def render_fields(scene: Scene, width: int, height: int,
                   max_references: int = 16, glitch_tol: float = 1e-6,
                   offset: Tuple[float, float] = (0.0, 0.0),
-                  force_python_orbit: bool = False):
-    """Returns (n, zx, zy, glitch_remaining, info dict)."""
+                  force_python_orbit: bool = False,
+                  orbit_cache: dict = None):
+    """Returns (n, zx, zy, glitch_remaining, info dict).
+
+    ``orbit_cache``: optional dict keyed by HP center strings; lets
+    supersampled renders and zoom animations reuse reference orbits across
+    calls (the reference recomputes only when dirty —
+    deep_zoom_system.cpp:363)."""
     cx, cy, zoom = _scene_coords(scene)
     zoom_f = float(Fraction(str(zoom)))
     mode, bits = precision_mode_for_zoom(zoom_f)
@@ -66,8 +72,17 @@ def render_fields(scene: Scene, width: int, height: int,
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
     # full-strength (interior) reference needs max_iter+1 stored entries.
-    orbit = orbit_mod.compute_orbit(cx, cy, bits, max_iter + 1,
+    def cached_orbit(ocx, ocy):
+        key = (str(ocx), str(ocy), bits, max_iter)
+        if orbit_cache is not None and key in orbit_cache:
+            return orbit_cache[key]
+        o = orbit_mod.compute_orbit(ocx, ocy, bits, max_iter + 1,
                                     force_python=force_python_orbit)
+        if orbit_cache is not None:
+            orbit_cache[key] = o
+        return o
+
+    orbit = cached_orbit(cx, cy)
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0:
@@ -123,8 +138,7 @@ def render_fields(scene: Scene, width: int, height: int,
         best = None
         for k in idxs:
             cxy = pixel_c(int(ys[k]), int(xs[k]))
-            o = orbit_mod.compute_orbit(cxy[0], cxy[1], bits, max_iter + 1,
-                                        force_python=force_python_orbit)
+            o = cached_orbit(cxy[0], cxy[1])
             if best is None or len(o) > len(best[0]):
                 best = (o, cxy)
             if len(o) >= max_iter + 1:
@@ -165,11 +179,13 @@ def render(scene: Scene, width: int, height: int,
     spp = max(int(scene.samples_per_pixel), 1)
     acc = np.zeros((height, width, 3), np.float32)
     infos = []
+    cache = {}
     for sy in range(spp):
         for sx in range(spp):
             off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
             n, zx, zy, _, info = render_fields(scene, width, height,
-                                               offset=off, **kw)
+                                               offset=off, orbit_cache=cache,
+                                               **kw)
             acc += np.asarray(
                 coloring.color_deep_zoom(np, n, zx, zy, p))
             infos.append(info)

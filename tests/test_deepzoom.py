@@ -438,3 +438,27 @@ def test_series_skip_preserves_counts():
     # differ; structure must agree.
     assert mism < 0.15, f"series skip changed {mism:.3%} of counts"
     assert abs((n0 == 2500).mean() - (n1 == 2500).mean()) < 0.02
+
+
+def test_orbit_cache_reused():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    calls = []
+    orig = deep_zoom.orbit_mod.compute_orbit
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    deep_zoom.orbit_mod.compute_orbit = counting
+    try:
+        s = Scene(fractal_type=FractalType.DEEP_ZOOM, zoom=1e-4,
+                  max_iterations=200, use_perturbation=True,
+                  samples_per_pixel=2)
+        deep_zoom.render(s, 24, 16)
+    finally:
+        deep_zoom.orbit_mod.compute_orbit = orig
+    # 4 supersamples share one center orbit (+ any secondary refs computed
+    # once each); without the cache this would be >= 4
+    assert len(calls) <= 3, f"orbit computed {len(calls)} times"
