@@ -4,11 +4,11 @@
 The DE/camera/shading math lives in ops/bulb_math (backend-agnostic); this
 module supplies two march drivers over it:
 
-- a jitted XLA path (`render`) using lax.while_loop for the march and the DE
-  inner loop — the mandelbulb's arithmetic intensity is dominated by
-  transcendentals (pow/acos/atan2/sincos per DE step), so plain XLA fusion
-  is already compute-bound; a Pallas variant is future tuning headroom.
-- a numpy golden twin (`render_numpy`) with identical masked-update
+- the default Pallas tile-local march (ops/bulb_kernel.py): a VMEM tile
+  exits as soon as *its* pixels converge instead of synchronizing march/DE
+  loops at image granularity like plain XLA loops do.
+- a jitted XLA path (pallas_march=False) with exact inverse trig, and a
+  numpy golden twin (`render_numpy`) with identical masked-update
   semantics for tests.
 
 AA: N×N subpixel offsets (sx, sy)/aa like the 2D centered convention
@@ -154,21 +154,9 @@ def _march(xp, de_fn, ro, rdx, rdy, rdz, power, max_iter):
     return hit, t, d_hit, esc_hit
 
 
-def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
-                   off=(0.0, 0.0)):
-    ro, dyn_power = bm.camera_setup(p)
-    if xp is np:
-        pyg, pxg = np.mgrid[0:height, 0:width].astype(np.float32)
-    else:
-        pyg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
-        pxg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
-    pxg = pxg + xp.float32(off[0])
-    pyg = pyg + xp.float32(off[1])
-    rdx, rdy, rdz = bm.ray_dirs(xp, pxg, pyg, width, height, ro, p.fov)
-
-    hit, t, d_hit, esc_hit = _march(xp, de_fn, ro, rdx, rdy, rdz,
-                                    dyn_power, p.max_iterations)
-
+def _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit, esc_hit,
+                   p: bm.BulbParams, dyn_power):
+    """Shading after the march: normals, AO, palettes, sky."""
     hx = ro[0] + rdx * t
     hy = ro[1] + rdy * t
     hz = ro[2] + rdz * t
@@ -202,15 +190,43 @@ def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
     return xp.where(hit[..., None], hit_color, sky)
 
 
+def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
+                   off=(0.0, 0.0), pallas_march: bool = False):
+    ro, dyn_power = bm.camera_setup(p)
+    if xp is np:
+        pyg, pxg = np.mgrid[0:height, 0:width].astype(np.float32)
+    else:
+        pyg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+        pxg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    pxg = pxg + xp.float32(off[0])
+    pyg = pyg + xp.float32(off[1])
+    rdx, rdy, rdz = bm.ray_dirs(xp, pxg, pyg, width, height, ro, p.fov)
+
+    if pallas_march:
+        from ..ops.bulb_kernel import march_fields
+
+        f = march_fields(width, height, ro=ro, fov=p.fov, power=dyn_power,
+                         max_iter=p.max_iterations, offset=off)
+        hit = f["hit"] > 0.5
+        t, d_hit, esc_hit = f["t"], f["d"], f["esc"]
+    else:
+        hit, t, d_hit, esc_hit = _march(xp, de_fn, ro, rdx, rdy, rdz,
+                                        dyn_power, p.max_iterations)
+    return _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit,
+                          esc_hit, p, dyn_power)
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled(width: int, height: int, p: bm.BulbParams):
+def _compiled(width: int, height: int, p: bm.BulbParams,
+              pallas_march: bool = True):
     def fn():
         acc = jnp.zeros((height, width, 3), jnp.float32)
         aa = p.aa_samples
         for sy in range(aa):
             for sx in range(aa):
                 acc = acc + _render_sample(
-                    jnp, _de_jax, width, height, p, (sx / aa, sy / aa))
+                    jnp, _de_jax, width, height, p, (sx / aa, sy / aa),
+                    pallas_march=pallas_march)
         color = acc / jnp.float32(aa * aa)
         color = coloring.enhance_color(jnp, color, p.brightness,
                                        p.saturation, p.contrast)
@@ -220,8 +236,13 @@ def _compiled(width: int, height: int, p: bm.BulbParams):
     return jax.jit(fn)
 
 
-def render(scene: Scene, width: int, height: int, **kw):
-    return _compiled(width, height, _bulb_params(scene))()
+def render(scene: Scene, width: int, height: int,
+           pallas_march: bool = True, **kw):
+    """pallas_march=True uses the tile-local Pallas raymarcher
+    (ops/bulb_kernel.py, ~2e-6 trig approximation); False forces the plain
+    XLA march (exact trig, image-global loop sync)."""
+    return _compiled(width, height, _bulb_params(scene),
+                     bool(pallas_march))()
 
 
 def render_numpy(scene: Scene, width: int, height: int) -> np.ndarray:

@@ -1,0 +1,192 @@
+"""Pallas Mandelbulb march kernel — per-tile raymarching with local early
+exit.
+
+The XLA lax-loop implementation (models/mandelbulb.py) synchronizes its
+march and DE loops at *image* granularity: every step runs until the
+slowest pixel of the whole frame converges, and every intermediate array
+round-trips HBM.  This kernel marches a (th, tw) VMEM tile instead, so a
+tile of sky pixels exits after a handful of steps while bulb-surface tiles
+keep stepping — the same divergence argument as ops/escape.py, applied to
+raymarching.
+
+Inverse trig inside the kernel uses ops/trig.py approximations (~2e-6 abs)
+because Mosaic does not lower atan/atan2/acos.
+
+Outputs: hit (f32 0/1), t, d_hit, esc_hit — the shading pass (normals, AO,
+palettes, fog) stays in XLA where exact trig exists and each extra DE
+evaluation is uniform work.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import bulb_math as bm
+from . import trig
+from .pallas_utils import cdiv, default_interpret
+
+(B_ROX, B_ROY, B_ROZ, B_FOV, B_POWER, B_LIMIT, B_OFFX, B_OFFY) = range(8)
+NB = 8
+
+
+def _de_tile(px, py, pz, power, max_iter_cap, limit):
+    """In-kernel DE + escape iteration over a tile.
+
+    No boolean loop carries (Mosaic cannot yield i1 vectors): the active
+    mask is *derived* each step from the frozen z — once |z| leaves
+    [1e-4, 2] the freeze makes the predicate latch — and the escape
+    iteration uses a -1 sentinel instead of a carried flag."""
+    shape = px.shape
+    acos_fn = lambda v: trig.acos(jnp, v)
+    atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
+
+    def act_of(zx, zy, zz):
+        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+        return (r <= 2.0) & (r >= 1e-4), r
+
+    def cond(s):
+        i, zx, zy, zz, dr, esc = s
+        act, _ = act_of(zx, zy, zz)
+        return (i < limit) & jnp.any(act)
+
+    def body(s):
+        i, zx, zy, zz, dr, esc = s
+        act, r = act_of(zx, zy, zz)
+        esc = jnp.where((esc < 0.0) & (r > 2.0), i.astype(jnp.float32), esc)
+        zx, zy, zz, dr, _ = bm.de_step(jnp, zx, zy, zz, dr, px, py, pz,
+                                       power, act, acos_fn, atan2_fn)
+        return (i + 1, zx, zy, zz, dr, esc)
+
+    s0 = (jnp.int32(0), px, py, pz, jnp.ones(shape, jnp.float32),
+          jnp.full(shape, -1.0, jnp.float32))
+    i, zx, zy, zz, dr, esc = jax.lax.while_loop(cond, body, s0)
+    r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+    # pixels that never escaped report limit; also catch an escape the loop
+    # exit skipped recording
+    esc = jnp.where((esc < 0.0) & (r > 2.0),
+                    jnp.zeros_like(esc) + limit.astype(jnp.float32) - 1.0,
+                    esc)
+    esc = jnp.where(esc < 0.0, limit.astype(jnp.float32), esc)
+    return bm.de_finish(jnp, r, dr), esc
+
+
+def _make_kernel(width: int, height: int, max_iter_cap: int,
+                 tile: Tuple[int, int]):
+    th, tw = tile
+
+    def kernel(params_ref, hit_ref, t_ref, d_ref, esc_ref):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+        in_bounds = (rows < height) & (cols < width)
+
+        ro = (params_ref[0, B_ROX], params_ref[0, B_ROY],
+              params_ref[0, B_ROZ])
+        fov = params_ref[0, B_FOV]
+        power = params_ref[0, B_POWER]
+        limit = params_ref[0, B_LIMIT].astype(jnp.int32)
+
+        pxf = cols.astype(jnp.float32) + params_ref[0, B_OFFX]
+        pyf = rows.astype(jnp.float32) + params_ref[0, B_OFFY]
+        # ray directions (bulb_math.ray_dirs needs scalar ro as floats;
+        # replicate its math with traced scalars)
+        ux = (pxf - jnp.float32(width) * 0.5) / jnp.float32(height)
+        uy = (pyf - jnp.float32(height) * 0.5) / jnp.float32(height)
+        rlen = jnp.sqrt(ro[0] * ro[0] + ro[1] * ro[1] + ro[2] * ro[2])
+        fwd = (-ro[0] / rlen, -ro[1] / rlen, -ro[2] / rlen)
+        rl = jnp.maximum(jnp.sqrt(fwd[2] * fwd[2] + fwd[0] * fwd[0]), 1e-12)
+        right = (fwd[2] / rl, jnp.float32(0.0), -fwd[0] / rl)
+        up = (fwd[1] * right[2] - fwd[2] * right[1],
+              fwd[2] * right[0] - fwd[0] * right[2],
+              fwd[0] * right[1] - fwd[1] * right[0])
+        dx = fwd[0] + right[0] * ux * fov + up[0] * uy * fov
+        dy = fwd[1] + right[1] * ux * fov + up[1] * uy * fov
+        dz = fwd[2] + right[2] * ux * fov + up[2] * uy * fov
+        inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        rdx, rdy, rdz = dx * inv, dy * inv, dz * inv
+
+        # f32 status flags instead of bool carries (Mosaic i1 limitation):
+        # hit_f: 1.0 once converged; done_f: 1.0 once terminated (hit, NaN,
+        # or out of range).
+        def cond(s):
+            step, t, hit_f, done_f, d_hit, esc_hit = s
+            return (step < bm.MAX_STEPS) & jnp.any(done_f == 0.0)
+
+        def body(s):
+            step, t, hit_f, done_f, d_hit, esc_hit = s
+            act = done_f == 0.0
+            d, esc = _de_tile(ro[0] + rdx * t, ro[1] + rdy * t,
+                              ro[2] + rdz * t, power, max_iter_cap, limit)
+            bad = ~jnp.isfinite(d)
+            threshold = jnp.maximum(jnp.float32(1e-4), 1e-3 * t)
+            hit_now = act & ~bad & (d < threshold)
+            hit_f = jnp.maximum(hit_f, hit_now.astype(jnp.float32))
+            d_hit = jnp.where(hit_now, d, d_hit)
+            esc_hit = jnp.where(hit_now, esc, esc_hit)
+            out = (t > bm.MAX_DIST) | (d > bm.MAX_DIST)
+            ended = hit_now | (act & (bad | out))
+            done_f = jnp.maximum(done_f, ended.astype(jnp.float32))
+            still = act & ~ended
+            t = jnp.where(still, t + jnp.maximum(d * 0.5, 0.0005), t)
+            return (step + 1, t, hit_f, done_f, d_hit, esc_hit)
+
+        s0 = (jnp.int32(0), jnp.full((th, tw), 0.001, jnp.float32),
+              jnp.zeros((th, tw), jnp.float32),
+              jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32),
+              jnp.zeros((th, tw), jnp.float32),
+              jnp.zeros((th, tw), jnp.float32))
+        _, t, hit_f, _, d_hit, esc_hit = jax.lax.while_loop(cond, body, s0)
+
+        hit_ref[:, :] = hit_f
+        t_ref[:, :] = t
+        d_ref[:, :] = d_hit
+        esc_ref[:, :] = esc_hit
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height",
+                                             "max_iter_cap", "tile",
+                                             "interpret"))
+def _march_call(params, *, width, height, max_iter_cap, tile, interpret):
+    th, tw = tile
+    grid = (cdiv(height, th), cdiv(width, tw))
+    kernel = _make_kernel(width, height, max_iter_cap, tile)
+    out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
+                       for _ in range(4))
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(out_spec for _ in out_shapes),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(params)
+
+
+def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
+                 offset=(0.0, 0.0), tile=(32, 128),
+                 interpret: Optional[bool] = None):
+    """Tile-local raymarch; returns dict(hit, t, d, esc) as f32 fields."""
+    if interpret is None:
+        interpret = default_interpret()
+    params = np.zeros((1, NB), np.float32)
+    params[0, B_ROX], params[0, B_ROY], params[0, B_ROZ] = ro
+    params[0, B_FOV] = fov
+    params[0, B_POWER] = power
+    params[0, B_LIMIT] = max(1, int(max_iter))
+    params[0, B_OFFX], params[0, B_OFFY] = offset
+    hit, t, d, esc = _march_call(
+        jnp.asarray(params), width=width, height=height,
+        max_iter_cap=int(max_iter), tile=tuple(tile),
+        interpret=bool(interpret))
+    return {"hit": hit, "t": t, "d": d, "esc": esc}

@@ -88,12 +88,18 @@ def ray_dirs(xp, px, py, width, height, ro, fov):
     return dx * inv, dy * inv, dz * inv
 
 
-def de_step(xp, zx, zy, zz, dr, px, py, pz, power, active):
-    """One DE iteration (mandelbulb.comp:98-104), masked by ``active``."""
+def de_step(xp, zx, zy, zz, dr, px, py, pz, power, active,
+            acos_fn=None, atan2_fn=None):
+    """One DE iteration (mandelbulb.comp:98-104), masked by ``active``.
+
+    ``acos_fn``/``atan2_fn`` default to the backend's exact functions; the
+    Pallas kernel passes ops.trig approximations (Mosaic lowers neither)."""
+    acos_fn = acos_fn or (lambda v: xp.arccos(v))
+    atan2_fn = atan2_fn or (lambda a, b: xp.arctan2(a, b))
     r = xp.sqrt(zx * zx + zy * zy + zz * zz)
     rs = xp.maximum(r, 1e-12)
-    theta = xp.arccos(xp.clip(zz / rs, -1.0, 1.0))
-    phi = xp.arctan2(zy, zx)
+    theta = acos_fn(xp.clip(zz / rs, -1.0, 1.0))
+    phi = atan2_fn(zy, zx)
     r_pow = xp.power(rs, power - 1.0)
     ndr = r_pow * power * dr + 1.0
     zr = xp.power(rs, power)
