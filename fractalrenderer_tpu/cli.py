@@ -195,6 +195,13 @@ def cmd_animate(args) -> int:
         anim.target_fps = args.fps
     if args.duration and args.franim is None:
         anim.duration = args.duration
+    if args.width:
+        anim.export_width = args.width
+    if args.height:
+        anim.export_height = args.height
+    if args.save_franim:
+        franim.save(anim, args.save_franim)
+        print(f"Saved animation -> {args.save_franim}")
 
     r = AnimationRenderer(batch_size=args.batch_size)
     last = [-1]
@@ -432,6 +439,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--out-dir", default="frames")
+    p.add_argument("--save-franim", default=None,
+                   help="also write the animation as a .franim file")
     p.add_argument("--bit-depth", type=int, default=8, choices=(8, 16))
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--encode", action="store_true")

@@ -128,14 +128,15 @@ def color_mandelbrot(xp, n, zx, zy, min_trap, p: ColorParams):
     if p.interior_style == 1:
         interior_color = xp.zeros_like(color)
     elif p.interior_style == 2:
-        trap_factor = xp.exp(-min_trap * 6.0 / max(p.orbit_trap_radius, 1e-6))
+        r2 = xp.maximum(_f32(xp, p.orbit_trap_radius), 1e-6)
+        trap_factor = xp.exp(-min_trap * 6.0 / r2)
         interior_color = pal.palette_color(
             xp, p.color_offset + trap_factor * 0.3, p.palette_mode, "classic")
     else:
         interior_color = None  # style 0 falls through to the exterior path
 
     if p.orbit_trap_enabled:
-        r = max(p.orbit_trap_radius, 1e-6)
+        r = xp.maximum(_f32(xp, p.orbit_trap_radius), 1e-6)
         trap_factor = xp.exp(-min_trap * 4.0 / r)
         trap_color = pal._vec3(xp, 1.0, 0.8, 0.4)
         w = xp.clip(trap_factor * 0.8, 0.0, 1.0)[..., None]

@@ -189,3 +189,17 @@ def test_sweep_cli(tmp_path):
     assert rc == 0
     assert sorted(os.listdir(out_dir)) == ["sweep_000.png", "sweep_001.png",
                                            "sweep_002.png"]
+
+
+def test_animate_save_franim(tmp_path):
+    fr_path = str(tmp_path / "zoom.franim")
+    out_dir = str(tmp_path / "fr")
+    rc = cli.main(["animate", "--zoom-to", "1.0", "--duration", "2",
+                   "--fps", "1", "--width", "24", "--height", "12",
+                   "--iters", "8", "--out-dir", out_dir,
+                   "--save-franim", fr_path])
+    assert rc == 0 and os.path.exists(fr_path)
+    from fractalrenderer_tpu.anim import franim
+
+    a = franim.load(fr_path)
+    assert a.export_width == 24 and len(a.keyframes) == 2

@@ -229,3 +229,48 @@ def test_jit_cache_discipline():
     assert common.compiled_render_fn(cfg2) is not fn
     # same cfg → same cached fn object
     assert common.compiled_render_fn(cfg) is fn
+
+
+@pytest.mark.parametrize("scene_kw", [
+    dict(orbit_trap_enabled=True, orbit_trap_radius=0.3),
+    dict(stripe_enabled=True, stripe_density=7.0),
+    dict(interior_style=1),
+    dict(interior_style=2, orbit_trap_enabled=True),
+    dict(color_offset=0.37, color_scale=2.5, palette_mode=4),
+    dict(color_brightness=1.4, color_saturation=0.6, color_contrast=1.2),
+])
+def test_mandelbrot_effects_match_golden(scene_kw):
+    from fractalrenderer_tpu import Scene, render, render_numpy
+
+    s = Scene(max_iterations=48, zoom=2.8, **scene_kw)
+    img = np.asarray(render(s, 48, 32))
+    ref = render_numpy(s, 48, 32)
+    bad = (np.abs(img - ref) > 2e-2).any(axis=-1)
+    assert bad.mean() < 0.02, f"bad frac {bad.mean()} for {scene_kw}"
+
+
+@pytest.mark.parametrize("scene_kw", [
+    dict(interior_style=1, orbit_trap_enabled=True),
+    dict(interior_style=2, stripe_enabled=True, stripe_density=12.0),
+    dict(interior_style=3),
+])
+def test_burning_ship_interior_styles_match_golden(scene_kw):
+    from fractalrenderer_tpu import FractalType, Scene, render, render_numpy
+
+    s = Scene(fractal_type=FractalType.BURNING_SHIP, center_x=-0.5,
+              center_y=-0.6, zoom=2.0, max_iterations=48, **scene_kw)
+    img = np.asarray(render(s, 48, 32))
+    ref = render_numpy(s, 48, 32)
+    bad = (np.abs(img - ref) > 2e-2).any(axis=-1)
+    assert bad.mean() < 0.06, f"bad frac {bad.mean()} for {scene_kw}"
+
+
+def test_phoenix_julia_param_render_matches_golden():
+    from fractalrenderer_tpu import FractalType, Scene, render, render_numpy
+
+    s = Scene(fractal_type=FractalType.PHOENIX, zoom=3.0, max_iterations=48,
+              phoenix_p=0.2, phoenix_r=-0.3, stripe_density=5.0)
+    img = np.asarray(render(s, 48, 32))
+    ref = render_numpy(s, 48, 32)
+    bad = (np.abs(img - ref) > 2e-2).any(axis=-1)
+    assert bad.mean() < 0.03
