@@ -281,7 +281,9 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     if interpret is None:
         interpret = default_interpret()
     if tile is None:
-        tile = pick_tile(height, width, max_tile=(64, 256))
+        # (64,128) measured best at 1080p/1e-12 (17.4 vs 14.5 Mpix/s for
+        # (64,256)) — same divergence argument as the escape kernel
+        tile = pick_tile(height, width)
     if iter_limit is None:
         iter_limit = max_iter
     L = int(min(len(orbit), MAX_ORBIT_SMEM))
