@@ -203,3 +203,13 @@ def test_animate_save_franim(tmp_path):
 
     a = franim.load(fr_path)
     assert a.export_width == 24 and len(a.keyframes) == 2
+
+
+def test_zoom_path_cli(tmp_path):
+    out_dir = str(tmp_path / "zp")
+    rc = cli.main(["zoom-path", "--preset-zoom", "Seahorse", "--frames", "2",
+                   "--width", "24", "--height", "12", "--iters", "150",
+                   "--out-dir", out_dir])
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["frame_000000.png",
+                                           "frame_000001.png"]
