@@ -125,6 +125,8 @@ class Viewer:
                 write_png(path, to_export_orientation(img),
                           metadata=s.metadata_summary())
                 return f"saved {path}"
+            elif cmd in ("m", "minimap"):
+                return self.minimap()
             elif cmd == "coords":
                 return (f"center=({s.center_x!r}, {s.center_y!r}) "
                         f"zoom={s.zoom!r} iters={s.max_iterations}")
@@ -135,6 +137,33 @@ class Viewer:
         except (ValueError, KeyError, IndexError) as e:
             return f"error: {e}"
         return ""
+
+    def minimap(self) -> str:
+        """Overview map with a position indicator (ui_manager.cpp:1497-1538
+        drew a cardioid sketch; we render the real set) — shows where the
+        current center sits in the default viewport of the current type."""
+        from dataclasses import replace as _r
+
+        s = self.scene
+        over = _r(s, center_x=-0.5 if s.fractal_type.name != "BURNING_SHIP"
+                  else -0.5,
+                  center_y=0.0 if s.fractal_type.name != "BURNING_SHIP"
+                  else -0.6,
+                  zoom=2.5, max_iterations=64, antialiasing_samples=1)
+        w, h = min(self.width, 60), min(self.height, 40)
+        img = np.asarray(models.render(over, w, h))[::-1]
+        # invert the centered mapping to place the marker
+        #   px = (cx - over_cx)/zoom * h + 0.5*w   (centered convention)
+        mx = int((s.center_x - over.center_x) / over.zoom * h + 0.5 * w)
+        my_render = (s.center_y - over.center_y) / over.zoom * h + 0.5 * h
+        my = int(h - 1 - my_render)  # display flip
+        img = np.array(img)
+        if 0 <= my < h and 0 <= mx < w:
+            y0, y1 = max(my - 1, 0), min(my + 2, h)
+            x0, x1 = max(mx - 1, 0), min(mx + 2, w)
+            img[y0:y1, x0:x1] = np.array([1.0, 0.1, 0.1], np.float32)
+        return (ansi_render(img)
+                + f"\ncenter marker at ({mx}, {my})")
 
     def frame(self) -> str:
         img = np.asarray(models.render(self.scene, self.width, self.height))

@@ -213,3 +213,13 @@ def test_zoom_path_cli(tmp_path):
     assert rc == 0
     assert sorted(os.listdir(out_dir)) == ["frame_000000.png",
                                            "frame_000001.png"]
+
+
+def test_viewer_minimap():
+    from fractalrenderer_tpu.viewer import Viewer
+    from fractalrenderer_tpu.scene import Scene
+
+    v = Viewer(Scene(max_iterations=16, zoom=0.05,
+                     center_x=-0.745, center_y=0.113), cols=24, rows=8)
+    out = v.handle("minimap")
+    assert "▀" in out and "center marker" in out
