@@ -42,13 +42,14 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 # params vector layout (f32, SMEM)
 (Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_ZH, Q_ZL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
- Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP) = range(23)
-NQ = 23
+ Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0) = range(24)
+NQ = 24
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 
 
-def _make_kernel(width: int, height: int, tile: Tuple[int, int], chunk: int,
+def _make_kernel(width: int, height: int, map_height: int,
+                 tile: Tuple[int, int], chunk: int,
                  float_continuation: bool):
     th, tw = tile
 
@@ -56,9 +57,12 @@ def _make_kernel(width: int, height: int, tile: Tuple[int, int], chunk: int,
                n_ref, zx_ref, zy_ref, glitch_ref):
         tj = pl.program_id(1)
         ti = pl.program_id(0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+        row0 = params_ref[0, Q_ROW0].astype(jnp.int32)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                + ti * th + row0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
-        in_bounds = (rows < height) & (cols < width)
+        in_bounds = (rows < map_height) & (cols < width) \
+            & (rows - row0 < height)
 
         limit = params_ref[0, Q_LIMIT].astype(jnp.int32)
         bail2 = params_ref[0, Q_BAIL2]
@@ -67,7 +71,7 @@ def _make_kernel(width: int, height: int, tile: Tuple[int, int], chunk: int,
 
         # --- per-pixel delta c in double-double (comp:117-143) ----------
         wf = jnp.float32(width)
-        hf = jnp.float32(height)
+        hf = jnp.float32(map_height)
         uvx = cols.astype(jnp.float32) / wf + params_ref[0, Q_OFFX] / wf
         uvy = rows.astype(jnp.float32) / hf + params_ref[0, Q_OFFY] / hf
         aspect = wf / hf
@@ -228,13 +232,15 @@ def _make_kernel(width: int, height: int, tile: Tuple[int, int], chunk: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "orbit_cap", "tile", "chunk",
-                     "interpret", "float_continuation"))
+    static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
+                     "chunk", "interpret", "float_continuation"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, *, width, height,
-               orbit_cap, tile, chunk, interpret, float_continuation):
+               map_height, orbit_cap, tile, chunk, interpret,
+               float_continuation):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
-    kernel = _make_kernel(width, height, tile, chunk, float_continuation)
+    kernel = _make_kernel(width, height, map_height, tile, chunk,
+                          float_continuation)
     out_shapes = (
         jax.ShapeDtypeStruct((height, width), jnp.int32),
         jax.ShapeDtypeStruct((height, width), jnp.float32),
@@ -269,9 +275,10 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         offset: Tuple[float, float] = (0.0, 0.0),
                         iter_limit=None, tile=None, chunk: int = 16,
                         float_continuation: bool = True,
-                        series=None,
-                        interpret: Optional[bool] = None
-                        ) -> Dict[str, jax.Array]:
+                        series=None, row0=0.0,
+                        map_height: Optional[int] = None,
+                        interpret: Optional[bool] = None,
+                        _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
     ((L, 2) float64 from deepzoom.orbit).  Returns n/zx/zy/glitch fields.
 
@@ -314,10 +321,17 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         params[0, Q_NSKIP] = series.n_skip
     else:
         params[0, Q_AR], params[0, Q_NSKIP] = 1.0, 1.0
+    params[0, Q_ROW0] = row0
 
-    n, zx, zy, glitch = _pert_call(
-        jnp.asarray(params), jnp.asarray(orbit_re), jnp.asarray(orbit_im),
-        jnp.asarray(mag2), width=width, height=height, orbit_cap=cap,
-        tile=tuple(tile), chunk=chunk, interpret=bool(interpret),
+    operands = (jnp.asarray(params), jnp.asarray(orbit_re),
+                jnp.asarray(orbit_im), jnp.asarray(mag2))
+    call_kw = dict(
+        width=width, height=height,
+        map_height=int(map_height if map_height is not None else height),
+        orbit_cap=cap, tile=tuple(tile), chunk=chunk,
+        interpret=bool(interpret),
         float_continuation=bool(float_continuation))
+    if _build_only:
+        return operands, call_kw
+    n, zx, zy, glitch = _pert_call(*operands, **call_kw)
     return {"n": n, "zx": zx, "zy": zy, "glitch": glitch}

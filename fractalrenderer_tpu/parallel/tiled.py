@@ -102,6 +102,43 @@ def render_frames_sharded(scenes, width: int, height: int,
     return np.asarray(out)[:len(scenes), :height]
 
 
+def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
+                                **pert_kw):
+    """Row-band-sharded perturbation deep zoom: the reference orbit is
+    replicated (it is small and read-only); each device computes its band's
+    deltas — still gather-free.  Same signature/result as
+    ops.perturbation.perturbation_fields."""
+    import numpy as _np
+
+    from ..ops import perturbation as pert
+
+    if mesh is None:
+        mesh = make_render_mesh()
+    n_rows = mesh.shape["rows"]
+    h_pad = pad_to_multiple(height, n_rows)
+    band_h = h_pad // n_rows
+
+    # Build the replicated operands once on host (row0 patched per shard).
+    operands, call_kw = pert.perturbation_fields(
+        orbit, width, band_h, map_height=height, _build_only=True, **pert_kw)
+
+    def shard_body(params, ore, oim, om2):
+        ridx = jax.lax.axis_index("rows")
+        p2 = params.at[0, pert.Q_ROW0].set(
+            (ridx * band_h).astype(jnp.float32))
+        return pert._pert_call(p2, ore, oim, om2, **call_kw)
+
+    fn = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P("rows"), P("rows"), P("rows"), P("rows")),
+        check_vma=False))
+    n, zx, zy, g = fn(*operands)
+    return {"n": _np.asarray(n)[:height], "zx": _np.asarray(zx)[:height],
+            "zy": _np.asarray(zy)[:height],
+            "glitch": _np.asarray(g)[:height]}
+
+
 # ---------------------------------------------------------------------------
 # Progressive / resumable giant stills
 # ---------------------------------------------------------------------------

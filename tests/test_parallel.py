@@ -104,3 +104,22 @@ def test_giant_still_sharded_mesh(tmp_path):
     ref = np.asarray(render(s, 64, 64))[::-1]
     ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(img, ref8)
+
+
+def test_deep_zoom_sharded_matches_single():
+    from fractalrenderer_tpu.deepzoom import orbit as om
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+    from fractalrenderer_tpu.parallel.tiled import perturbation_fields_sharded
+
+    cx, cy = "-0.743643887037151", "0.13182590420533"
+    orb = om.compute_orbit(cx, cy, 64, 401)
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              zoom_dd=dd_from_string("1e-8"), max_iter=400,
+              float_continuation=False)
+    single = perturbation_fields(orb, 64, 48, **kw)
+    sharded = perturbation_fields_sharded(orb, 64, 48, **kw)
+    np.testing.assert_array_equal(sharded["n"], np.asarray(single["n"]))
+    np.testing.assert_array_equal(sharded["zx"], np.asarray(single["zx"]))
+    np.testing.assert_array_equal(sharded["glitch"],
+                                  np.asarray(single["glitch"]))
