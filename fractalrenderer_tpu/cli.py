@@ -372,6 +372,16 @@ def cmd_presets(args) -> int:
     print("\nPrint sizes (ui_manager.cpp:595-611):")
     for name, (w, h) in presets_mod.PRINT_SIZE_PRESETS.items():
         print(f"  {name:18s} {w}x{h}")
+    from .ops import palettes as pal
+
+    print("\nPalettes:")
+    print(f"  mandelbrot/phoenix ({pal.num_palettes('classic')}): "
+          + ", ".join(pal.CLASSIC_NAMES))
+    print(f"  julia/burning-ship ({pal.num_palettes('enhanced')}): "
+          + ", ".join(pal.ENHANCED_NAMES))
+    print(f"  deep zoom ({pal.num_palettes('deepzoom')}): hsv, blue, fire, gray")
+    print(f"  mandelbulb ({pal.num_palettes('bulb')}): dynamic, fire_and_ice,"
+          " lava, neon, dynamic^0.5, fire_and_ice^0.6")
     return 0
 
 

@@ -80,6 +80,7 @@ def scene_static_cfg(scene: Scene, width: int, height: int,
 
 
 def scene_dyn_params(scene: Scene) -> dict:
+    """Extract the dynamic (traced) parameter dict; keys == DYN_KEYS."""
     return {
         "center_x": scene.center_x, "center_y": scene.center_y,
         "zoom": scene.zoom, "bailout": scene.bailout,
@@ -93,6 +94,10 @@ def scene_dyn_params(scene: Scene) -> dict:
         "saturation": scene.color_saturation,
         "contrast": scene.color_contrast,
     }
+
+
+assert set(scene_dyn_params(Scene())) == set(DYN_KEYS), \
+    "DYN_KEYS out of sync with scene_dyn_params"
 
 
 def _track_flags(cfg: StaticCfg) -> Tuple[bool, bool]:

@@ -462,3 +462,22 @@ def test_orbit_cache_reused():
     # 4 supersamples share one center orbit (+ any secondary refs computed
     # once each); without the cache this would be >= 4
     assert len(calls) <= 3, f"orbit computed {len(calls)} times"
+
+
+def test_hpfloat_to_string_roundtrip_negative():
+    # the secondary-reference path round-trips HP values through decimal
+    # strings (models/deep_zoom.py); precision loss there would corrupt
+    # the delta shift
+    from fractions import Fraction
+
+    for v in ("-0.74364388703715158432", "0.0000000013182590420533",
+              "-0.00000000000000000001234", "2.5"):
+        h = hp.HPFloat(v, 256)
+        s = h.to_string(60)
+        err = abs(Fraction(s) - Fraction(v))
+        assert err < Fraction(1, 10 ** 55), (v, s)
+
+
+def test_orbit_limb_overflow_guard():
+    with pytest.raises(OverflowError):
+        orbit._to_limbs(1e30, 128, 3)  # exceeds 3*64-bit magnitude

@@ -274,3 +274,18 @@ def test_phoenix_julia_param_render_matches_golden():
     ref = render_numpy(s, 48, 32)
     bad = (np.abs(img - ref) > 2e-2).any(axis=-1)
     assert bad.mean() < 0.03
+
+
+def test_aa_offsets_formulas():
+    from fractalrenderer_tpu.ops import mapping
+
+    # centered: (sx, sy)/aa (mandelbrot.comp:222-226)
+    offs = mapping.aa_offsets_centered(2)
+    assert offs == ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5))
+    # uv: so = (1/W)/aa; off = (s)*so - so*(aa-1)/2 (julia.comp:253-259)
+    offs = mapping.aa_offsets_uv(2, 100)
+    so = (1 / 100) / 2
+    want0 = (0 * so - so * 0.5, 0 * so - so * 0.5)
+    assert offs[0] == pytest.approx(want0)
+    assert len(offs) == 4
+    assert mapping.aa_offsets_uv(1, 100) == ((0.0, 0.0),)
