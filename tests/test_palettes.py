@@ -124,3 +124,66 @@ def test_traced_palette_switch_matches_static():
                                    "classic")
         np.testing.assert_allclose(np.asarray(static), np.asarray(traced),
                                    atol=1e-6)
+
+
+def _glsl_4seg(t, cols, pre=None):
+    import numpy as np
+
+    c = [np.array(x, np.float64) for x in cols]
+    if pre:
+        t = pre(t)
+    if t < 0.25:
+        return c[0] + (c[1] - c[0]) * (t * 4)
+    if t < 0.5:
+        return c[1] + (c[2] - c[1]) * ((t - 0.25) * 4)
+    if t < 0.75:
+        return c[2] + (c[3] - c[2]) * ((t - 0.5) * 4)
+    return c[3] + (c[4] - c[3]) * ((t - 0.75) * 4)
+
+
+def test_classic_nebula_solar_ocean_segments():
+    # mandelbrot.comp:91-128 exact stops and pre-transforms
+    ts = np.array([0.1, 0.3, 0.6, 0.9], np.float32)
+    neb = pal.classic_nebula(np, ts)
+    want = np.stack([_glsl_4seg(float(t), [(0.02, 0, 0.05), (0.15, 0, 0.25),
+                                           (0, 0.4, 0.6), (0, 0.9, 1),
+                                           (0.9, 0.95, 1)]) for t in ts])
+    np.testing.assert_allclose(neb, want, atol=1e-5)
+
+    sol = pal.classic_solar(np, ts)
+    want = np.stack([_glsl_4seg(float(t) ** 0.9,
+                                [(0.1, 0, 0.1), (0.5, 0, 0.2), (0.9, 0.3, 0),
+                                 (1, 0.8, 0.3), (1, 1, 0.9)]) for t in ts])
+    np.testing.assert_allclose(sol, want, atol=1e-5)
+
+    oc = pal.classic_ocean(np, ts)
+    want = np.stack([_glsl_4seg(float(t) ** 0.85,
+                                [(0, 0.05, 0.08), (0, 0.3, 0.5), (0, 0.7, 0.9),
+                                 (0.2, 0.9, 1), (0.9, 1, 1)]) for t in ts])
+    np.testing.assert_allclose(oc, want, atol=1e-5)
+
+
+def test_enhanced_gold_vaporwave_forest_segments():
+    # julia.comp:100-141
+    def smoothstep(t):
+        t = min(max(t, 0.0), 1.0)
+        return t * t * (3 - 2 * t)
+
+    ts = np.array([0.15, 0.4, 0.65, 0.95], np.float32)
+    gold = pal.enhanced_gold(np, ts)
+    want = np.stack([_glsl_4seg(smoothstep(float(t)),
+                                [(0.1, 0.05, 0), (0.4, 0.2, 0), (0.8, 0.5, 0.1),
+                                 (1, 0.8, 0.3), (1, 1, 0.9)]) for t in ts])
+    np.testing.assert_allclose(gold, want, atol=1e-5)
+
+    vap = pal.enhanced_vaporwave(np, ts)
+    want = np.stack([_glsl_4seg(float(t),
+                                [(0.1, 0, 0.2), (0.5, 0, 0.5), (1, 0, 0.8),
+                                 (0, 0.8, 1), (1, 0.5, 1)]) for t in ts])
+    np.testing.assert_allclose(vap, want, atol=1e-5)
+
+    forest = pal.enhanced_forest(np, ts)
+    want = np.stack([_glsl_4seg(float(t),
+                                [(0, 0.05, 0), (0, 0.2, 0.1), (0.1, 0.5, 0.2),
+                                 (0.3, 0.8, 0.4), (0.8, 1, 0.6)]) for t in ts])
+    np.testing.assert_allclose(forest, want, atol=1e-5)
