@@ -50,13 +50,23 @@ def render_fields(scene: Scene, width: int, height: int,
                   max_references: int = 16, glitch_tol: float = 1e-6,
                   offset: Tuple[float, float] = (0.0, 0.0),
                   force_python_orbit: bool = False,
-                  orbit_cache: dict = None):
+                  orbit_cache: dict = None, mesh=None):
     """Returns (n, zx, zy, glitch_remaining, info dict).
 
     ``orbit_cache``: optional dict keyed by HP center strings; lets
     supersampled renders and zoom animations reuse reference orbits across
     calls (the reference recomputes only when dirty —
-    deep_zoom_system.cpp:363)."""
+    deep_zoom_system.cpp:363).
+    ``mesh``: a jax Mesh with a 'rows' axis routes every kernel pass through
+    the gather-free row-band sharding (parallel/tiled.py)."""
+    if mesh is not None:
+        import functools
+
+        from ..parallel.tiled import perturbation_fields_sharded
+
+        field_fn = functools.partial(perturbation_fields_sharded, mesh=mesh)
+    else:
+        field_fn = perturbation_fields
     cx, cy, zoom = _scene_coords(scene)
     zoom_f = float(Fraction(str(zoom)))
     mode, bits = precision_mode_for_zoom(zoom_f)
@@ -92,7 +102,7 @@ def render_fields(scene: Scene, width: int, height: int,
         dc_max = zoom_f * 4.0 / height * math.hypot(0.5 * aspect, 0.5)
         series = compute_series_skip(orbit, dc_max)
 
-    f = perturbation_fields(
+    f = field_fn(
         orbit, width, height, center_x_dd=center_x_dd,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
@@ -147,7 +157,7 @@ def render_fields(scene: Scene, width: int, height: int,
         # delta relative to the new reference needs shift = center - ref
         shift_x = dd_from_string((cx_hp - ref_cx).to_string(40))
         shift_y = dd_from_string((cy_hp - ref_cy).to_string(40))
-        f2 = perturbation_fields(
+        f2 = field_fn(
             orbit2, width, height,
             center_x_dd=dd_from_string(ref_cx.to_string(40)),
             center_y_dd=dd_from_string(ref_cy.to_string(40)),

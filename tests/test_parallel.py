@@ -123,3 +123,20 @@ def test_deep_zoom_sharded_matches_single():
     np.testing.assert_array_equal(sharded["zx"], np.asarray(single["zx"]))
     np.testing.assert_array_equal(sharded["glitch"],
                                   np.asarray(single["glitch"]))
+
+
+def test_deep_zoom_model_sharded():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.parallel import make_render_mesh
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=600, use_perturbation=True)
+    mesh = make_render_mesh()
+    n_s, zx_s, _, _, info_s = deep_zoom.render_fields(s, 48, 32, mesh=mesh)
+    n_1, zx_1, _, _, info_1 = deep_zoom.render_fields(s, 48, 32)
+    np.testing.assert_array_equal(n_s, n_1)
+    np.testing.assert_array_equal(zx_s, zx_1)
+    assert info_s["references_used"] == info_1["references_used"]
