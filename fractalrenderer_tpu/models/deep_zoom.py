@@ -79,6 +79,9 @@ def render_fields(scene: Scene, width: int, height: int,
     # Past ~1e-7 the f32 continuation c is meaningless; starved pixels are
     # flagged and re-referenced instead (see ops/perturbation.py).
     float_cont = zoom_f > 1e-7
+    # QUAD/ARBITRARY modes iterate the delta in double-double (f64-class
+    # mantissa) — the reference's dd shader tier, applied to the delta.
+    dd_delta = mode.name != "DOUBLE"
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
     # full-strength (interior) reference needs max_iter+1 stored entries.
@@ -106,12 +109,13 @@ def render_fields(scene: Scene, width: int, height: int,
         orbit, width, height, center_x_dd=center_x_dd,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
-        float_continuation=float_cont, series=series)
+        float_continuation=float_cont, series=series, dd_delta=dd_delta)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
     glitch = np.asarray(f["glitch"]) > 0.5
     info = {"precision_mode": mode.name, "precision_bits": bits,
+            "dd_delta": dd_delta,
             "reference_iterations": len(orbit), "references_used": 1,
             "series_skip": series.n_skip if series else 0,
             "glitched_pixels_initial": int(glitch.sum())}
@@ -163,7 +167,7 @@ def render_fields(scene: Scene, width: int, height: int,
             center_y_dd=dd_from_string(ref_cy.to_string(40)),
             zoom_dd=zoom_dd, max_iter=max_iter, bailout=scene.bailout,
             glitch_tol=glitch_tol, ref_shift_x=shift_x, ref_shift_y=shift_y,
-            offset=offset, float_continuation=float_cont)
+            offset=offset, float_continuation=float_cont, dd_delta=dd_delta)
         n2 = np.asarray(f2["n"])
         zx2 = np.asarray(f2["zx"])
         zy2 = np.asarray(f2["zy"])

@@ -42,18 +42,25 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 # params vector layout (f32, SMEM)
 (Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_ZH, Q_ZL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
- Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0) = range(24)
-NQ = 24
+ Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
+ Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL) = range(30)
+NQ = 30
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 
 
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
-                 float_continuation: bool):
+                 float_continuation: bool, dd_delta: bool = False):
+    """``dd_delta=True`` iterates the perturbation delta in double-double
+    (two-f32) instead of plain f32 — f64-class mantissa for the delta, used
+    in the QUAD/ARBITRARY precision modes (zoom < 1e-14).  ~6x the
+    per-iteration cost; escape/glitch tests remain f32 on the composed
+    z_full, which is all the coloring consumes."""
     th, tw = tile
 
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
+               orbit_re_lo_ref, orbit_im_lo_ref,
                n_ref, zx_ref, zy_ref, glitch_ref):
         tj = pl.program_id(1)
         ti = pl.program_id(0)
@@ -117,11 +124,38 @@ def _make_kernel(width: int, height: int, map_height: int,
         dz0r = tr * delta_r - ti * delta_i
         dz0i = tr * delta_i + ti * delta_r
         pert_end = jnp.minimum(limit, ref_len - 1)
+        if dd_delta:
+            # series init in dd: horner with dd coefficients over dd delta-c
+            a_dd = ((params_ref[0, Q_AR], params_ref[0, Q_ARL]),
+                    (params_ref[0, Q_AI], params_ref[0, Q_AIL]))
+            b_dd = ((params_ref[0, Q_BR], params_ref[0, Q_BRL]),
+                    (params_ref[0, Q_BI], params_ref[0, Q_BIL]))
+            c_dd = ((params_ref[0, Q_CR], params_ref[0, Q_CRL]),
+                    (params_ref[0, Q_CI], params_ref[0, Q_CIL]))
+            bt = lambda v: (jnp.broadcast_to(v[0], (th, tw)),
+                            jnp.broadcast_to(v[1], (th, tw)))
+
+            def cmul_dd(ar, ai, br, bi):
+                rr = dd.dd_sub(jnp, dd.dd_mul(jnp, ar, br),
+                               dd.dd_mul(jnp, ai, bi))
+                ri = dd.dd_add(jnp, dd.dd_mul(jnp, ar, bi),
+                               dd.dd_mul(jnp, ai, br))
+                return rr, ri
+
+            tr_dd, ti_dd = bt(c_dd[0]), bt(c_dd[1])
+            tr_dd, ti_dd = cmul_dd(tr_dd, ti_dd, dcx, dcy)
+            tr_dd = dd.dd_add(jnp, tr_dd, bt(b_dd[0]))
+            ti_dd = dd.dd_add(jnp, ti_dd, bt(b_dd[1]))
+            tr_dd, ti_dd = cmul_dd(tr_dd, ti_dd, dcx, dcy)
+            tr_dd = dd.dd_add(jnp, tr_dd, bt(a_dd[0]))
+            ti_dd = dd.dd_add(jnp, ti_dd, bt(a_dd[1]))
+            dz0r_dd, dz0i_dd = cmul_dd(tr_dd, ti_dd, dcx, dcy)
+            dz0r = dd.dd_to_float(jnp, dz0r_dd)
+            dz0i = dd.dd_to_float(jnp, dz0i_dd)
         z1r = orbit_re_ref[n0] + dz0r
         z1i = orbit_im_ref[n0] + dz0i
         big = jnp.float32(3.4e38)
         state0 = {
-            "dzr": dz0r, "dzi": dz0i,
             "zfr": jnp.where(in_bounds, z1r, big),
             "zfi": jnp.where(in_bounds, z1i, jnp.float32(0.0)),
             "nf": jnp.full((th, tw), (n0 - 1).astype(jnp.float32),
@@ -129,6 +163,12 @@ def _make_kernel(width: int, height: int, map_height: int,
             "glitch": jnp.zeros((th, tw), jnp.float32),
             "i": n0,
         }
+        if dd_delta:
+            state0["dzrh"], state0["dzrl"] = dz0r_dd
+            state0["dzih"], state0["dzil"] = dz0i_dd
+        else:
+            state0["dzr"] = dz0r
+            state0["dzi"] = dz0i
 
         def pert_chunk(s):
             def body(k, s):
@@ -140,18 +180,45 @@ def _make_kernel(width: int, height: int, map_height: int,
                 s["nf"] = s["nf"] + alive.astype(jnp.float32)
                 zr = orbit_re_ref[i]
                 zi = orbit_im_ref[i]
-                dzr, dzi = s["dzr"], s["dzi"]
-                # dz <- 2*Z*dz + dz^2 + delta  (comp:156-163)
-                t1r = 2.0 * (zr * dzr - zi * dzi)
-                t1i = 2.0 * (zr * dzi + zi * dzr)
-                t2r = dzr * dzr - dzi * dzi
-                t2i = (2.0 * dzr) * dzi
-                ndzr = t1r + t2r + delta_r
-                ndzi = t1i + t2i + delta_i
-                nzfr = orbit_re_ref[i + 1] + ndzr
-                nzfi = orbit_im_ref[i + 1] + ndzi
-                s["dzr"] = jnp.where(alive, ndzr, dzr)
-                s["dzi"] = jnp.where(alive, ndzi, dzi)
+                if dd_delta:
+                    dzr = (s["dzrh"], s["dzrl"])
+                    dzi = (s["dzih"], s["dzil"])
+                    # the orbit itself is dd in this mode — the f32-rounded
+                    # Z error would otherwise dominate the dd delta
+                    zr_dd = (zr * 2.0, orbit_re_lo_ref[i] * 2.0)  # exact x2
+                    zi_dd = (zi * 2.0, orbit_im_lo_ref[i] * 2.0)
+                    # dz <- 2*Z*dz + dz^2 + delta, all components dd
+                    t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, zr_dd),
+                                    dd.dd_mul(jnp, dzi, zi_dd))
+                    t1i = dd.dd_add(jnp, dd.dd_mul(jnp, dzi, zr_dd),
+                                    dd.dd_mul(jnp, dzr, zi_dd))
+                    sq_r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, dzr),
+                                     dd.dd_mul(jnp, dzi, dzi))
+                    rziv = dd.dd_mul(jnp, dzr, dzi)
+                    sq_i = (rziv[0] * 2.0, rziv[1] * 2.0)
+                    ndzr = dd.dd_add(jnp, dd.dd_add(jnp, t1r, sq_r), dcx)
+                    ndzi = dd.dd_add(jnp, dd.dd_add(jnp, t1i, sq_i), dcy)
+                    nzfr = ((orbit_re_ref[i + 1] + ndzr[0])
+                            + (orbit_re_lo_ref[i + 1] + ndzr[1]))
+                    nzfi = ((orbit_im_ref[i + 1] + ndzi[0])
+                            + (orbit_im_lo_ref[i + 1] + ndzi[1]))
+                    s["dzrh"] = jnp.where(alive, ndzr[0], dzr[0])
+                    s["dzrl"] = jnp.where(alive, ndzr[1], dzr[1])
+                    s["dzih"] = jnp.where(alive, ndzi[0], dzi[0])
+                    s["dzil"] = jnp.where(alive, ndzi[1], dzi[1])
+                else:
+                    dzr, dzi = s["dzr"], s["dzi"]
+                    # dz <- 2*Z*dz + dz^2 + delta  (comp:156-163)
+                    t1r = 2.0 * (zr * dzr - zi * dzi)
+                    t1i = 2.0 * (zr * dzi + zi * dzr)
+                    t2r = dzr * dzr - dzi * dzi
+                    t2i = (2.0 * dzr) * dzi
+                    ndzr = t1r + t2r + delta_r
+                    ndzi = t1i + t2i + delta_i
+                    nzfr = orbit_re_ref[i + 1] + ndzr
+                    nzfi = orbit_im_ref[i + 1] + ndzi
+                    s["dzr"] = jnp.where(alive, ndzr, dzr)
+                    s["dzi"] = jnp.where(alive, ndzi, dzi)
                 s["zfr"] = jnp.where(alive, nzfr, s["zfr"])
                 s["zfi"] = jnp.where(alive, nzfi, s["zfi"])
                 # Pauldelbrot glitch criterion on the live full value
@@ -233,14 +300,15 @@ def _make_kernel(width: int, height: int, map_height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
-                     "chunk", "interpret", "float_continuation"))
-def _pert_call(params, orbit_re, orbit_im, orbit_mag2, *, width, height,
+                     "chunk", "interpret", "float_continuation", "dd_delta"))
+def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
+               orbit_im_lo, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
-               float_continuation):
+               float_continuation, dd_delta=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
-                          float_continuation)
+                          float_continuation, dd_delta)
     out_shapes = (
         jax.ShapeDtypeStruct((height, width), jnp.int32),
         jax.ShapeDtypeStruct((height, width), jnp.float32),
@@ -252,16 +320,11 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, *, width, height,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
         out_specs=tuple(out_spec for _ in out_shapes),
         out_shape=out_shapes,
         interpret=interpret,
-    )(params, orbit_re, orbit_im, orbit_mag2)
+    )(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo, orbit_im_lo)
 
 
 def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
@@ -277,6 +340,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         float_continuation: bool = True,
                         series=None, row0=0.0,
                         map_height: Optional[int] = None,
+                        dd_delta: bool = False,
                         interpret: Optional[bool] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
@@ -302,6 +366,17 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     orbit_re[:L] = orbit[:L, 0].astype(np.float32)
     orbit_im[:L] = orbit[:L, 1].astype(np.float32)
     mag2 = orbit_re * orbit_re + orbit_im * orbit_im
+    if dd_delta:
+        # hi/lo split of the f64 orbit — the dd loop needs dd-accurate Z
+        orbit_re_lo = np.zeros(cap, np.float32)
+        orbit_im_lo = np.zeros(cap, np.float32)
+        orbit_re_lo[:L] = (orbit[:L, 0]
+                           - orbit_re[:L].astype(np.float64)).astype(np.float32)
+        orbit_im_lo[:L] = (orbit[:L, 1]
+                           - orbit_im[:L].astype(np.float64)).astype(np.float32)
+    else:
+        orbit_re_lo = np.zeros(1, np.float32)
+        orbit_im_lo = np.zeros(1, np.float32)
 
     params = np.zeros((1, NQ), np.float32)
     params[0, Q_CXH], params[0, Q_CXL] = center_x_dd
@@ -314,23 +389,33 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     params[0, Q_SHIFTXH], params[0, Q_SHIFTXL] = ref_shift_x
     params[0, Q_SHIFTYH], params[0, Q_SHIFTYL] = ref_shift_y
     params[0, Q_OFFX], params[0, Q_OFFY] = offset
+    def put_dd(hi_idx, lo_idx, value):
+        hi = np.float32(value)
+        params[0, hi_idx] = hi
+        params[0, lo_idx] = np.float32(value - float(hi))
+
     if series is not None and series.n_skip > 1 and series.n_skip < L:
-        params[0, Q_AR], params[0, Q_AI] = series.a.real, series.a.imag
-        params[0, Q_BR], params[0, Q_BI] = series.b.real, series.b.imag
-        params[0, Q_CR], params[0, Q_CI] = series.c.real, series.c.imag
+        put_dd(Q_AR, Q_ARL, series.a.real)
+        put_dd(Q_AI, Q_AIL, series.a.imag)
+        put_dd(Q_BR, Q_BRL, series.b.real)
+        put_dd(Q_BI, Q_BIL, series.b.imag)
+        put_dd(Q_CR, Q_CRL, series.c.real)
+        put_dd(Q_CI, Q_CIL, series.c.imag)
         params[0, Q_NSKIP] = series.n_skip
     else:
         params[0, Q_AR], params[0, Q_NSKIP] = 1.0, 1.0
     params[0, Q_ROW0] = row0
 
     operands = (jnp.asarray(params), jnp.asarray(orbit_re),
-                jnp.asarray(orbit_im), jnp.asarray(mag2))
+                jnp.asarray(orbit_im), jnp.asarray(mag2),
+                jnp.asarray(orbit_re_lo), jnp.asarray(orbit_im_lo))
     call_kw = dict(
         width=width, height=height,
         map_height=int(map_height if map_height is not None else height),
         orbit_cap=cap, tile=tuple(tile), chunk=chunk,
         interpret=bool(interpret),
-        float_continuation=bool(float_continuation))
+        float_continuation=bool(float_continuation),
+        dd_delta=bool(dd_delta))
     if _build_only:
         return operands, call_kw
     n, zx, zy, glitch = _pert_call(*operands, **call_kw)

@@ -122,15 +122,15 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
     operands, call_kw = pert.perturbation_fields(
         orbit, width, band_h, map_height=height, _build_only=True, **pert_kw)
 
-    def shard_body(params, ore, oim, om2):
+    def shard_body(params, ore, oim, om2, orel, oiml):
         ridx = jax.lax.axis_index("rows")
         p2 = params.at[0, pert.Q_ROW0].set(
             (ridx * band_h).astype(jnp.float32))
-        return pert._pert_call(p2, ore, oim, om2, **call_kw)
+        return pert._pert_call(p2, ore, oim, om2, orel, oiml, **call_kw)
 
     fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(),) * 6,
         out_specs=(P("rows"), P("rows"), P("rows"), P("rows")),
         check_vma=False))
     n, zx, zy, g = fn(*operands)

@@ -481,3 +481,42 @@ def test_hpfloat_to_string_roundtrip_negative():
 def test_orbit_limb_overflow_guard():
     with pytest.raises(OverflowError):
         orbit._to_limbs(1e30, 128, 3)  # exceeds 3*64-bit magnitude
+
+
+def test_dd_delta_beats_f32_delta():
+    # At 1e-6 zoom the f32 delta loses ~24% of boundary counts vs an f64
+    # oracle (chaos amplification of the 24-bit mantissa); dd deltas must
+    # do substantially better.
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    cx, cy, zoom = "-0.743643887037151", "0.13182590420533", 1e-6
+    W, H, MI = 48, 32, 2000
+    orb = orbit.compute_orbit(cx, cy, 64, MI + 1)
+
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              zoom_dd=dd_from_string(repr(zoom)), max_iter=MI)
+    n_f32 = np.asarray(perturbation_fields(orb, W, H, **kw)["n"])
+    n_dd = np.asarray(perturbation_fields(orb, W, H, dd_delta=True, **kw)["n"])
+
+    # f64 oracle with the deep-zoom mapping
+    py, px = np.mgrid[0:H, 0:W].astype(np.float64)
+    ps = zoom * 4.0 / H
+    cr = float(cx) + (px / W - 0.5) * (W / H) * ps
+    ci = float(cy) + (py / H - 0.5) * ps
+    zr = np.zeros_like(cr)
+    zi = np.zeros_like(ci)
+    nref = np.zeros(cr.shape, np.int64)
+    alive = np.ones(cr.shape, bool)
+    for _ in range(MI):
+        x = zr * zr - zi * zi + cr
+        y = 2 * zr * zi + ci
+        zr = np.where(alive, x, zr)
+        zi = np.where(alive, y, zi)
+        esc = alive & (zr * zr + zi * zi > 16.0)
+        nref = np.where(alive & ~esc, nref + 1, nref)
+        alive &= ~esc
+    m_f32 = (n_f32 != nref).mean()
+    m_dd = (n_dd != nref).mean()
+    assert m_dd < m_f32 * 0.5, (m_f32, m_dd)
+    assert m_dd < 0.06, f"dd mismatch {m_dd}"
