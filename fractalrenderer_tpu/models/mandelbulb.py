@@ -191,7 +191,8 @@ def _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit, esc_hit,
 
 
 def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
-                   off=(0.0, 0.0), pallas_march: bool = False):
+                   off=(0.0, 0.0), pallas_march: bool = False,
+                   kernel_shading: bool = False):
     ro, dyn_power = bm.camera_setup(p)
     if xp is np:
         pyg, pxg = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -205,13 +206,28 @@ def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
     if pallas_march:
         from ..ops.bulb_kernel import march_fields
 
+        # kernel_shading computes normals/AO inside the march kernel; it
+        # measured SLOWER at 1080p (2.98s vs 2.02s: the 11 extra DE evals
+        # at hit points stall whole tiles), so XLA shading is the default.
         f = march_fields(width, height, ro=ro, fov=p.fov, power=dyn_power,
-                         max_iter=p.max_iterations, offset=off)
+                         max_iter=p.max_iterations, offset=off,
+                         shade=kernel_shading)
         hit = f["hit"] > 0.5
         t, d_hit, esc_hit = f["t"], f["d"], f["esc"]
-    else:
-        hit, t, d_hit, esc_hit = _march(xp, de_fn, ro, rdx, rdy, rdz,
-                                        dyn_power, p.max_iterations)
+        if kernel_shading:
+            hx = ro[0] + rdx * t
+            hy = ro[1] + rdy * t
+            hz = ro[2] + rdz * t
+            hit_color = bm.shade_hit(xp, (hx, hy, hz),
+                                     (f["nx"], f["ny"], f["nz"]),
+                                     (rdx, rdy, rdz), d_hit, esc_hit, t, p,
+                                     dyn_power, ao_sum=f["ao"])
+            sky = bm.sky_color(xp, (rdx, rdy, rdz))
+            return xp.where(hit[..., None], hit_color, sky)
+        return _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit,
+                              esc_hit, p, dyn_power)
+    hit, t, d_hit, esc_hit = _march(xp, de_fn, ro, rdx, rdy, rdz,
+                                    dyn_power, p.max_iterations)
     return _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit,
                           esc_hit, p, dyn_power)
 

@@ -12,9 +12,11 @@ raymarching.
 Inverse trig inside the kernel uses ops/trig.py approximations (~2e-6 abs)
 because Mosaic does not lower atan/atan2/acos.
 
-Outputs: hit (f32 0/1), t, d_hit, esc_hit — the shading pass (normals, AO,
-palettes, fog) stays in XLA where exact trig exists and each extra DE
-evaluation is uniform work.
+Outputs: hit (f32 0/1), t, d_hit, esc_hit, and (with in_kernel_shading)
+normals + ambient occlusion — leaving only the palette/lighting arithmetic
+(pure elementwise) to XLA.  The 11 extra DE evaluations for normals/AO are
+cheap in-kernel: non-hit lanes' DE escapes in a couple of iterations, and
+hit-heavy tiles amortize like the march itself.
 """
 from __future__ import annotations
 
@@ -77,10 +79,10 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit):
 
 
 def _make_kernel(width: int, height: int, max_iter_cap: int,
-                 tile: Tuple[int, int]):
+                 tile: Tuple[int, int], shade: bool = False):
     th, tw = tile
 
-    def kernel(params_ref, hit_ref, t_ref, d_ref, esc_ref):
+    def kernel(params_ref, *out_refs):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
@@ -144,23 +146,57 @@ def _make_kernel(width: int, height: int, max_iter_cap: int,
               jnp.zeros((th, tw), jnp.float32))
         _, t, hit_f, _, d_hit, esc_hit = jax.lax.while_loop(cond, body, s0)
 
-        hit_ref[:, :] = hit_f
-        t_ref[:, :] = t
-        d_ref[:, :] = d_hit
-        esc_ref[:, :] = esc_hit
+        it = iter(out_refs)
+        next(it)[:, :] = hit_f
+        next(it)[:, :] = t
+        next(it)[:, :] = d_hit
+        next(it)[:, :] = esc_hit
+
+        if shade:
+            # normals by forward differences (mandelbulb.comp:113-123)
+            hx = ro[0] + rdx * t
+            hy = ro[1] + rdy * t
+            hz = ro[2] + rdz * t
+            eps = jnp.float32(1e-3)
+            d0, _ = _de_tile(hx, hy, hz, power, max_iter_cap, limit)
+            dxp, _ = _de_tile(hx + eps, hy, hz, power, max_iter_cap, limit)
+            dyp, _ = _de_tile(hx, hy + eps, hz, power, max_iter_cap, limit)
+            dzp, _ = _de_tile(hx, hy, hz + eps, power, max_iter_cap, limit)
+            nx = dxp - d0
+            ny = dyp - d0
+            nz = dzp - d0
+            nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            fb = nl < 1e-4
+            nl = jnp.maximum(nl, 1e-12)
+            nx = jnp.where(fb, jnp.zeros_like(nx), nx / nl)
+            ny = jnp.where(fb, jnp.ones_like(ny), ny / nl)
+            nz = jnp.where(fb, jnp.zeros_like(nz), nz / nl)
+            # AO loop k = 0.01..0.13 step 0.02 (mandelbulb.comp:156-157)
+            ao = jnp.zeros((th, tw), jnp.float32)
+            k = 0.01
+            while k < 0.15:
+                dk, _ = _de_tile(hx + nx * k, hy + ny * k, hz + nz * k,
+                                 power, max_iter_cap, limit)
+                ao = ao + jnp.exp(-10.0 * dk)
+                k += 0.02
+            next(it)[:, :] = nx
+            next(it)[:, :] = ny
+            next(it)[:, :] = nz
+            next(it)[:, :] = ao
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
                                              "max_iter_cap", "tile",
-                                             "interpret"))
-def _march_call(params, *, width, height, max_iter_cap, tile, interpret):
+                                             "interpret", "shade"))
+def _march_call(params, *, width, height, max_iter_cap, tile, interpret,
+                shade=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
-    kernel = _make_kernel(width, height, max_iter_cap, tile)
+    kernel = _make_kernel(width, height, max_iter_cap, tile, shade)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
-                       for _ in range(4))
+                       for _ in range(8 if shade else 4))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -174,9 +210,10 @@ def _march_call(params, *, width, height, max_iter_cap, tile, interpret):
 
 
 def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
-                 offset=(0.0, 0.0), tile=(32, 128),
+                 offset=(0.0, 0.0), tile=(32, 128), shade: bool = False,
                  interpret: Optional[bool] = None):
-    """Tile-local raymarch; returns dict(hit, t, d, esc) as f32 fields."""
+    """Tile-local raymarch; returns dict(hit, t, d, esc [, nx, ny, nz, ao])
+    as f32 fields."""
     if interpret is None:
         interpret = default_interpret()
     params = np.zeros((1, NB), np.float32)
@@ -185,8 +222,10 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
     params[0, B_POWER] = power
     params[0, B_LIMIT] = max(1, int(max_iter))
     params[0, B_OFFX], params[0, B_OFFY] = offset
-    hit, t, d, esc = _march_call(
+    outs = _march_call(
         jnp.asarray(params), width=width, height=height,
         max_iter_cap=int(max_iter), tile=tuple(tile),
-        interpret=bool(interpret))
-    return {"hit": hit, "t": t, "d": d, "esc": esc}
+        interpret=bool(interpret), shade=bool(shade))
+    names = ["hit", "t", "d", "esc"] + (["nx", "ny", "nz", "ao"]
+                                        if shade else [])
+    return dict(zip(names, outs))

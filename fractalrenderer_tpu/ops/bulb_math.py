@@ -123,9 +123,10 @@ def de_finish(xp, r, dr):
 
 
 def shade_hit(xp, pos, normal, rd, d_at_hit, escape_iter, t, params, dyn_power,
-              de_at_offsets):
-    """Hit shading (mandelbulb.comp:141-160).  ``de_at_offsets`` is the list
-    of DE values at pos + normal*k for the AO loop, k = 0.01..0.15 step .02."""
+              de_at_offsets=None, ao_sum=None):
+    """Hit shading (mandelbulb.comp:141-160).  Pass either
+    ``de_at_offsets`` (the DE values at pos + normal*k, k = 0.01..0.13) or a
+    precomputed ``ao_sum`` = Σ exp(-10·DE_k) from the kernel."""
     p = params
     nx, ny, nz = normal
     ll = math.sqrt(1.0 + 1.0 + 0.8 * 0.8)
@@ -165,10 +166,11 @@ def shade_hit(xp, pos, normal, rd, d_at_hit, escape_iter, t, params, dyn_power,
     color = color + xp.stack([xp.ones_like(filament),
                               xp.full_like(filament, 0.8),
                               xp.full_like(filament, 0.5)], axis=-1) * fil * 0.5
-    ao = xp.zeros_like(d_at_hit)
-    for de_k in de_at_offsets:
-        ao = ao + xp.exp(-10.0 * de_k)
-    ao = 1.0 - ao / 8.0
+    if ao_sum is None:
+        ao_sum = xp.zeros_like(d_at_hit)
+        for de_k in de_at_offsets:
+            ao_sum = ao_sum + xp.exp(-10.0 * de_k)
+    ao = 1.0 - ao_sum / 8.0
     color = color * (ao * 0.8 + 0.2)[..., None]
     dist_factor = xp.clip(t / MAX_DIST, 0.0, 1.0)
     fog = (dist_factor * 0.6)[..., None]
