@@ -520,3 +520,13 @@ def test_dd_delta_beats_f32_delta():
     m_dd = (n_dd != nref).mean()
     assert m_dd < m_f32 * 0.5, (m_f32, m_dd)
     assert m_dd < 0.06, f"dd mismatch {m_dd}"
+
+
+def test_orbit_capacity_guard():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, zoom=1e-4,
+              max_iterations=40000, use_perturbation=True)
+    with pytest.raises(ValueError, match="orbit capacity"):
+        deep_zoom.render_fields(s, 16, 8)
