@@ -71,16 +71,6 @@ def render_fields(scene: Scene, width: int, height: int,
     zoom_f = float(Fraction(str(zoom)))
     mode, bits = precision_mode_for_zoom(zoom_f)
     max_iter = scene.max_iterations
-    from ..ops.perturbation import MAX_ORBIT_SMEM
-
-    if max_iter + 1 > MAX_ORBIT_SMEM:
-        # the reference orbit lives in SMEM (see ops/perturbation.py);
-        # streaming larger orbits from HBM is a planned extension
-        # (docs/ROADMAP.md §2)
-        raise ValueError(
-            f"max_iterations={max_iter} exceeds the perturbation orbit "
-            f"capacity ({MAX_ORBIT_SMEM - 1}); reduce iterations or see "
-            "docs/ROADMAP.md")
 
     center_x_dd = _dd_of(cx, 0.0)
     center_y_dd = _dd_of(cy, 0.0)

@@ -47,21 +47,82 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 NQ = 30
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
+HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
 
 
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
-                 float_continuation: bool, dd_delta: bool = False):
+                 float_continuation: bool, dd_delta: bool = False,
+                 orbit_hbm: bool = False, orbit_cap: int = 0):
     """``dd_delta=True`` iterates the perturbation delta in double-double
     (two-f32) instead of plain f32 — f64-class mantissa for the delta, used
     in the QUAD/ARBITRARY precision modes (zoom < 1e-14).  ~6x the
     per-iteration cost; escape/glitch tests remain f32 on the composed
     z_full, which is all the coloring consumes."""
     th, tw = tile
+    n_streams = 4 if dd_delta else 2
 
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
                orbit_re_lo_ref, orbit_im_lo_ref,
-               n_ref, zx_ref, zy_ref, glitch_ref):
+               n_ref, zx_ref, zy_ref, glitch_ref, *scratch):
+        if orbit_hbm:
+            # scratch: per-stream SMEM row buffers + DMA semaphores.  The
+            # orbit lives in HBM pre-chunked into overlapping rows
+            # (row j = orbit[j*chunk : j*chunk + chunk + 1], padded to a
+            # lane-friendly row width) so each round DMAs one row with a
+            # dynamic *leading* index — the slice pattern Mosaic supports.
+            scr = scratch[:n_streams]
+            sems = scratch[n_streams]
+            hbm_srcs = [orbit_re_ref, orbit_im_ref,
+                        orbit_re_lo_ref, orbit_im_lo_ref][:n_streams]
+            n_rows_tab = orbit_re_ref.shape[0]
+
+            def dma_chunk(i0):
+                j = jnp.minimum(i0 // chunk, n_rows_tab - 1)
+                copies = [
+                    pltpu.make_async_copy(src.at[pl.ds(j, 1)], dst,
+                                          sems.at[k])
+                    for k, (src, dst) in enumerate(zip(hbm_srcs, scr))]
+                for c in copies:
+                    c.start()
+                for c in copies:
+                    c.wait()
+                return j * chunk
+
+            def read_re(i, base):
+                return scr[0][0, i - base]
+
+            def read_im(i, base):
+                return scr[1][0, i - base]
+
+            def read_rel(i, base):
+                return scr[2][0, i - base]
+
+            def read_iml(i, base):
+                return scr[3][0, i - base]
+
+            def read_mag2(i, base):
+                r = scr[0][0, i - base]
+                m = scr[1][0, i - base]
+                return r * r + m * m
+        else:
+            def dma_chunk(i0):
+                return jnp.int32(0)
+
+            def read_re(i, base):
+                return orbit_re_ref[i]
+
+            def read_im(i, base):
+                return orbit_im_ref[i]
+
+            def read_rel(i, base):
+                return orbit_re_lo_ref[i]
+
+            def read_iml(i, base):
+                return orbit_im_lo_ref[i]
+
+            def read_mag2(i, base):
+                return orbit_mag2_ref[i]
         tj = pl.program_id(1)
         ti = pl.program_id(0)
         row0 = params_ref[0, Q_ROW0].astype(jnp.int32)
@@ -152,8 +213,9 @@ def _make_kernel(width: int, height: int, map_height: int,
             dz0r_dd, dz0i_dd = cmul_dd(tr_dd, ti_dd, dcx, dcy)
             dz0r = dd.dd_to_float(jnp, dz0r_dd)
             dz0i = dd.dd_to_float(jnp, dz0i_dd)
-        z1r = orbit_re_ref[n0] + dz0r
-        z1i = orbit_im_ref[n0] + dz0i
+        base0 = dma_chunk(n0)
+        z1r = read_re(n0, base0) + dz0r
+        z1i = read_im(n0, base0) + dz0i
         big = jnp.float32(3.4e38)
         state0 = {
             "zfr": jnp.where(in_bounds, z1r, big),
@@ -170,7 +232,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             state0["dzr"] = dz0r
             state0["dzi"] = dz0i
 
-        def pert_chunk(s):
+        def pert_chunk(s, base, count):
             def body(k, s):
                 del k
                 s = dict(s)
@@ -178,15 +240,15 @@ def _make_kernel(width: int, height: int, map_height: int,
                 mag2 = s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"]
                 alive = (mag2 <= bail2) & (i < pert_end)
                 s["nf"] = s["nf"] + alive.astype(jnp.float32)
-                zr = orbit_re_ref[i]
-                zi = orbit_im_ref[i]
+                zr = read_re(i, base)
+                zi = read_im(i, base)
                 if dd_delta:
                     dzr = (s["dzrh"], s["dzrl"])
                     dzi = (s["dzih"], s["dzil"])
                     # the orbit itself is dd in this mode — the f32-rounded
                     # Z error would otherwise dominate the dd delta
-                    zr_dd = (zr * 2.0, orbit_re_lo_ref[i] * 2.0)  # exact x2
-                    zi_dd = (zi * 2.0, orbit_im_lo_ref[i] * 2.0)
+                    zr_dd = (zr * 2.0, read_rel(i, base) * 2.0)  # exact x2
+                    zi_dd = (zi * 2.0, read_iml(i, base) * 2.0)
                     # dz <- 2*Z*dz + dz^2 + delta, all components dd
                     t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, zr_dd),
                                     dd.dd_mul(jnp, dzi, zi_dd))
@@ -198,10 +260,10 @@ def _make_kernel(width: int, height: int, map_height: int,
                     sq_i = (rziv[0] * 2.0, rziv[1] * 2.0)
                     ndzr = dd.dd_add(jnp, dd.dd_add(jnp, t1r, sq_r), dcx)
                     ndzi = dd.dd_add(jnp, dd.dd_add(jnp, t1i, sq_i), dcy)
-                    nzfr = ((orbit_re_ref[i + 1] + ndzr[0])
-                            + (orbit_re_lo_ref[i + 1] + ndzr[1]))
-                    nzfi = ((orbit_im_ref[i + 1] + ndzi[0])
-                            + (orbit_im_lo_ref[i + 1] + ndzi[1]))
+                    nzfr = ((read_re(i + 1, base) + ndzr[0])
+                            + (read_rel(i + 1, base) + ndzr[1]))
+                    nzfi = ((read_im(i + 1, base) + ndzi[0])
+                            + (read_iml(i + 1, base) + ndzi[1]))
                     s["dzrh"] = jnp.where(alive, ndzr[0], dzr[0])
                     s["dzrl"] = jnp.where(alive, ndzr[1], dzr[1])
                     s["dzih"] = jnp.where(alive, ndzi[0], dzi[0])
@@ -215,21 +277,29 @@ def _make_kernel(width: int, height: int, map_height: int,
                     t2i = (2.0 * dzr) * dzi
                     ndzr = t1r + t2r + delta_r
                     ndzi = t1i + t2i + delta_i
-                    nzfr = orbit_re_ref[i + 1] + ndzr
-                    nzfi = orbit_im_ref[i + 1] + ndzi
+                    nzfr = read_re(i + 1, base) + ndzr
+                    nzfi = read_im(i + 1, base) + ndzi
                     s["dzr"] = jnp.where(alive, ndzr, dzr)
                     s["dzi"] = jnp.where(alive, ndzi, dzi)
                 s["zfr"] = jnp.where(alive, nzfr, s["zfr"])
                 s["zfi"] = jnp.where(alive, nzfi, s["zfi"])
                 # Pauldelbrot glitch criterion on the live full value
                 zmag2 = nzfr * nzfr + nzfi * nzfi
-                bad = alive & (zmag2 < glitch_tol * orbit_mag2_ref[i + 1])
+                bad = alive & (zmag2 < glitch_tol * read_mag2(i + 1, base))
                 s["glitch"] = jnp.maximum(s["glitch"],
                                           bad.astype(jnp.float32))
                 s["i"] = i + 1
                 return s
 
-            return jax.lax.fori_loop(0, chunk, body, s)
+            return jax.lax.fori_loop(0, count, body, s)
+
+        if orbit_hbm:
+            # HBM rows hold [j*chunk, j*chunk+chunk]; rounds must stay
+            # row-aligned, so run a partial round up to the next boundary
+            # (the series skip can start anywhere).
+            align = (chunk - (n0 % chunk)) % chunk
+            align = jnp.minimum(align, jnp.maximum(pert_end - n0, 0))
+            state0 = pert_chunk(state0, base0, align)
 
         def cond1(carry):
             s, keep = carry
@@ -237,7 +307,8 @@ def _make_kernel(width: int, height: int, map_height: int,
 
         def body1(carry):
             s, _ = carry
-            s = pert_chunk(s)
+            base = dma_chunk(s["i"])
+            s = pert_chunk(s, base, chunk)
             keep = jnp.any(s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2)
             return s, keep
 
@@ -300,15 +371,17 @@ def _make_kernel(width: int, height: int, map_height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
-                     "chunk", "interpret", "float_continuation", "dd_delta"))
+                     "chunk", "interpret", "float_continuation", "dd_delta",
+                     "orbit_hbm"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                orbit_im_lo, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
-               float_continuation, dd_delta=False):
+               float_continuation, dd_delta=False, orbit_hbm=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
-                          float_continuation, dd_delta)
+                          float_continuation, dd_delta, orbit_hbm,
+                          orbit_cap)
     out_shapes = (
         jax.ShapeDtypeStruct((height, width), jnp.int32),
         jax.ShapeDtypeStruct((height, width), jnp.float32),
@@ -320,9 +393,16 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [pl.BlockSpec(memory_space=(pltpu.ANY if orbit_hbm
+                                                else pltpu.SMEM))] * 5),
         out_specs=tuple(out_spec for _ in out_shapes),
         out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.SMEM((1, HBM_ROW_W), jnp.float32)
+             for _ in range(4 if dd_delta else 2)]
+            + [pltpu.SemaphoreType.DMA((4 if dd_delta else 2,))]
+            if orbit_hbm else []),
         interpret=interpret,
     )(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo, orbit_im_lo)
 
@@ -357,15 +437,22 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         tile = pick_tile(height, width)
     if iter_limit is None:
         iter_limit = max_iter
-    L = int(min(len(orbit), MAX_ORBIT_SMEM))
+    # Orbits beyond the SMEM budget stream from HBM per iteration chunk.
+    orbit_hbm = max_iter + 1 > MAX_ORBIT_SMEM
+    L = int(len(orbit)) if orbit_hbm else int(min(len(orbit),
+                                                  MAX_ORBIT_SMEM))
     bailout = max(2.0, float(bailout))  # comp:114
 
-    cap = int(min(max(max_iter + 1, 2), MAX_ORBIT_SMEM))
+    cap = int(max(max_iter + 1, 2)) if orbit_hbm \
+        else int(min(max(max_iter + 1, 2), MAX_ORBIT_SMEM))
     orbit_re = np.zeros(cap, np.float32)
     orbit_im = np.zeros(cap, np.float32)
     orbit_re[:L] = orbit[:L, 0].astype(np.float32)
     orbit_im[:L] = orbit[:L, 1].astype(np.float32)
-    mag2 = orbit_re * orbit_re + orbit_im * orbit_im
+    # In HBM mode the glitch threshold is recomputed from the streamed
+    # values, so the precomputed |Z|^2 table is a dummy.
+    mag2 = np.zeros(1, np.float32) if orbit_hbm \
+        else orbit_re * orbit_re + orbit_im * orbit_im
     if dd_delta:
         # hi/lo split of the f64 orbit — the dd loop needs dd-accurate Z
         orbit_re_lo = np.zeros(cap, np.float32)
@@ -377,6 +464,27 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     else:
         orbit_re_lo = np.zeros(1, np.float32)
         orbit_im_lo = np.zeros(1, np.float32)
+
+    if orbit_hbm:
+        # Pre-chunk into overlapping rows: row j = orbit[j*chunk : +chunk+1]
+        # padded to HBM_ROW_W so the kernel DMAs one row per round with a
+        # dynamic leading index.
+        assert chunk + 1 <= HBM_ROW_W
+
+        def rows_of(flat):
+            n_rows = -(-cap // chunk)
+            padded = np.zeros(n_rows * chunk + chunk + 1, np.float32)
+            padded[:len(flat)] = flat
+            out = np.zeros((n_rows, HBM_ROW_W), np.float32)
+            for j in range(n_rows):
+                out[j, :chunk + 1] = padded[j * chunk:j * chunk + chunk + 1]
+            return out
+
+        orbit_re = rows_of(orbit_re)
+        orbit_im = rows_of(orbit_im)
+        if dd_delta:
+            orbit_re_lo = rows_of(orbit_re_lo)
+            orbit_im_lo = rows_of(orbit_im_lo)
 
     params = np.zeros((1, NQ), np.float32)
     params[0, Q_CXH], params[0, Q_CXL] = center_x_dd
@@ -415,7 +523,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         orbit_cap=cap, tile=tuple(tile), chunk=chunk,
         interpret=bool(interpret),
         float_continuation=bool(float_continuation),
-        dd_delta=bool(dd_delta))
+        dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm))
     if _build_only:
         return operands, call_kw
     n, zx, zy, glitch = _pert_call(*operands, **call_kw)

@@ -522,11 +522,49 @@ def test_dd_delta_beats_f32_delta():
     assert m_dd < 0.06, f"dd mismatch {m_dd}"
 
 
-def test_orbit_capacity_guard():
-    from fractalrenderer_tpu.models import deep_zoom
-    from fractalrenderer_tpu.scene import FractalType, Scene
+def test_hbm_orbit_streaming_matches_smem():
+    # Orbits past the SMEM budget stream from HBM; results must agree with
+    # the SMEM path on a case both can run.
+    from fractalrenderer_tpu.ops import perturbation as pert
+    from fractalrenderer_tpu.ops.dd import dd_from_string
 
-    s = Scene(fractal_type=FractalType.DEEP_ZOOM, zoom=1e-4,
-              max_iterations=40000, use_perturbation=True)
-    with pytest.raises(ValueError, match="orbit capacity"):
-        deep_zoom.render_fields(s, 16, 8)
+    cx, cy = "-0.743643887037151", "0.13182590420533"
+    MI = 500
+    orb = orbit.compute_orbit(cx, cy, 64, MI + 1)
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              zoom_dd=dd_from_string("1e-8"), max_iter=MI,
+              float_continuation=False)
+    smem = pert.perturbation_fields(orb, 48, 32, **kw)
+    old_cap = pert.MAX_ORBIT_SMEM
+    pert.MAX_ORBIT_SMEM = 64  # force HBM streaming
+    try:
+        hbm = pert.perturbation_fields(orb, 48, 32, **kw)
+    finally:
+        pert.MAX_ORBIT_SMEM = old_cap
+    np.testing.assert_array_equal(np.asarray(hbm["n"]),
+                                  np.asarray(smem["n"]))
+    np.testing.assert_array_equal(np.asarray(hbm["zx"]),
+                                  np.asarray(smem["zx"]))
+    np.testing.assert_array_equal(np.asarray(hbm["glitch"]),
+                                  np.asarray(smem["glitch"]))
+
+
+def test_hbm_orbit_streaming_dd():
+    from fractalrenderer_tpu.ops import perturbation as pert
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+
+    cx, cy = "-0.743643887037151", "0.13182590420533"
+    MI = 300
+    orb = orbit.compute_orbit(cx, cy, 64, MI + 1)
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              zoom_dd=dd_from_string("1e-8"), max_iter=MI, dd_delta=True,
+              float_continuation=False)
+    smem = pert.perturbation_fields(orb, 32, 16, **kw)
+    old_cap = pert.MAX_ORBIT_SMEM
+    pert.MAX_ORBIT_SMEM = 64
+    try:
+        hbm = pert.perturbation_fields(orb, 32, 16, **kw)
+    finally:
+        pert.MAX_ORBIT_SMEM = old_cap
+    np.testing.assert_array_equal(np.asarray(hbm["n"]),
+                                  np.asarray(smem["n"]))
