@@ -110,8 +110,10 @@ class AnimationRenderer:
         cap = max(s.max_iterations for s in scenes)
 
         # Mandelbulb / deep-zoom frames take the per-frame model path (3D
-        # raymarch and perturbation don't fit the 2D batch pipeline).
-        if scenes[0].fractal_type not in _FAMILY:
+        # raymarch and perturbation don't fit the 2D batch pipeline).  A
+        # .franim may mix families across keyframes (extra.fractal_type per
+        # keyframe), so route per-frame if ANY frame is outside the 2D set.
+        if any(s.fractal_type not in _FAMILY for s in scenes):
             from .. import models
             from ..scene import FractalType
 

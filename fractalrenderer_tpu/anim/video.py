@@ -124,8 +124,12 @@ def build_ffmpeg_command(frames_folder: str,
         cmd += ["-i", settings.audio_file, "-c:a", "aac", "-b:a", "192k",
                 "-shortest"]
     cmd += get_codec_params(settings)
-    cmd += [settings.output_filename, "-progress", "pipe:1",
-            "-loglevel", "warning"]
+    # -progress / -loglevel must precede the output filename: ffmpeg treats
+    # everything after an output file as options for a *next* output and
+    # ignores them, which would starve the progress parser (the reference
+    # has this exact bug at video_encoder.cpp:218-222; fixed here).
+    cmd += ["-progress", "pipe:1", "-loglevel", "warning",
+            settings.output_filename]
     return cmd
 
 

@@ -81,7 +81,11 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
                          cy: Union[str, float, HPFloat],
                          precision_bits: int, max_iter: int,
                          escape_mag_sq: float = 4.0) -> np.ndarray:
-    """Pure-Python bignum fallback — identical semantics to the native path."""
+    """Pure-Python bignum fallback — bit-identical to the native path: each
+    product is truncated toward zero after the fixed-point shift (Python's
+    ``>>`` floors negatives toward -inf, so the cross term shifts the
+    magnitude and reapplies the sign, and the doubling happens after the
+    shift, exactly like native/orbit.cpp mul_shift)."""
     bits = precision_bits
     one = 1 << bits
 
@@ -98,13 +102,21 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
     import math
 
     def to_f64(man: int) -> float:
-        # float(man) itself overflows beyond ~2^1024; scale via bit_length.
+        # Mirror native/orbit.cpp to_double exactly: sum the top three
+        # 64-bit limbs as ldexp'd doubles (limb-aligned, not bit-aligned).
         if man == 0:
             return 0.0
         sign = -1.0 if man < 0 else 1.0
         m = abs(man)
-        shift = max(m.bit_length() - 53, 0)
-        return sign * math.ldexp(m >> shift, shift - bits)
+        n = (m.bit_length() + 63) // 64  # limbs after trimming zeros
+        exp_msl = (n - 1) * 64 - bits
+        mask = 0xFFFFFFFFFFFFFFFF
+        d = math.ldexp((m >> ((n - 1) * 64)) & mask, exp_msl)
+        if n >= 2:
+            d += math.ldexp((m >> ((n - 2) * 64)) & mask, exp_msl - 64)
+        if n >= 3:
+            d += math.ldexp((m >> ((n - 3) * 64)) & mask, exp_msl - 128)
+        return sign * d
 
     for i in range(max_iter):
         dre = to_f64(zr)
@@ -114,8 +126,10 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
         mag2 = dre * dre + dim * dim
         if mag2 > escape_mag_sq or not np.isfinite(mag2):
             break
-        nzr = ((zr * zr - zi * zi) >> bits) + cxm
-        nzi = ((zr * zi) >> (bits - 1)) + cym
+        t = zr * zi
+        t = (t >> bits) if t >= 0 else -((-t) >> bits)
+        nzr = ((zr * zr) >> bits) - ((zi * zi) >> bits) + cxm
+        nzi = (t << 1) + cym
         zr, zi = nzr, nzi
     return out[:stored]
 

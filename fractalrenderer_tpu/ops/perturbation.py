@@ -394,7 +394,7 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
         kernel,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [pl.BlockSpec(memory_space=(pltpu.ANY if orbit_hbm
+                  + [pl.BlockSpec(memory_space=(pl.ANY if orbit_hbm
                                                 else pltpu.SMEM))] * 5),
         out_specs=tuple(out_spec for _ in out_shapes),
         out_shape=out_shapes,
@@ -439,12 +439,13 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         iter_limit = max_iter
     # Orbits beyond the SMEM budget stream from HBM per iteration chunk.
     orbit_hbm = max_iter + 1 > MAX_ORBIT_SMEM
-    L = int(len(orbit)) if orbit_hbm else int(min(len(orbit),
-                                                  MAX_ORBIT_SMEM))
     bailout = max(2.0, float(bailout))  # comp:114
 
     cap = int(max(max_iter + 1, 2)) if orbit_hbm \
         else int(min(max(max_iter + 1, 2), MAX_ORBIT_SMEM))
+    # Clamp to cap: reusing one deep orbit across frames with smaller
+    # iteration caps legitimately passes len(orbit) > max_iter + 1.
+    L = int(min(len(orbit), cap))
     orbit_re = np.zeros(cap, np.float32)
     orbit_im = np.zeros(cap, np.float32)
     orbit_re[:L] = orbit[:L, 0].astype(np.float32)

@@ -196,8 +196,10 @@ def test_ffmpeg_command_matrix():
     assert ["-c:v", "libx264"] == cmd[6:8]
     assert "-crf" in cmd and cmd[cmd.index("-crf") + 1] == "20"
     assert "yuv420p" in cmd
-    assert cmd[-5:] == ["out.mp4", "-progress", "pipe:1", "-loglevel",
-                        "warning"]
+    # progress/loglevel flags must precede the output file or ffmpeg
+    # ignores them (reference bug video_encoder.cpp:218-222, fixed here)
+    assert cmd[-5:] == ["-progress", "pipe:1", "-loglevel", "warning",
+                        "out.mp4"]
 
     s.codec, s.quality = video.VideoCodec.VP9, video.VideoQuality.LOSSLESS
     cmd = video.build_ffmpeg_command("frames", s)
@@ -259,3 +261,23 @@ def test_mandelbulb_animation_fallback(tmp_path):
     r = AnimationRenderer()
     assert r.start_render(a, str(tmp_path))
     assert len(os.listdir(tmp_path)) == 2
+
+
+def test_mixed_family_animation_routes_per_frame(tmp_path):
+    # A .franim may change fractal_type across keyframes; a mixed sequence
+    # must take the per-frame path rather than crash in the 2D batcher.
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+
+    a = Animation(duration=0.2, target_fps=10, export_width=24,
+                  export_height=16)
+    a.keyframes.append(Keyframe(0.0, Scene(fractal_type=FractalType.MANDELBROT,
+                                           max_iterations=32),
+                                InterpolationType.LINEAR))
+    a.keyframes.append(Keyframe(0.2, Scene(fractal_type=FractalType.MANDELBULB,
+                                           max_iterations=16),
+                                InterpolationType.LINEAR))
+    r = AnimationRenderer()
+    out = tmp_path / "mixed"
+    assert r.start_render(a, str(out))
+    files = sorted(os.listdir(out))
+    assert len(files) == a.total_frames

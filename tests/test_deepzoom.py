@@ -568,3 +568,35 @@ def test_hbm_orbit_streaming_dd():
         pert.MAX_ORBIT_SMEM = old_cap
     np.testing.assert_array_equal(np.asarray(hbm["n"]),
                                   np.asarray(smem["n"]))
+
+
+def test_perturbation_accepts_longer_orbit_than_cap():
+    # Reusing one deep reference orbit across frames with smaller iteration
+    # caps passes len(orbit) > max_iter + 1; the kernel must clamp, not
+    # raise a broadcast error.
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    cx, cy = "-0.743643887037151", "0.13182590420533"
+    orb = orbit.compute_orbit(cx, cy, 64, 512)
+    f_long = perturbation_fields(
+        orb, 24, 16, center_x_dd=dd_from_string(cx),
+        center_y_dd=dd_from_string(cy), zoom_dd=dd_from_string("1e-5"),
+        max_iter=100)
+    f_exact = perturbation_fields(
+        orb[:101], 24, 16, center_x_dd=dd_from_string(cx),
+        center_y_dd=dd_from_string(cy), zoom_dd=dd_from_string("1e-5"),
+        max_iter=100)
+    np.testing.assert_array_equal(np.asarray(f_long["n"]),
+                                  np.asarray(f_exact["n"]))
+
+
+def test_python_orbit_bit_identical_to_native():
+    # The Python fallback truncates products toward zero post-shift exactly
+    # like native/orbit.cpp mul_shift; a center with negative coordinates
+    # exercises the signed cross term.
+    cx, cy = "-0.7436438870371512", "-0.1318259042053119"
+    o_native = orbit.compute_orbit(cx, cy, 192, 300)
+    o_python = orbit.compute_orbit_python(cx, cy, 192, 300)
+    assert len(o_native) == len(o_python)
+    np.testing.assert_array_equal(o_native, o_python)
