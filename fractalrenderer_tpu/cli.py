@@ -129,10 +129,18 @@ def cmd_render(args) -> int:
 
         print(scene_debug_summary(scene), file=sys.stderr)
     t0 = time.monotonic()
+    dz_info = None
     if getattr(args, "precision", "f32") == "dd":
         from .models.mandelbrot import render_dd
 
         img = render_dd(scene, args.width, args.height)
+    elif scene.fractal_type.name == "DEEP_ZOOM" and not args.golden:
+        from .models import deep_zoom
+        from .utils.diag import validate_scene
+
+        img, dz_info = deep_zoom.render(validate_scene(scene), args.width,
+                                        args.height, return_info=True)
+        img = np.asarray(img)
     else:
         img = _render(scene, args.width, args.height, args.golden)
     dt = time.monotonic() - t0
@@ -146,6 +154,13 @@ def cmd_render(args) -> int:
     print(f"Rendered {args.width}x{args.height} "
           f"{scene.fractal_type.display_name} in {dt*1e3:.1f} ms "
           f"({mpix:.0f} Mpix/s incl. host transfer) -> {args.out}")
+    if dz_info is not None:
+        print(f"  deep zoom: {dz_info['precision_mode']} "
+              f"({dz_info['precision_bits']} bits), "
+              f"{dz_info['references_used']} reference orbit(s), "
+              f"{dz_info['glitched_pixels_initial']} glitch-flagged -> "
+              f"{dz_info['fallback_pixels']} HP-fallback, "
+              f"{dz_info['glitched_pixels_remaining']} remaining")
     return 0
 
 

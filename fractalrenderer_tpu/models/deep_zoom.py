@@ -179,6 +179,33 @@ def render_fields(scene: Scene, width: int, height: int,
         glitch = glitch & g2
         refs += 1
 
+    # ---- guaranteed fallback: direct HP iteration of survivors ---------
+    # The secondary-reference loop can exit with stragglers (no-progress
+    # bailout above).  Each survivor gets its own exact orbit from the
+    # native HP engine — the pixel IS the reference, so by construction it
+    # cannot glitch.  Survivor counts are tiny (tens of pixels) and the
+    # native engine runs ~2M iter/s, so this is milliseconds of host work;
+    # config #4's "correct (glitch-free)" ends at exactly 0 flagged pixels.
+    info["fallback_pixels"] = int(glitch.sum())
+    if glitch.any():
+        bail = max(2.0, float(scene.bailout))
+        bail2 = bail * bail
+        ys, xs = np.nonzero(glitch)
+        for y, x in zip(ys, xs):
+            pcx, pcy = pixel_c(int(y), int(x))
+            o = orbit_mod.compute_orbit(pcx, pcy, hp_bits, max_iter + 1,
+                                        escape_mag_sq=bail2,
+                                        force_python=force_python_orbit)
+            zfx, zfy = float(o[-1, 0]), float(o[-1, 1])
+            escaped = zfx * zfx + zfy * zfy > bail2
+            # kernel count convention: n = #{i >= 1 : |z_i| <= bail} — the
+            # first escaped index k gives n = k - 1 (see ops/perturbation
+            # pert_chunk); interior pixels report the limit.
+            n[y, x] = (len(o) - 2) if escaped else max_iter
+            zx[y, x] = zfx
+            zy[y, x] = zfy
+        glitch = np.zeros_like(glitch)
+
     info["references_used"] = refs
     info["glitched_pixels_remaining"] = int(glitch.sum())
     return n, zx, zy, glitch, info

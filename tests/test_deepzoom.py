@@ -600,3 +600,67 @@ def test_python_orbit_bit_identical_to_native():
     o_python = orbit.compute_orbit_python(cx, cy, 192, 300)
     assert len(o_native) == len(o_python)
     np.testing.assert_array_equal(o_native, o_python)
+
+
+# ---------------------------------------------------------------------------
+# zero-glitch guarantee (config #4: "correct (glitch-free)")
+# ---------------------------------------------------------------------------
+
+def test_deep_zoom_zero_glitch_guarantee():
+    # An escaping-center reference starves long-lived pixels; with secondary
+    # references disabled (max_references=1) every survivor must be resolved
+    # by the direct-HP fallback, ending at exactly 0 flagged pixels.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="0.245670923653024",
+              hp_center_y="0.580340963154017",
+              hp_zoom="1e-9", max_iterations=400, use_perturbation=True)
+    n, zx, zy, glitch, info = deep_zoom.render_fields(s, 32, 24,
+                                                      max_references=1)
+    assert info["fallback_pixels"] > 0
+    assert info["glitched_pixels_remaining"] == 0
+    assert not glitch.any()
+
+
+def test_deep_zoom_fallback_matches_f64_oracle():
+    # Fallback pixels are direct HP iterations; at 1e-8 (f64-exact regime,
+    # short run) their counts must match the f64 oracle under the deep-zoom
+    # kernel's counting convention.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    cx, cy, zoom = "0.245670923653024", "0.580340963154017", "1e-8"
+    W, H, MI = 24, 16, 60
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x=cx,
+              hp_center_y=cy, hp_zoom=zoom, max_iterations=MI,
+              use_perturbation=True)
+    orb = orbit.compute_orbit(cx, cy, 64, MI + 1)
+    assert len(orb) < MI, "center must escape to force starved pixels"
+    n, zx, zy, glitch, info = deep_zoom.render_fields(s, W, H,
+                                                      max_references=1)
+    assert info["fallback_pixels"] > 0 and not glitch.any()
+
+    py, px = np.mgrid[0:H, 0:W].astype(np.float64)
+    ps = float(zoom) * 4 / H
+    cr = float(cx) + (px / W - 0.5) * (W / H) * ps
+    ci = float(cy) + (py / H - 0.5) * ps
+    zr = np.zeros_like(cr)
+    zi = np.zeros_like(ci)
+    nref = np.zeros(cr.shape, np.int64)
+    alive = np.ones(cr.shape, bool)
+    bail2 = max(2.0, s.bailout) ** 2
+    for _ in range(MI):
+        x = zr * zr - zi * zi + cr
+        y = 2 * zr * zi + ci
+        zr = np.where(alive, x, zr)
+        zi = np.where(alive, y, zi)
+        esc = alive & (zr * zr + zi * zi > bail2)
+        nref = np.where(alive & ~esc, nref + 1, nref)
+        alive &= ~esc
+    nref = np.where(alive, MI, nref)  # interior pixels report the limit
+    # every starved pixel took the fallback; counts must agree exactly
+    starved = nref >= len(orb) - 2
+    assert starved.any()
+    np.testing.assert_array_equal(n[starved], nref[starved])
