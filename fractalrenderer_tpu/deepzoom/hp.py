@@ -65,6 +65,8 @@ class HPFloat:
         if isinstance(value, HPFloat):
             self.man = value.man << (self.bits - value.bits) \
                 if self.bits >= value.bits else value.man >> (value.bits - self.bits)
+        elif isinstance(value, Fraction):
+            self.man = round(value * (1 << self.bits))
         elif isinstance(value, str):
             frac = Fraction(value.strip())
             self.man = round(frac * (1 << self.bits))

@@ -79,9 +79,13 @@ def render_fields(scene: Scene, width: int, height: int,
     # Past ~1e-7 the f32 continuation c is meaningless; starved pixels are
     # flagged and re-referenced instead (see ops/perturbation.py).
     float_cont = zoom_f > 1e-7
-    # QUAD/ARBITRARY modes iterate the delta in double-double (f64-class
-    # mantissa) — the reference's dd shader tier, applied to the delta.
-    dd_delta = mode.name != "DOUBLE"
+    # QUAD mode iterates the delta in double-double (f64-class mantissa) —
+    # the reference's dd shader tier, applied to the delta.  ARBITRARY mode
+    # (zoom < 1e-30, deep_zoom_system.cpp:226-249) switches to floatexp
+    # deltas (dd mantissa + per-pixel exponent), which the reference's MPFR
+    # tier only reached on the CPU; here the whole image stays on the TPU.
+    dd_delta = mode.name == "QUAD"
+    scaled = mode.name == "ARBITRARY"
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
     # full-strength (interior) reference needs max_iter+1 stored entries.
@@ -98,7 +102,8 @@ def render_fields(scene: Scene, width: int, height: int,
     orbit = cached_orbit(cx, cy)
 
     series = None
-    if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0:
+    if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
+            and not scaled:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height
@@ -109,13 +114,14 @@ def render_fields(scene: Scene, width: int, height: int,
         orbit, width, height, center_x_dd=center_x_dd,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
-        float_continuation=float_cont, series=series, dd_delta=dd_delta)
+        float_continuation=float_cont, series=series, dd_delta=dd_delta,
+        scaled_delta=scaled, zoom_frac=str(zoom))
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
     glitch = np.asarray(f["glitch"]) > 0.5
     info = {"precision_mode": mode.name, "precision_bits": bits,
-            "dd_delta": dd_delta,
+            "dd_delta": dd_delta, "scaled_delta": scaled,
             "reference_iterations": len(orbit), "references_used": 1,
             "series_skip": series.n_skip if series else 0,
             "glitched_pixels_initial": int(glitch.sum())}
@@ -124,16 +130,15 @@ def render_fields(scene: Scene, width: int, height: int,
     hp_bits = max(bits, 128)
     cx_hp = HPFloat(str(cx), hp_bits)
     cy_hp = HPFloat(str(cy), hp_bits)
-    zoom_hp = HPFloat(str(zoom), hp_bits)
-    pixel_size_hp = zoom_hp * HPFloat(4.0, hp_bits) / HPFloat(float(height),
-                                                             hp_bits)
+    # Exact-rational pixel mapping, identical to the kernel's
+    # dc = step * (p - size/2) with step = zoom*4/height^2 — so secondary
+    # references and the HP fallback sample the same c the kernel does.
+    step_fr = Fraction(str(zoom)) * 4 / (height * height)
+
     def pixel_c(py, px):
-        uvx = (px + offset[0]) / width
-        uvy = (py + offset[1]) / height
-        offx = (uvx - 0.5) * (width / height)
-        offy = uvy - 0.5
-        return (cx_hp + pixel_size_hp * HPFloat(offx, hp_bits),
-                cy_hp + pixel_size_hp * HPFloat(offy, hp_bits))
+        dcx = step_fr * (Fraction(px + offset[0]) - Fraction(width, 2))
+        dcy = step_fr * (Fraction(py + offset[1]) - Fraction(height, 2))
+        return (cx_hp + HPFloat(dcx, hp_bits), cy_hp + HPFloat(dcy, hp_bits))
 
     refs = 1
     prev_glitched = None
@@ -158,16 +163,22 @@ def render_fields(scene: Scene, width: int, height: int,
             if len(o) >= max_iter + 1:
                 break  # non-escaping reference found
         orbit2, (ref_cx, ref_cy) = best
-        # delta relative to the new reference needs shift = center - ref
-        shift_x = dd_from_string((cx_hp - ref_cx).to_string(40))
-        shift_y = dd_from_string((cy_hp - ref_cy).to_string(40))
+        # delta relative to the new reference needs shift = center - ref;
+        # enough decimal digits for full dd-relative precision at depth
+        digs = max(40, int(hp_bits * 0.302) + 12)
+        sx_str = (cx_hp - ref_cx).to_string(digs)
+        sy_str = (cy_hp - ref_cy).to_string(digs)
         f2 = field_fn(
             orbit2, width, height,
             center_x_dd=dd_from_string(ref_cx.to_string(40)),
             center_y_dd=dd_from_string(ref_cy.to_string(40)),
             zoom_dd=zoom_dd, max_iter=max_iter, bailout=scene.bailout,
-            glitch_tol=glitch_tol, ref_shift_x=shift_x, ref_shift_y=shift_y,
-            offset=offset, float_continuation=float_cont, dd_delta=dd_delta)
+            glitch_tol=glitch_tol,
+            ref_shift_x=dd_from_string(sx_str),
+            ref_shift_y=dd_from_string(sy_str),
+            offset=offset, float_continuation=float_cont, dd_delta=dd_delta,
+            scaled_delta=scaled, zoom_frac=str(zoom),
+            ref_shift_x_frac=sx_str, ref_shift_y_frac=sy_str)
         n2 = np.asarray(f2["n"])
         zx2 = np.asarray(f2["zx"])
         zy2 = np.asarray(f2["zy"])

@@ -28,7 +28,8 @@ continue with plain f32 iteration from the current full z
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from fractions import Fraction
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,28 +40,59 @@ from jax.experimental.pallas import tpu as pltpu
 from . import dd
 from .pallas_utils import cdiv, default_interpret, pick_tile
 
-# params vector layout (f32, SMEM)
-(Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_ZH, Q_ZL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
+# params vector layout (f32, SMEM).  Q_PSH/Q_PSL hold the per-pixel step
+# zoom*4/map_height^2 as dd (pre-scaled by 2^s in scaled-delta mode, with s
+# in Q_SEXP) — the kernel maps pixel -> delta-c as step * (col - w/2) so the
+# mapping carries full dd precision instead of routing through f32 uv.
+(Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_PSH, Q_PSL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
  Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
- Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL) = range(30)
-NQ = 30
+ Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP) = range(31)
+NQ = 31
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
+
+# exponent sentinel for a zero floatexp mantissa (far below any real scale
+# but safe from i32 overflow when doubled)
+E_ZERO = -(1 << 24)
+
+
+def _pow2(k):
+    """2^k as f32 for integer k (flushes to 0 below 2^-126) via exponent-
+    field construction — exact, unlike exp2's polynomial."""
+    kc = jnp.clip(k, -126, 127)
+    f = jax.lax.bitcast_convert_type(((kc + 127) << 23).astype(jnp.int32),
+                                     jnp.float32)
+    return jnp.where(k < -126, jnp.float32(0.0), f)
+
+
+def _expo(x):
+    """Floor(log2 |x|) of a normal f32 via its exponent field (-127 for 0)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return ((bits >> 23) & 0xFF) - 127
 
 
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
                  float_continuation: bool, dd_delta: bool = False,
-                 orbit_hbm: bool = False, orbit_cap: int = 0):
+                 orbit_hbm: bool = False, orbit_cap: int = 0,
+                 scaled: bool = False):
     """``dd_delta=True`` iterates the perturbation delta in double-double
     (two-f32) instead of plain f32 — f64-class mantissa for the delta, used
-    in the QUAD/ARBITRARY precision modes (zoom < 1e-14).  ~6x the
-    per-iteration cost; escape/glitch tests remain f32 on the composed
-    z_full, which is all the coloring consumes."""
+    in the QUAD precision mode (zoom < 1e-14).  ~6x the per-iteration cost;
+    escape/glitch tests remain f32 on the composed z_full, which is all the
+    coloring consumes.
+
+    ``scaled=True`` (ARBITRARY mode, zoom < 1e-30) carries the delta as
+    floatexp: dd mantissa + per-pixel i32 exponent, with delta-c pre-scaled
+    by 2^s host-side.  This breaks the f32 exponent floor (~1e-38 absolute)
+    entirely — depth is bounded only by the i32 exponent, i.e. ~1e-2500000.
+    The recurrence dz <- 2*Z*dz + dz^2 + dc aligns the three terms to the
+    max exponent with exact power-of-two factors (terms more than 2^126
+    below the max flush to zero — far under the dd noise floor)."""
     th, tw = tile
-    n_streams = 4 if dd_delta else 2
+    n_streams = 4 if (dd_delta or scaled) else 2
 
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
                orbit_re_lo_ref, orbit_im_lo_ref,
@@ -138,17 +170,19 @@ def _make_kernel(width: int, height: int, map_height: int,
         glitch_tol = params_ref[0, Q_GLITCH_TOL]
 
         # --- per-pixel delta c in double-double (comp:117-143) ----------
-        wf = jnp.float32(width)
-        hf = jnp.float32(map_height)
-        uvx = cols.astype(jnp.float32) / wf + params_ref[0, Q_OFFX] / wf
-        uvy = rows.astype(jnp.float32) / hf + params_ref[0, Q_OFFY] / hf
-        aspect = wf / hf
-        off_x = (uvx - 0.5) * aspect
-        off_y = uvy - 0.5
-        zoom_dd = (params_ref[0, Q_ZH], params_ref[0, Q_ZL])
-        pixel_size = dd.dd_mul_float(jnp, zoom_dd, jnp.float32(4.0) / hf)
-        dcx = dd.dd_mul_float(jnp, pixel_size, off_x)
-        dcy = dd.dd_mul_float(jnp, pixel_size, off_y)
+        # dc = (zoom*4/h) * (uv-0.5)*aspect algebraically equals
+        # step * (col + off - w/2) with step = zoom*4/h^2 (host-computed in
+        # exact rational arithmetic): (col - w/2) is exact in f32 for any
+        # image <= 16k wide, so the mapping carries full dd precision —
+        # routing through f32 uv as the reference shader does costs ~1e-7
+        # relative error on dc, which flips boundary iteration counts.
+        step = (params_ref[0, Q_PSH], params_ref[0, Q_PSL])
+        half_w = jnp.float32(width * 0.5)
+        half_h = jnp.float32(map_height * 0.5)
+        nx = (cols.astype(jnp.float32) - half_w) + params_ref[0, Q_OFFX]
+        ny = (rows.astype(jnp.float32) - half_h) + params_ref[0, Q_OFFY]
+        dcx = dd.dd_mul_float(jnp, step, nx)
+        dcy = dd.dd_mul_float(jnp, step, ny)
         # secondary-reference shift: delta relative to the re-centered orbit
         shift_x = (params_ref[0, Q_SHIFTXH], params_ref[0, Q_SHIFTXL])
         shift_y = (params_ref[0, Q_SHIFTYH], params_ref[0, Q_SHIFTYL])
@@ -159,6 +193,7 @@ def _make_kernel(width: int, height: int, map_height: int,
                                    bs(shift_y[1], (th, tw))))
         delta_r = dd.dd_to_float(jnp, dcx)
         delta_i = dd.dd_to_float(jnp, dcy)
+        s_exp = params_ref[0, Q_SEXP].astype(jnp.int32)  # scaled mode only
 
         # full c in f32 for the float-continuation phase (comp:139-141)
         cx_dd = dd.dd_add(jnp, (params_ref[0, Q_CXH], params_ref[0, Q_CXL]),
@@ -213,6 +248,15 @@ def _make_kernel(width: int, height: int, map_height: int,
             dz0r_dd, dz0i_dd = cmul_dd(tr_dd, ti_dd, dcx, dcy)
             dz0r = dd.dd_to_float(jnp, dz0r_dd)
             dz0i = dd.dd_to_float(jnp, dz0i_dd)
+        if scaled:
+            # floatexp init: delta_1 = delta_c, i.e. mantissa = dc' (the
+            # host-scaled dd), exponent = -s.  Series skip is disabled in
+            # this mode (host enforces n_skip == 1).
+            # flushes to 0 below 2^-126: z1 ~= Z_1.  (Broadcast before the
+            # bitcast — Mosaic's tpu.bitcast is vector-only.)
+            dscale = _pow2(jnp.broadcast_to(-s_exp, (th, tw)))
+            dz0r = delta_r * dscale
+            dz0i = delta_i * dscale
         base0 = dma_chunk(n0)
         z1r = read_re(n0, base0) + dz0r
         z1i = read_im(n0, base0) + dz0i
@@ -225,7 +269,11 @@ def _make_kernel(width: int, height: int, map_height: int,
             "glitch": jnp.zeros((th, tw), jnp.float32),
             "i": n0,
         }
-        if dd_delta:
+        if scaled:
+            state0["mrh"], state0["mrl"] = dcx
+            state0["mih"], state0["mil"] = dcy
+            state0["ex"] = jnp.broadcast_to(-s_exp, (th, tw))
+        elif dd_delta:
             state0["dzrh"], state0["dzrl"] = dz0r_dd
             state0["dzih"], state0["dzil"] = dz0i_dd
         else:
@@ -242,7 +290,60 @@ def _make_kernel(width: int, height: int, map_height: int,
                 s["nf"] = s["nf"] + alive.astype(jnp.float32)
                 zr = read_re(i, base)
                 zi = read_im(i, base)
-                if dd_delta:
+                if scaled:
+                    # floatexp step: delta = m * 2^ex with dd mantissa m.
+                    # dz <- 2*Z*dz + dz^2 + dc as three terms at exponents
+                    # ex / 2*ex / -s, aligned to their max by exact
+                    # power-of-two factors (flush-to-zero below 2^-126 drops
+                    # only terms >2^126 under the max — far below the dd
+                    # noise floor).
+                    mr = (s["mrh"], s["mrl"])
+                    mi = (s["mih"], s["mil"])
+                    ex = s["ex"]
+                    zr2 = (zr * 2.0, read_rel(i, base) * 2.0)  # exact x2
+                    zi2 = (zi * 2.0, read_iml(i, base) * 2.0)
+                    t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, zr2),
+                                    dd.dd_mul(jnp, mi, zi2))
+                    t1i = dd.dd_add(jnp, dd.dd_mul(jnp, mi, zr2),
+                                    dd.dd_mul(jnp, mr, zi2))
+                    sq_r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, mr),
+                                     dd.dd_mul(jnp, mi, mi))
+                    rz = dd.dd_mul(jnp, mr, mi)
+                    sq_i = (rz[0] * 2.0, rz[1] * 2.0)
+                    e2 = ex + ex
+                    emax = jnp.maximum(jnp.maximum(ex, e2), -s_exp)
+                    fA = _pow2(ex - emax)
+                    fB = _pow2(e2 - emax)
+                    fC = _pow2(-s_exp - emax)
+                    scl = lambda v, f: (v[0] * f, v[1] * f)
+                    nmr = dd.dd_add(jnp, dd.dd_add(jnp, scl(t1r, fA),
+                                                   scl(sq_r, fB)),
+                                    scl(dcx, fC))
+                    nmi = dd.dd_add(jnp, dd.dd_add(jnp, scl(t1i, fA),
+                                                   scl(sq_i, fB)),
+                                    scl(dcy, fC))
+                    # renormalize mantissa hi into [1, 2)
+                    mag = jnp.maximum(jnp.abs(nmr[0]), jnp.abs(nmi[0]))
+                    zero = mag == 0.0
+                    k = jnp.where(zero, 0, _expo(mag))
+                    fN = _pow2(-k)
+                    nmr = scl(nmr, fN)
+                    nmi = scl(nmi, fN)
+                    nex = jnp.where(zero, E_ZERO,
+                                    jnp.clip(emax + k, E_ZERO, 1 << 24))
+                    # compose z_full = Z + m*2^ex (0 when delta underflows
+                    # f32 — invisible next to Z by >38 decades)
+                    dfac = _pow2(nex)
+                    nzfr = ((read_re(i + 1, base) + nmr[0] * dfac)
+                            + (read_rel(i + 1, base) + nmr[1] * dfac))
+                    nzfi = ((read_im(i + 1, base) + nmi[0] * dfac)
+                            + (read_iml(i + 1, base) + nmi[1] * dfac))
+                    s["mrh"] = jnp.where(alive, nmr[0], mr[0])
+                    s["mrl"] = jnp.where(alive, nmr[1], mr[1])
+                    s["mih"] = jnp.where(alive, nmi[0], mi[0])
+                    s["mil"] = jnp.where(alive, nmi[1], mi[1])
+                    s["ex"] = jnp.where(alive, nex, ex)
+                elif dd_delta:
                     dzr = (s["dzrh"], s["dzrl"])
                     dzi = (s["dzih"], s["dzil"])
                     # the orbit itself is dd in this mode — the f32-rounded
@@ -372,16 +473,17 @@ def _make_kernel(width: int, height: int, map_height: int,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "float_continuation", "dd_delta",
-                     "orbit_hbm"))
+                     "orbit_hbm", "scaled"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                orbit_im_lo, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
-               float_continuation, dd_delta=False, orbit_hbm=False):
+               float_continuation, dd_delta=False, orbit_hbm=False,
+               scaled=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap)
+                          orbit_cap, scaled)
     out_shapes = (
         jax.ShapeDtypeStruct((height, width), jnp.int32),
         jax.ShapeDtypeStruct((height, width), jnp.float32),
@@ -400,8 +502,8 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
         out_shape=out_shapes,
         scratch_shapes=(
             [pltpu.SMEM((1, HBM_ROW_W), jnp.float32)
-             for _ in range(4 if dd_delta else 2)]
-            + [pltpu.SemaphoreType.DMA((4 if dd_delta else 2,))]
+             for _ in range(4 if (dd_delta or scaled) else 2)]
+            + [pltpu.SemaphoreType.DMA((4 if (dd_delta or scaled) else 2,))]
             if orbit_hbm else []),
         interpret=interpret,
     )(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo, orbit_im_lo)
@@ -410,7 +512,7 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
 def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         center_x_dd: Tuple[float, float],
                         center_y_dd: Tuple[float, float],
-                        zoom_dd: Tuple[float, float],
+                        zoom_dd: Tuple[float, float] = (0.0, 0.0),
                         max_iter: int, bailout: float = 4.0,
                         glitch_tol: float = 1e-6,
                         ref_shift_x: Tuple[float, float] = (0.0, 0.0),
@@ -421,6 +523,10 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         series=None, row0=0.0,
                         map_height: Optional[int] = None,
                         dd_delta: bool = False,
+                        scaled_delta: bool = False,
+                        zoom_frac: Union[str, Fraction, None] = None,
+                        ref_shift_x_frac: Union[str, Fraction, None] = None,
+                        ref_shift_y_frac: Union[str, Fraction, None] = None,
                         interpret: Optional[bool] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
@@ -428,6 +534,11 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
 
     ``ref_shift_*`` is (scene_center - orbit_center) as dd, used when
     re-rendering glitched pixels against a secondary reference.
+
+    ``scaled_delta=True`` (ARBITRARY tier) iterates floatexp deltas (dd
+    mantissa + per-pixel exponent); because zoom/shift magnitudes underflow
+    f32 pairs at those depths, pass them as exact decimal strings or
+    Fractions via ``zoom_frac`` / ``ref_shift_*_frac`` instead of dd.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -437,6 +548,43 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         tile = pick_tile(height, width)
     if iter_limit is None:
         iter_limit = max_iter
+    map_h = int(map_height if map_height is not None else height)
+    if scaled_delta:
+        assert not float_continuation, \
+            "float continuation is meaningless at scaled-delta depths"
+        assert not dd_delta, "scaled_delta supersedes dd_delta"
+        assert series is None or series.n_skip <= 1, \
+            "series skip not supported in scaled mode"
+    # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
+    if zoom_frac is not None:
+        zoom_fr = Fraction(zoom_frac)
+    else:
+        zoom_fr = Fraction(zoom_dd[0]) + Fraction(zoom_dd[1])
+    step_fr = zoom_fr * 4 / (map_h * map_h)
+    s_exp = 0
+    if scaled_delta:
+        if step_fr == 0:
+            raise ValueError("scaled_delta requires a nonzero zoom")
+        # scale so step' ~ 2^-14: delta-c mantissas land in [2^-14, ~2]
+        # for any image up to 32k wide
+        s_exp = -14 - (step_fr.numerator.bit_length()
+                       - step_fr.denominator.bit_length())
+        step_fr *= Fraction(2) ** s_exp
+
+    def frac_to_dd(fr: Fraction) -> Tuple[float, float]:
+        hi = np.float32(float(fr))
+        lo = np.float32(float(fr - Fraction(float(hi))))
+        return float(hi), float(lo)
+
+    step_dd = frac_to_dd(step_fr)
+    if scaled_delta:
+        sh_x = Fraction(ref_shift_x_frac) if ref_shift_x_frac is not None \
+            else Fraction(0)
+        sh_y = Fraction(ref_shift_y_frac) if ref_shift_y_frac is not None \
+            else Fraction(0)
+        two_s = Fraction(2) ** s_exp
+        ref_shift_x = frac_to_dd(sh_x * two_s)
+        ref_shift_y = frac_to_dd(sh_y * two_s)
     # Orbits beyond the SMEM budget stream from HBM per iteration chunk.
     orbit_hbm = max_iter + 1 > MAX_ORBIT_SMEM
     bailout = max(2.0, float(bailout))  # comp:114
@@ -454,8 +602,9 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     # values, so the precomputed |Z|^2 table is a dummy.
     mag2 = np.zeros(1, np.float32) if orbit_hbm \
         else orbit_re * orbit_re + orbit_im * orbit_im
-    if dd_delta:
-        # hi/lo split of the f64 orbit — the dd loop needs dd-accurate Z
+    if dd_delta or scaled_delta:
+        # hi/lo split of the f64 orbit — the dd/floatexp loops need
+        # dd-accurate Z
         orbit_re_lo = np.zeros(cap, np.float32)
         orbit_im_lo = np.zeros(cap, np.float32)
         orbit_re_lo[:L] = (orbit[:L, 0]
@@ -483,14 +632,15 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
 
         orbit_re = rows_of(orbit_re)
         orbit_im = rows_of(orbit_im)
-        if dd_delta:
+        if dd_delta or scaled_delta:
             orbit_re_lo = rows_of(orbit_re_lo)
             orbit_im_lo = rows_of(orbit_im_lo)
 
     params = np.zeros((1, NQ), np.float32)
     params[0, Q_CXH], params[0, Q_CXL] = center_x_dd
     params[0, Q_CYH], params[0, Q_CYL] = center_y_dd
-    params[0, Q_ZH], params[0, Q_ZL] = zoom_dd
+    params[0, Q_PSH], params[0, Q_PSL] = step_dd
+    params[0, Q_SEXP] = s_exp
     params[0, Q_LIMIT] = max(1, int(iter_limit))
     params[0, Q_BAIL2] = bailout * bailout
     params[0, Q_REFLEN] = L
@@ -519,12 +669,12 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                 jnp.asarray(orbit_im), jnp.asarray(mag2),
                 jnp.asarray(orbit_re_lo), jnp.asarray(orbit_im_lo))
     call_kw = dict(
-        width=width, height=height,
-        map_height=int(map_height if map_height is not None else height),
+        width=width, height=height, map_height=map_h,
         orbit_cap=cap, tile=tuple(tile), chunk=chunk,
         interpret=bool(interpret),
         float_continuation=bool(float_continuation),
-        dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm))
+        dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm),
+        scaled=bool(scaled_delta))
     if _build_only:
         return operands, call_kw
     n, zx, zy, glitch = _pert_call(*operands, **call_kw)

@@ -76,10 +76,10 @@ def params_layout_selfcheck() -> bool:
                escape.P_A1, escape.P_A2, escape.P_A3, escape.P_ROW0]
     assert sorted(esc_idx) == list(range(escape.NPARAMS))
     pert_idx = [getattr(perturbation, f"Q_{n}") for n in (
-        "CXH", "CXL", "CYH", "CYL", "ZH", "ZL", "LIMIT", "BAIL2", "REFLEN",
+        "CXH", "CXL", "CYH", "CYL", "PSH", "PSL", "LIMIT", "BAIL2", "REFLEN",
         "GLITCH_TOL", "SHIFTXH", "SHIFTXL", "SHIFTYH", "SHIFTYL", "OFFX",
         "OFFY", "AR", "AI", "BR", "BI", "CR", "CI", "NSKIP", "ROW0",
-        "ARL", "AIL", "BRL", "BIL", "CRL", "CIL")]
+        "ARL", "AIL", "BRL", "BIL", "CRL", "CIL", "SEXP")]
     assert sorted(pert_idx) == list(range(perturbation.NQ))
     dd_idx = [getattr(dd_escape, f"D_{n}") for n in (
         "CXH", "CXL", "CYH", "CYL", "ZH", "ZL", "LIMIT", "BAIL2", "OFFX",
