@@ -312,6 +312,12 @@ def cmd_zoom_path(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     base = scene_from_args(args).with_(fractal_type=FractalType.DEEP_ZOOM,
                                        use_perturbation=True)
+    # One reference orbit at the final (deepest) center serves every frame
+    # via the shift mechanism; the cache also holds any secondary
+    # references across frames.  The reference recomputed per frame
+    # (deep_zoom_system.cpp:454-559) — O(frames x orbit cost) for nothing.
+    ref_center = (repr(end.center_x), repr(end.center_y))
+    cache = {}
     for f in range(args.frames):
         t = f / max(args.frames - 1, 1)
         cx = start.center_x + t * (end.center_x - start.center_x)
@@ -321,7 +327,9 @@ def cmd_zoom_path(args) -> int:
         sc = base.with_(center_x=cx, center_y=cy, zoom=zoom,
                         hp_center_x=repr(cx), hp_center_y=repr(cy),
                         hp_zoom=repr(zoom))
-        img = np.asarray(model_render(sc, args.width, args.height))
+        img = np.asarray(model_render(sc, args.width, args.height,
+                                      ref_center=ref_center,
+                                      orbit_cache=cache))
         png.write_png(os.path.join(args.out_dir, f"frame_{f:06d}.png"),
                       to_export_orientation(img))
         print(f"\rframe {f+1}/{args.frames} zoom={zoom:.3e}", end="",

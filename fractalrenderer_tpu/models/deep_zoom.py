@@ -50,7 +50,8 @@ def render_fields(scene: Scene, width: int, height: int,
                   max_references: int = 16, glitch_tol: float = 1e-6,
                   offset: Tuple[float, float] = (0.0, 0.0),
                   force_python_orbit: bool = False,
-                  orbit_cache: dict = None, mesh=None):
+                  orbit_cache: dict = None, mesh=None,
+                  ref_center: Tuple[str, str] = None):
     """Returns (n, zx, zy, glitch_remaining, info dict).
 
     ``orbit_cache``: optional dict keyed by HP center strings; lets
@@ -58,7 +59,13 @@ def render_fields(scene: Scene, width: int, height: int,
     calls (the reference recomputes only when dirty —
     deep_zoom_system.cpp:363).
     ``mesh``: a jax Mesh with a 'rows' axis routes every kernel pass through
-    the gather-free row-band sharding (parallel/tiled.py)."""
+    the gather-free row-band sharding (parallel/tiled.py).
+    ``ref_center``: optional (cx, cy) decimal strings — compute/reuse the
+    reference orbit at THIS point instead of the scene center and render
+    via the shift mechanism (c = ref + pixel-delta + (center - ref)).
+    Zoom-path animations pass the final (deepest) center here so one orbit
+    serves every frame (the reference recomputes per frame,
+    deep_zoom_system.cpp:454-559)."""
     if mesh is not None:
         import functools
 
@@ -99,11 +106,29 @@ def render_fields(scene: Scene, width: int, height: int,
             orbit_cache[key] = o
         return o
 
-    orbit = cached_orbit(cx, cy)
+    hp_bits = max(bits, 128)
+    digs = max(40, int(hp_bits * 0.302) + 12)
+    shift_kw = {}
+    if ref_center is not None:
+        # One shared orbit at ref_center; the pixel deltas pick up
+        # shift = (scene center - ref), exactly like a secondary reference.
+        rcx_s, rcy_s = ref_center
+        orbit = cached_orbit(rcx_s, rcy_s)
+        center_x_dd = dd_from_string(rcx_s)
+        center_y_dd = dd_from_string(rcy_s)
+        sx_s = (HPFloat(str(cx), hp_bits)
+                - HPFloat(rcx_s, hp_bits)).to_string(digs)
+        sy_s = (HPFloat(str(cy), hp_bits)
+                - HPFloat(rcy_s, hp_bits)).to_string(digs)
+        shift_kw = dict(ref_shift_x=dd_from_string(sx_s),
+                        ref_shift_y=dd_from_string(sy_s),
+                        ref_shift_x_frac=sx_s, ref_shift_y_frac=sy_s)
+    else:
+        orbit = cached_orbit(cx, cy)
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
-            and not scaled:
+            and not scaled and ref_center is None:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height
@@ -115,7 +140,7 @@ def render_fields(scene: Scene, width: int, height: int,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
         float_continuation=float_cont, series=series, dd_delta=dd_delta,
-        scaled_delta=scaled, zoom_frac=str(zoom))
+        scaled_delta=scaled, zoom_frac=str(zoom), **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
@@ -223,7 +248,7 @@ def render_fields(scene: Scene, width: int, height: int,
 
 
 def render(scene: Scene, width: int, height: int,
-           return_info: bool = False, **kw):
+           return_info: bool = False, orbit_cache: dict = None, **kw):
     p = ColorParams(
         max_iterations=scene.max_iterations, bailout=scene.bailout,
         palette_mode=scene.palette_mode, color_offset=scene.color_offset,
@@ -231,7 +256,7 @@ def render(scene: Scene, width: int, height: int,
     spp = max(int(scene.samples_per_pixel), 1)
     acc = np.zeros((height, width, 3), np.float32)
     infos = []
-    cache = {}
+    cache = orbit_cache if orbit_cache is not None else {}
     for sy in range(spp):
         for sx in range(spp):
             off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)

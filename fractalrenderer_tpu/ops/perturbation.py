@@ -98,63 +98,65 @@ def _make_kernel(width: int, height: int, map_height: int,
                orbit_re_lo_ref, orbit_im_lo_ref,
                n_ref, zx_ref, zy_ref, glitch_ref, *scratch):
         if orbit_hbm:
-            # scratch: per-stream SMEM row buffers + DMA semaphores.  The
-            # orbit lives in HBM pre-chunked into overlapping rows
-            # (row j = orbit[j*chunk : j*chunk + chunk + 1], padded to a
-            # lane-friendly row width) so each round DMAs one row with a
-            # dynamic *leading* index — the slice pattern Mosaic supports.
-            scr = scratch[:n_streams]
-            sems = scratch[n_streams]
+            # scratch: DOUBLE-BUFFERED per-stream SMEM row buffers + DMA
+            # semaphores (2 slots x n_streams).  The orbit lives in HBM
+            # pre-chunked into overlapping rows (row j = orbit[j*chunk :
+            # j*chunk + chunk + 1], padded to a lane-friendly width) so
+            # each round DMAs one row with a dynamic *leading* index — the
+            # slice pattern Mosaic supports.  The iteration loop unrolls
+            # two rounds per step so buffer parity is static: row j+1
+            # prefetches into slot 1 while slot 0 computes, and vice versa
+            # — the DMA latency hides behind the chunk compute.
+            bufs = (scratch[:n_streams], scratch[n_streams:2 * n_streams])
+            sems = scratch[2 * n_streams]
             hbm_srcs = [orbit_re_ref, orbit_im_ref,
                         orbit_re_lo_ref, orbit_im_lo_ref][:n_streams]
             n_rows_tab = orbit_re_ref.shape[0]
 
-            def dma_chunk(i0):
-                j = jnp.minimum(i0 // chunk, n_rows_tab - 1)
-                copies = [
-                    pltpu.make_async_copy(src.at[pl.ds(j, 1)], dst,
-                                          sems.at[k])
-                    for k, (src, dst) in enumerate(zip(hbm_srcs, scr))]
-                for c in copies:
+            def _copies(j, slot):
+                jc = jnp.minimum(j, n_rows_tab - 1)
+                return [pltpu.make_async_copy(src.at[pl.ds(jc, 1)], dst,
+                                              sems.at[slot, k])
+                        for k, (src, dst) in enumerate(zip(hbm_srcs,
+                                                           bufs[slot]))]
+
+            def dma_start(j, slot):
+                for c in _copies(j, slot):
                     c.start()
-                for c in copies:
+
+            def dma_wait(j, slot):
+                for c in _copies(j, slot):
                     c.wait()
+
+            def dma_sync(i0):
+                j = jnp.minimum(i0 // chunk, n_rows_tab - 1)
+                dma_start(j, 0)
+                dma_wait(j, 0)
                 return j * chunk
 
-            def read_re(i, base):
-                return scr[0][0, i - base]
+            def _make_rd(slot):
+                b = bufs[slot]
+                rd = {"re": lambda i, base: b[0][0, i - base],
+                      "im": lambda i, base: b[1][0, i - base]}
+                if n_streams == 4:
+                    rd["rel"] = lambda i, base: b[2][0, i - base]
+                    rd["iml"] = lambda i, base: b[3][0, i - base]
+                rd["mag2"] = lambda i, base: (
+                    rd["re"](i, base) * rd["re"](i, base)
+                    + rd["im"](i, base) * rd["im"](i, base))
+                return rd
 
-            def read_im(i, base):
-                return scr[1][0, i - base]
-
-            def read_rel(i, base):
-                return scr[2][0, i - base]
-
-            def read_iml(i, base):
-                return scr[3][0, i - base]
-
-            def read_mag2(i, base):
-                r = scr[0][0, i - base]
-                m = scr[1][0, i - base]
-                return r * r + m * m
+            rd0, rd1 = _make_rd(0), _make_rd(1)
         else:
-            def dma_chunk(i0):
+            def dma_sync(i0):
                 return jnp.int32(0)
 
-            def read_re(i, base):
-                return orbit_re_ref[i]
-
-            def read_im(i, base):
-                return orbit_im_ref[i]
-
-            def read_rel(i, base):
-                return orbit_re_lo_ref[i]
-
-            def read_iml(i, base):
-                return orbit_im_lo_ref[i]
-
-            def read_mag2(i, base):
-                return orbit_mag2_ref[i]
+            rd0 = {"re": lambda i, base: orbit_re_ref[i],
+                   "im": lambda i, base: orbit_im_ref[i],
+                   "rel": lambda i, base: orbit_re_lo_ref[i],
+                   "iml": lambda i, base: orbit_im_lo_ref[i],
+                   "mag2": lambda i, base: orbit_mag2_ref[i]}
+            rd1 = rd0
         tj = pl.program_id(1)
         ti = pl.program_id(0)
         row0 = params_ref[0, Q_ROW0].astype(jnp.int32)
@@ -257,9 +259,9 @@ def _make_kernel(width: int, height: int, map_height: int,
             dscale = _pow2(jnp.broadcast_to(-s_exp, (th, tw)))
             dz0r = delta_r * dscale
             dz0i = delta_i * dscale
-        base0 = dma_chunk(n0)
-        z1r = read_re(n0, base0) + dz0r
-        z1i = read_im(n0, base0) + dz0i
+        base0 = dma_sync(n0)
+        z1r = rd0["re"](n0, base0) + dz0r
+        z1i = rd0["im"](n0, base0) + dz0i
         big = jnp.float32(3.4e38)
         state0 = {
             "zfr": jnp.where(in_bounds, z1r, big),
@@ -280,7 +282,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             state0["dzr"] = dz0r
             state0["dzi"] = dz0i
 
-        def pert_chunk(s, base, count):
+        def pert_chunk(s, base, count, rd):
             def body(k, s):
                 del k
                 s = dict(s)
@@ -288,8 +290,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                 mag2 = s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"]
                 alive = (mag2 <= bail2) & (i < pert_end)
                 s["nf"] = s["nf"] + alive.astype(jnp.float32)
-                zr = read_re(i, base)
-                zi = read_im(i, base)
+                zr = rd["re"](i, base)
+                zi = rd["im"](i, base)
                 if scaled:
                     # floatexp step: delta = m * 2^ex with dd mantissa m.
                     # dz <- 2*Z*dz + dz^2 + dc as three terms at exponents
@@ -300,8 +302,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                     mr = (s["mrh"], s["mrl"])
                     mi = (s["mih"], s["mil"])
                     ex = s["ex"]
-                    zr2 = (zr * 2.0, read_rel(i, base) * 2.0)  # exact x2
-                    zi2 = (zi * 2.0, read_iml(i, base) * 2.0)
+                    zr2 = (zr * 2.0, rd["rel"](i, base) * 2.0)  # exact x2
+                    zi2 = (zi * 2.0, rd["iml"](i, base) * 2.0)
                     t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, zr2),
                                     dd.dd_mul(jnp, mi, zi2))
                     t1i = dd.dd_add(jnp, dd.dd_mul(jnp, mi, zr2),
@@ -334,10 +336,10 @@ def _make_kernel(width: int, height: int, map_height: int,
                     # compose z_full = Z + m*2^ex (0 when delta underflows
                     # f32 — invisible next to Z by >38 decades)
                     dfac = _pow2(nex)
-                    nzfr = ((read_re(i + 1, base) + nmr[0] * dfac)
-                            + (read_rel(i + 1, base) + nmr[1] * dfac))
-                    nzfi = ((read_im(i + 1, base) + nmi[0] * dfac)
-                            + (read_iml(i + 1, base) + nmi[1] * dfac))
+                    nzfr = ((rd["re"](i + 1, base) + nmr[0] * dfac)
+                            + (rd["rel"](i + 1, base) + nmr[1] * dfac))
+                    nzfi = ((rd["im"](i + 1, base) + nmi[0] * dfac)
+                            + (rd["iml"](i + 1, base) + nmi[1] * dfac))
                     s["mrh"] = jnp.where(alive, nmr[0], mr[0])
                     s["mrl"] = jnp.where(alive, nmr[1], mr[1])
                     s["mih"] = jnp.where(alive, nmi[0], mi[0])
@@ -348,8 +350,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                     dzi = (s["dzih"], s["dzil"])
                     # the orbit itself is dd in this mode — the f32-rounded
                     # Z error would otherwise dominate the dd delta
-                    zr_dd = (zr * 2.0, read_rel(i, base) * 2.0)  # exact x2
-                    zi_dd = (zi * 2.0, read_iml(i, base) * 2.0)
+                    zr_dd = (zr * 2.0, rd["rel"](i, base) * 2.0)  # exact x2
+                    zi_dd = (zi * 2.0, rd["iml"](i, base) * 2.0)
                     # dz <- 2*Z*dz + dz^2 + delta, all components dd
                     t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, zr_dd),
                                     dd.dd_mul(jnp, dzi, zi_dd))
@@ -361,10 +363,10 @@ def _make_kernel(width: int, height: int, map_height: int,
                     sq_i = (rziv[0] * 2.0, rziv[1] * 2.0)
                     ndzr = dd.dd_add(jnp, dd.dd_add(jnp, t1r, sq_r), dcx)
                     ndzi = dd.dd_add(jnp, dd.dd_add(jnp, t1i, sq_i), dcy)
-                    nzfr = ((read_re(i + 1, base) + ndzr[0])
-                            + (read_rel(i + 1, base) + ndzr[1]))
-                    nzfi = ((read_im(i + 1, base) + ndzi[0])
-                            + (read_iml(i + 1, base) + ndzi[1]))
+                    nzfr = ((rd["re"](i + 1, base) + ndzr[0])
+                            + (rd["rel"](i + 1, base) + ndzr[1]))
+                    nzfi = ((rd["im"](i + 1, base) + ndzi[0])
+                            + (rd["iml"](i + 1, base) + ndzi[1]))
                     s["dzrh"] = jnp.where(alive, ndzr[0], dzr[0])
                     s["dzrl"] = jnp.where(alive, ndzr[1], dzr[1])
                     s["dzih"] = jnp.where(alive, ndzi[0], dzi[0])
@@ -378,15 +380,15 @@ def _make_kernel(width: int, height: int, map_height: int,
                     t2i = (2.0 * dzr) * dzi
                     ndzr = t1r + t2r + delta_r
                     ndzi = t1i + t2i + delta_i
-                    nzfr = read_re(i + 1, base) + ndzr
-                    nzfi = read_im(i + 1, base) + ndzi
+                    nzfr = rd["re"](i + 1, base) + ndzr
+                    nzfi = rd["im"](i + 1, base) + ndzi
                     s["dzr"] = jnp.where(alive, ndzr, dzr)
                     s["dzi"] = jnp.where(alive, ndzi, dzi)
                 s["zfr"] = jnp.where(alive, nzfr, s["zfr"])
                 s["zfi"] = jnp.where(alive, nzfi, s["zfi"])
                 # Pauldelbrot glitch criterion on the live full value
                 zmag2 = nzfr * nzfr + nzfi * nzfi
-                bad = alive & (zmag2 < glitch_tol * read_mag2(i + 1, base))
+                bad = alive & (zmag2 < glitch_tol * rd["mag2"](i + 1, base))
                 s["glitch"] = jnp.maximum(s["glitch"],
                                           bad.astype(jnp.float32))
                 s["i"] = i + 1
@@ -394,24 +396,42 @@ def _make_kernel(width: int, height: int, map_height: int,
 
             return jax.lax.fori_loop(0, count, body, s)
 
+        def cond1(carry):
+            s, keep = carry
+            return (s["i"] < pert_end) & keep
+
         if orbit_hbm:
             # HBM rows hold [j*chunk, j*chunk+chunk]; rounds must stay
             # row-aligned, so run a partial round up to the next boundary
             # (the series skip can start anywhere).
             align = (chunk - (n0 % chunk)) % chunk
             align = jnp.minimum(align, jnp.maximum(pert_end - n0, 0))
-            state0 = pert_chunk(state0, base0, align)
+            state0 = pert_chunk(state0, base0, align, rd0)
+            # loop invariant: the current row sits in slot 0, waited
+            dma_sync(state0["i"])
 
-        def cond1(carry):
-            s, keep = carry
-            return (s["i"] < pert_end) & keep
-
-        def body1(carry):
-            s, _ = carry
-            base = dma_chunk(s["i"])
-            s = pert_chunk(s, base, chunk)
-            keep = jnp.any(s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2)
-            return s, keep
+            def body1(carry):
+                # two rounds per step with static buffer parity; each
+                # row's DMA is issued before the other slot's compute and
+                # waited after it — latency hides behind the chunk math
+                s, _ = carry
+                j = s["i"] // chunk
+                dma_start(j + 1, 1)
+                s = pert_chunk(s, j * chunk, chunk, rd0)
+                dma_wait(j + 1, 1)
+                dma_start(j + 2, 0)
+                s = pert_chunk(s, (j + 1) * chunk, chunk, rd1)
+                dma_wait(j + 2, 0)
+                keep = jnp.any(s["zfr"] * s["zfr"]
+                               + s["zfi"] * s["zfi"] <= bail2)
+                return s, keep
+        else:
+            def body1(carry):
+                s, _ = carry
+                s = pert_chunk(s, jnp.int32(0), chunk, rd0)
+                keep = jnp.any(s["zfr"] * s["zfr"]
+                               + s["zfi"] * s["zfi"] <= bail2)
+                return s, keep
 
         s, _ = jax.lax.while_loop(cond1, body1, (state0, jnp.bool_(True)))
 
@@ -502,8 +522,9 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
         out_shape=out_shapes,
         scratch_shapes=(
             [pltpu.SMEM((1, HBM_ROW_W), jnp.float32)
-             for _ in range(4 if (dd_delta or scaled) else 2)]
-            + [pltpu.SemaphoreType.DMA((4 if (dd_delta or scaled) else 2,))]
+             for _ in range(2 * (4 if (dd_delta or scaled) else 2))]
+            + [pltpu.SemaphoreType.DMA(
+                (2, 4 if (dd_delta or scaled) else 2))]
             if orbit_hbm else []),
         interpret=interpret,
     )(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo, orbit_im_lo)

@@ -744,3 +744,56 @@ def test_dd_delta_residual_below_1pct_vs_exact():
     nhp = _hp_oracle_counts(cx, cy, zoom, W, H, MI, bits, bail=4.0)
     mism = (n != nhp).mean()
     assert mism < 0.01, f"dd mismatch vs exact oracle {mism:.3%}"
+
+
+def test_zoom_path_shared_reference_orbit():
+    # A zoom path renders every frame against ONE reference orbit at the
+    # final (deepest) center via the shift mechanism (<= 2 orbit
+    # computations incl. secondaries), and the final frame is bit-identical
+    # to a standalone render.  The reference recomputes the orbit per frame
+    # (deep_zoom_system.cpp:454-559).
+    import math
+
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    end_cx, end_cy = "-0.74364388703715158", "0.13182590420531198"
+    W, H, MI, FRAMES = 32, 24, 600, 6
+    calls = []
+    orig = deep_zoom.orbit_mod.compute_orbit
+
+    def counting(*a, **kw2):
+        calls.append(1)
+        return orig(*a, **kw2)
+
+    deep_zoom.orbit_mod.compute_orbit = counting
+    try:
+        cache = {}
+        last = None
+        for f in range(FRAMES):
+            t = f / (FRAMES - 1)
+            zoom = math.exp(math.log(1e-5)
+                            + t * (math.log(1e-9) - math.log(1e-5)))
+            cx = float(end_cx) + (1 - t) * 3e-6  # center moves per frame
+            s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+                      hp_center_x=repr(cx) if t < 1 else end_cx,
+                      hp_center_y=end_cy, hp_zoom=repr(zoom),
+                      max_iterations=MI, use_perturbation=True)
+            n, zx, zy, g, info = deep_zoom.render_fields(
+                s, W, H, ref_center=(end_cx, end_cy), orbit_cache=cache)
+            assert info["glitched_pixels_remaining"] == 0
+            assert np.isfinite(zx).all()
+            last = n
+        shared_orbit_calls = len(calls)
+        assert shared_orbit_calls <= 2, \
+            f"{shared_orbit_calls} orbit computations for {FRAMES} frames"
+
+        # final frame == standalone render (shift is exactly 0 there)
+        s_end = Scene(fractal_type=FractalType.DEEP_ZOOM,
+                      hp_center_x=end_cx, hp_center_y=end_cy,
+                      hp_zoom=repr(1e-9), max_iterations=MI,
+                      use_perturbation=True)
+        n_alone, *_ = deep_zoom.render_fields(s_end, W, H)
+        np.testing.assert_array_equal(last, n_alone)
+    finally:
+        deep_zoom.orbit_mod.compute_orbit = orig
