@@ -281,3 +281,95 @@ def test_mixed_family_animation_routes_per_frame(tmp_path):
     assert r.start_render(a, str(out))
     files = sorted(os.listdir(out))
     assert len(files) == a.total_frames
+
+
+# ---------------------------------------------------------------------------
+# end-to-end VideoEncoder.encode against a fake ffmpeg binary
+# (the image ships no ffmpeg; this exercises spawn, -progress pipe:1
+# parsing, audio mux args, exit codes, and frame cleanup —
+# video_encoder.cpp:360-487)
+# ---------------------------------------------------------------------------
+
+_FAKE_FFMPEG = r'''#!/usr/bin/env python3
+import os, sys, time
+args = sys.argv[1:]
+# minimal arg validation: input pattern, -progress pipe:1 before output
+assert "-i" in args, args
+pattern = args[args.index("-i") + 1]
+assert pattern.endswith("frame_%06d.png"), pattern
+assert "-progress" in args and args[args.index("-progress") + 1] == "pipe:1"
+out = args[-1]
+assert not out.startswith("-"), f"output must be last: {args}"
+if os.environ.get("FAKE_FFMPEG_FAIL"):
+    sys.stderr.write("boom\n")
+    sys.exit(1)
+folder = os.path.dirname(pattern)
+frames = sorted(f for f in os.listdir(folder) if f.startswith("frame_"))
+for k in range(len(frames)):
+    sys.stdout.write(f"frame={k + 1}\nfps={42.5}\nprogress=continue\n")
+    sys.stdout.flush()
+sys.stdout.write("progress=end\n")
+with open(out, "wb") as fh:
+    fh.write(b"\x00\x00\x00\x18ftypmp42fake")
+sys.exit(0)
+'''
+
+
+@pytest.fixture
+def fake_ffmpeg(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    exe = bindir / "ffmpeg"
+    exe.write_text(_FAKE_FFMPEG)
+    exe.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ.get('PATH', '')}")
+    return exe
+
+
+def _write_frames(folder, n=5):
+    os.makedirs(folder, exist_ok=True)
+    for k in range(n):
+        with open(os.path.join(folder, f"frame_{k:06d}.png"), "wb") as fh:
+            fh.write(b"\x89PNG fake")
+
+
+def test_video_encoder_end_to_end(fake_ffmpeg, tmp_path):
+    frames = str(tmp_path / "frames")
+    _write_frames(frames, 5)
+    out = str(tmp_path / "out.mp4")
+    enc = video.VideoEncoder()
+    seen = []
+    enc.on_progress = lambda p: seen.append((p.current_frame, p.fps))
+    ok = enc.encode(frames, video.VideoEncodeSettings(output_filename=out))
+    assert ok and enc.progress.success and enc.progress.finished
+    assert os.path.exists(out)
+    # progress lines were parsed live, not ignored (reference bug put
+    # -progress after the output file and never saw them)
+    assert enc.progress.current_frame == 5
+    assert enc.progress.fps == pytest.approx(42.5)
+    assert enc.progress.progress == pytest.approx(1.0)
+    assert any(f == 3 for f, _ in seen)
+    # frames kept by default
+    assert len(os.listdir(frames)) == 5
+
+
+def test_video_encoder_cleanup_and_failure(fake_ffmpeg, tmp_path,
+                                           monkeypatch):
+    frames = str(tmp_path / "frames")
+    _write_frames(frames, 3)
+    out = str(tmp_path / "v.mp4")
+    enc = video.VideoEncoder()
+    ok = enc.encode(frames, video.VideoEncodeSettings(
+        output_filename=out, cleanup_frames=True,
+        codec=video.VideoCodec.VP9, quality=video.VideoQuality.DRAFT))
+    assert ok
+    assert os.listdir(frames) == []  # video_encoder.cpp:323-331
+
+    _write_frames(frames, 3)
+    monkeypatch.setenv("FAKE_FFMPEG_FAIL", "1")
+    enc2 = video.VideoEncoder()
+    ok2 = enc2.encode(frames, video.VideoEncodeSettings(
+        output_filename=str(tmp_path / "v2.mp4")))
+    assert not ok2 and not enc2.progress.success
+    assert "exited with code 1" in enc2.progress.error
+    assert len(os.listdir(frames)) == 3  # no cleanup on failure
