@@ -54,11 +54,24 @@ def main() -> None:
         max((run(K) - run(1)) / (K - 1), 1e-9) for _ in range(3))
     mpix_s = W * H / per_frame / 1e6
 
+    # iterations/sec (BASELINE.json's second metric): actual escape-loop
+    # work divided by frame time — mean iteration count over this exact
+    # viewport times pixel throughput.
+    from fractalrenderer_tpu.ops.escape import escape_fields
+
+    n = escape_fields("mandelbrot", W, H, center_x=scene.center_x,
+                      center_y=scene.center_y, zoom=scene.zoom,
+                      max_iter=ITERS)["n"]
+    mean_iters = float(jnp.mean(n.astype(jnp.float32)))
+    iters_s = mpix_s * 1e6 * mean_iters
+
     print(json.dumps({
         "metric": "mandelbrot_1080p_256iter_render",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / 1000.0, 3),
+        "iters_per_sec": round(iters_s, 0),
+        "mean_iters_per_pixel": round(mean_iters, 2),
     }))
 
 

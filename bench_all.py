@@ -169,6 +169,44 @@ def bench_giant(width=16384, height=16384):
             "png_bytes": size}
 
 
+def bench_mandelbulb():
+    from fractalrenderer_tpu.models import mandelbulb
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.MANDELBULB)
+    W, H = 1920, 1080
+    img = mandelbulb.render(s, W, H)
+    float(np.asarray(img)[0, 0, 0])  # compile + warm
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img = mandelbulb.render(s, W, H)
+        float(np.asarray(img)[0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return {"config": "mandelbulb_1080p_kernel_shaded",
+            "seconds": round(best, 2),
+            "mpix_s": round(W * H / best / 1e6, 2)}
+
+
+def bench_scaled_deep_zoom():
+    """Beyond-reference tier: floatexp deltas at zoom 1e-50 (the reference's
+    ARBITRARY mode never ran on its GPU; here the whole image stays on
+    TPU)."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="0",
+              hp_center_y="1", hp_zoom="1e-50", max_iterations=2000,
+              use_perturbation=True)
+    t0 = time.perf_counter()
+    n, zx, zy, glitch, info = deep_zoom.render_fields(s, 960, 540)
+    dt = time.perf_counter() - t0
+    return {"config": "scaled_deep_zoom_1e-50_2k_960x540",
+            "seconds": round(dt, 1),
+            "precision_mode": info["precision_mode"],
+            "glitched_pixels_remaining": info["glitched_pixels_remaining"]}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -186,6 +224,8 @@ def main():
         4: bench_deep_zoom,
         5: (lambda: bench_giant(4096, 4096)) if args.quick
         else bench_giant,
+        6: bench_mandelbulb,
+        7: bench_scaled_deep_zoom,
     }
     for num, fn in benches.items():
         if num in skip:

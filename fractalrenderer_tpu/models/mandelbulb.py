@@ -192,8 +192,12 @@ def _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit, esc_hit,
 
 def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
                    off=(0.0, 0.0), pallas_march: bool = False,
-                   kernel_shading: bool = False):
+                   kernel_shading: bool = False, row0=None,
+                   map_height=None):
+    """``row0``/``map_height``: render a row band of a taller image
+    (shard_map band decomposition; row0 may be traced)."""
     ro, dyn_power = bm.camera_setup(p)
+    mh = map_height if map_height is not None else height
     if xp is np:
         pyg, pxg = np.mgrid[0:height, 0:width].astype(np.float32)
     else:
@@ -201,17 +205,19 @@ def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
         pxg = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
     pxg = pxg + xp.float32(off[0])
     pyg = pyg + xp.float32(off[1])
-    rdx, rdy, rdz = bm.ray_dirs(xp, pxg, pyg, width, height, ro, p.fov)
+    if row0 is not None:
+        pyg = pyg + row0
+    rdx, rdy, rdz = bm.ray_dirs(xp, pxg, pyg, width, mh, ro, p.fov)
 
     if pallas_march:
         from ..ops.bulb_kernel import march_fields
 
-        # kernel_shading computes normals/AO inside the march kernel; it
-        # measured SLOWER at 1080p (2.98s vs 2.02s: the 11 extra DE evals
-        # at hit points stall whole tiles), so XLA shading is the default.
+        # In-kernel shading (fused multi-point DE, hit-masked) vs XLA
+        # shading is decided by the caller's kernel_shading flag.
         f = march_fields(width, height, ro=ro, fov=p.fov, power=dyn_power,
                          max_iter=p.max_iterations, offset=off,
-                         shade=kernel_shading)
+                         row0=(0.0 if row0 is None else row0),
+                         map_height=mh, shade=kernel_shading)
         hit = f["hit"] > 0.5
         t, d_hit, esc_hit = f["t"], f["d"], f["esc"]
         if kernel_shading:
@@ -234,7 +240,7 @@ def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
 
 @functools.lru_cache(maxsize=32)
 def _compiled(width: int, height: int, p: bm.BulbParams,
-              pallas_march: bool = True):
+              pallas_march: bool = True, kernel_shading: bool = True):
     def fn():
         acc = jnp.zeros((height, width, 3), jnp.float32)
         aa = p.aa_samples
@@ -242,7 +248,8 @@ def _compiled(width: int, height: int, p: bm.BulbParams,
             for sx in range(aa):
                 acc = acc + _render_sample(
                     jnp, _de_jax, width, height, p, (sx / aa, sy / aa),
-                    pallas_march=pallas_march)
+                    pallas_march=pallas_march,
+                    kernel_shading=pallas_march and kernel_shading)
         color = acc / jnp.float32(aa * aa)
         color = coloring.enhance_color(jnp, color, p.brightness,
                                        p.saturation, p.contrast)
@@ -253,12 +260,57 @@ def _compiled(width: int, height: int, p: bm.BulbParams,
 
 
 def render(scene: Scene, width: int, height: int,
-           pallas_march: bool = True, **kw):
+           pallas_march: bool = True, kernel_shading: bool = True, **kw):
     """pallas_march=True uses the tile-local Pallas raymarcher
     (ops/bulb_kernel.py, ~2e-6 trig approximation); False forces the plain
-    XLA march (exact trig, image-global loop sync)."""
+    XLA march (exact trig, image-global loop sync).  kernel_shading keeps
+    normals/AO inside the march kernel (hit-masked fused multi-point DE —
+    measured 1.05 s vs 1.26 s at 1080p on TPU v5e; round 1's unfused
+    version was 2.98 s and was shelved)."""
     return _compiled(width, height, _bulb_params(scene),
-                     bool(pallas_march))()
+                     bool(pallas_march), bool(kernel_shading))()
+
+
+def render_sharded(scene: Scene, width: int, height: int, mesh=None,
+                   pallas_march: bool = True) -> np.ndarray:
+    """Row-band-sharded bulb render (gather-free, same decomposition as the
+    2D families in parallel/tiled.py): each device raymarches and shades
+    its own contiguous band; only the final assembly crosses chips."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import make_render_mesh, pad_to_multiple
+
+    if mesh is None:
+        mesh = make_render_mesh()
+    n_rows = mesh.shape["rows"]
+    h_pad = pad_to_multiple(height, n_rows)
+    band_h = h_pad // n_rows
+    p = _bulb_params(scene)
+
+    def shard_body(power_arr):
+        del power_arr  # shard_map needs >=1 operand; params are static
+        ridx = jax.lax.axis_index("rows")
+        row0 = (ridx * band_h).astype(jnp.float32)
+        acc = jnp.zeros((band_h, width, 3), jnp.float32)
+        aa = p.aa_samples
+        for sy in range(aa):
+            for sx in range(aa):
+                acc = acc + _render_sample(
+                    jnp, _de_jax, width, band_h, p, (sx / aa, sy / aa),
+                    pallas_march=pallas_march,
+                    kernel_shading=pallas_march, row0=row0,
+                    map_height=height)
+        color = acc / jnp.float32(aa * aa)
+        color = coloring.enhance_color(jnp, color, p.brightness,
+                                       p.saturation, p.contrast)
+        color = coloring.aces_tonemap(jnp, color)
+        return coloring.gamma_correct(jnp, color)
+
+    fn = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(),),
+        out_specs=P("rows"), check_vma=False))
+    out = fn(jnp.float32(p.power))
+    return np.asarray(out)[:height]
 
 
 def render_numpy(scene: Scene, width: int, height: int) -> np.ndarray:

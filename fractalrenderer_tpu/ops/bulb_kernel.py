@@ -33,8 +33,12 @@ from . import bulb_math as bm
 from . import trig
 from .pallas_utils import cdiv, default_interpret
 
-(B_ROX, B_ROY, B_ROZ, B_FOV, B_POWER, B_LIMIT, B_OFFX, B_OFFY) = range(8)
-NB = 8
+(B_ROX, B_ROY, B_ROZ, B_FOV, B_POWER, B_LIMIT, B_OFFX, B_OFFY,
+ B_ROW0) = range(9)
+NB = 9
+
+
+DE_CHUNK = 4  # DE iterations per cross-lane any() check
 
 
 def _de_tile(px, py, pz, power, max_iter_cap, limit):
@@ -43,51 +47,126 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit):
     No boolean loop carries (Mosaic cannot yield i1 vectors): the active
     mask is *derived* each step from the frozen z — once |z| leaves
     [1e-4, 2] the freeze makes the predicate latch — and the escape
-    iteration uses a -1 sentinel instead of a carried flag."""
+    iteration uses a -1 sentinel instead of a carried flag.  Iterations run
+    in chunks of DE_CHUNK per while round so the cross-lane any()
+    reduction amortizes (the per-step mask predication makes overshoot
+    iterations no-ops)."""
     shape = px.shape
     acos_fn = lambda v: trig.acos(jnp, v)
     atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
 
-    def act_of(zx, zy, zz):
+    def act_of(i, zx, zy, zz):
         r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
-        return (r <= 2.0) & (r >= 1e-4), r
+        return (r <= 2.0) & (r >= 1e-4) & (i < limit), r
 
     def cond(s):
         i, zx, zy, zz, dr, esc = s
-        act, _ = act_of(zx, zy, zz)
+        act, _ = act_of(i, zx, zy, zz)
         return (i < limit) & jnp.any(act)
 
     def body(s):
-        i, zx, zy, zz, dr, esc = s
-        act, r = act_of(zx, zy, zz)
-        esc = jnp.where((esc < 0.0) & (r > 2.0), i.astype(jnp.float32), esc)
-        zx, zy, zz, dr, _ = bm.de_step(jnp, zx, zy, zz, dr, px, py, pz,
-                                       power, act, acos_fn, atan2_fn)
-        return (i + 1, zx, zy, zz, dr, esc)
+        def step(_, s):
+            i, zx, zy, zz, dr, esc = s
+            act, r = act_of(i, zx, zy, zz)
+            nzx, nzy, nzz, dr, _ = bm.de_step(jnp, zx, zy, zz, dr, px, py,
+                                              pz, power, act, acos_fn,
+                                              atan2_fn)
+            # Record the escape in the SAME step whose update created it —
+            # recording at the top of the next step (as the golden loop is
+            # written) made the value depend on whether other lanes kept
+            # the loop alive.  Cap at limit-1 to match the golden loop's
+            # last top-of-iteration check.
+            rn = jnp.sqrt(nzx * nzx + nzy * nzy + nzz * nzz)
+            esc = jnp.where((esc < 0.0) & act & (rn > 2.0)
+                            & (i + 1 < limit),
+                            (i + 1).astype(jnp.float32), esc)
+            return (i + 1, nzx, nzy, nzz, dr, esc)
 
-    s0 = (jnp.int32(0), px, py, pz, jnp.ones(shape, jnp.float32),
-          jnp.full(shape, -1.0, jnp.float32))
+        return jax.lax.fori_loop(0, DE_CHUNK, step, s)
+
+    r0 = jnp.sqrt(px * px + py * py + pz * pz)
+    # initial visibility (golden records escaped_now at top of step 0)
+    esc0 = jnp.where(r0 > 2.0, jnp.zeros(shape, jnp.float32),
+                     jnp.full(shape, -1.0, jnp.float32))
+    s0 = (jnp.int32(0), px, py, pz, jnp.ones(shape, jnp.float32), esc0)
     i, zx, zy, zz, dr, esc = jax.lax.while_loop(cond, body, s0)
     r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
-    # pixels that never escaped report limit; also catch an escape the loop
-    # exit skipped recording
-    esc = jnp.where((esc < 0.0) & (r > 2.0),
-                    jnp.zeros_like(esc) + limit.astype(jnp.float32) - 1.0,
-                    esc)
+    # never-recorded lanes (non-escaping, or first visible at i == limit)
+    # report limit — identical to the golden/_de_jax init value
     esc = jnp.where(esc < 0.0, limit.astype(jnp.float32), esc)
     return bm.de_finish(jnp, r, dr), esc
 
 
-def _make_kernel(width: int, height: int, max_iter_cap: int,
-                 tile: Tuple[int, int], shade: bool = False):
+def _de_tile_multi(ps, power, limit):
+    """Fused multi-point DE: every position's orbit iterates in ONE while
+    loop (state is the concatenation of all orbits), so P sequential
+    tile-local loops — each paying its own any() reductions and slowest-
+    lane wait — collapse into one loop bounded by the slowest lane overall.
+    Used for the 4 normal-difference and 7 AO evaluations of in-kernel
+    shading.  Returns the list of DE values (no escape tracking — the
+    march already recorded esc_hit)."""
+    acos_fn = lambda v: trig.acos(jnp, v)
+    atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
+    P_ = len(ps)
+
+    def act_of(i, zx, zy, zz):
+        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+        return (r <= 2.0) & (r >= 1e-4) & (i < limit)
+
+    def cond(s):
+        i = s[0]
+        any_act = jnp.bool_(False)
+        for k in range(P_):
+            zx, zy, zz, _ = s[1 + k]
+            any_act |= jnp.any(act_of(i, zx, zy, zz))
+        return (i < limit) & any_act
+
+    def body(s):
+        def step(_, s):
+            i = s[0]
+            out = [i + 1]
+            for k in range(P_):
+                zx, zy, zz, dr = s[1 + k]
+                act = act_of(i, zx, zy, zz)
+                zx, zy, zz, dr, _ = bm.de_step(
+                    jnp, zx, zy, zz, dr, ps[k][0], ps[k][1], ps[k][2],
+                    power, act, acos_fn, atan2_fn)
+                out.append((zx, zy, zz, dr))
+            return tuple(out)
+
+        return jax.lax.fori_loop(0, DE_CHUNK, step, s)
+
+    shape = ps[0][0].shape
+    s0 = tuple([jnp.int32(0)]
+               + [(px, py, pz, jnp.ones(shape, jnp.float32))
+                  for (px, py, pz) in ps])
+    s = jax.lax.while_loop(cond, body, s0)
+    out = []
+    for k in range(P_):
+        zx, zy, zz, dr = s[1 + k]
+        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+        out.append(bm.de_finish(jnp, r, dr))
+    return out
+
+
+def _make_kernel(width: int, height: int, map_height: int,
+                 max_iter_cap: int, tile: Tuple[int, int],
+                 shade: bool = False):
+    """``map_height``: full-image height for the camera mapping;
+    ``height``: rows this call renders.  A row-band shard passes its global
+    first row in B_ROW0 (same hooks as ops/escape.py) — gather-free
+    multi-chip decomposition."""
     th, tw = tile
 
     def kernel(params_ref, *out_refs):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+        row0 = params_ref[0, B_ROW0].astype(jnp.int32)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                + ti * th + row0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
-        in_bounds = (rows < height) & (cols < width)
+        in_bounds = (rows < map_height) & (cols < width) \
+            & (rows - row0 < height)
 
         ro = (params_ref[0, B_ROX], params_ref[0, B_ROY],
               params_ref[0, B_ROZ])
@@ -99,8 +178,8 @@ def _make_kernel(width: int, height: int, max_iter_cap: int,
         pyf = rows.astype(jnp.float32) + params_ref[0, B_OFFY]
         # ray directions (bulb_math.ray_dirs needs scalar ro as floats;
         # replicate its math with traced scalars)
-        ux = (pxf - jnp.float32(width) * 0.5) / jnp.float32(height)
-        uy = (pyf - jnp.float32(height) * 0.5) / jnp.float32(height)
+        ux = (pxf - jnp.float32(width) * 0.5) / jnp.float32(map_height)
+        uy = (pyf - jnp.float32(map_height) * 0.5) / jnp.float32(map_height)
         rlen = jnp.sqrt(ro[0] * ro[0] + ro[1] * ro[1] + ro[2] * ro[2])
         fwd = (-ro[0] / rlen, -ro[1] / rlen, -ro[2] / rlen)
         rl = jnp.maximum(jnp.sqrt(fwd[2] * fwd[2] + fwd[0] * fwd[0]), 1e-12)
@@ -153,15 +232,22 @@ def _make_kernel(width: int, height: int, max_iter_cap: int,
         next(it)[:, :] = esc_hit
 
         if shade:
-            # normals by forward differences (mandelbulb.comp:113-123)
-            hx = ro[0] + rdx * t
-            hy = ro[1] + rdy * t
-            hz = ro[2] + rdz * t
+            # Shading DE positions are masked to HIT lanes (non-hit lanes
+            # move to r=3 where the orbit is inactive from step 0), and the
+            # 4 normal-difference + 7 AO evaluations each fuse into ONE
+            # multi-point loop (_de_tile_multi) instead of 11 sequential
+            # tile-local loops — round-1's in-kernel shading regression
+            # came from those serialized slowest-lane waits.
+            hitm = hit_f > 0.5
+            far = jnp.float32(3.0)
+            hx = jnp.where(hitm, ro[0] + rdx * t, far)
+            hy = jnp.where(hitm, ro[1] + rdy * t, jnp.float32(0.0))
+            hz = jnp.where(hitm, ro[2] + rdz * t, jnp.float32(0.0))
             eps = jnp.float32(1e-3)
-            d0, _ = _de_tile(hx, hy, hz, power, max_iter_cap, limit)
-            dxp, _ = _de_tile(hx + eps, hy, hz, power, max_iter_cap, limit)
-            dyp, _ = _de_tile(hx, hy + eps, hz, power, max_iter_cap, limit)
-            dzp, _ = _de_tile(hx, hy, hz + eps, power, max_iter_cap, limit)
+            # normals by forward differences (mandelbulb.comp:113-123)
+            d0, dxp, dyp, dzp = _de_tile_multi(
+                [(hx, hy, hz), (hx + eps, hy, hz), (hx, hy + eps, hz),
+                 (hx, hy, hz + eps)], power, limit)
             nx = dxp - d0
             ny = dyp - d0
             nz = dzp - d0
@@ -172,13 +258,17 @@ def _make_kernel(width: int, height: int, max_iter_cap: int,
             ny = jnp.where(fb, jnp.ones_like(ny), ny / nl)
             nz = jnp.where(fb, jnp.zeros_like(nz), nz / nl)
             # AO loop k = 0.01..0.13 step 0.02 (mandelbulb.comp:156-157)
-            ao = jnp.zeros((th, tw), jnp.float32)
+            ks = []
             k = 0.01
             while k < 0.15:
-                dk, _ = _de_tile(hx + nx * k, hy + ny * k, hz + nz * k,
-                                 power, max_iter_cap, limit)
-                ao = ao + jnp.exp(-10.0 * dk)
+                ks.append(jnp.float32(k))
                 k += 0.02
+            ds = _de_tile_multi(
+                [(hx + nx * kk, hy + ny * kk, hz + nz * kk) for kk in ks],
+                power, limit)
+            ao = jnp.zeros((th, tw), jnp.float32)
+            for dk in ds:
+                ao = ao + jnp.exp(-10.0 * dk)
             next(it)[:, :] = nx
             next(it)[:, :] = ny
             next(it)[:, :] = nz
@@ -188,13 +278,14 @@ def _make_kernel(width: int, height: int, max_iter_cap: int,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
-                                             "max_iter_cap", "tile",
-                                             "interpret", "shade"))
-def _march_call(params, *, width, height, max_iter_cap, tile, interpret,
-                shade=False):
+                                             "map_height", "max_iter_cap",
+                                             "tile", "interpret", "shade"))
+def _march_call(params, *, width, height, map_height, max_iter_cap, tile,
+                interpret, shade=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
-    kernel = _make_kernel(width, height, max_iter_cap, tile, shade)
+    kernel = _make_kernel(width, height, map_height, max_iter_cap, tile,
+                          shade)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
                        for _ in range(8 if shade else 4))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
@@ -211,9 +302,11 @@ def _march_call(params, *, width, height, max_iter_cap, tile, interpret,
 
 def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
                  offset=(0.0, 0.0), tile=(32, 128), shade: bool = False,
+                 row0=0.0, map_height: Optional[int] = None,
                  interpret: Optional[bool] = None):
     """Tile-local raymarch; returns dict(hit, t, d, esc [, nx, ny, nz, ao])
-    as f32 fields."""
+    as f32 fields.  ``row0`` may be a traced scalar (shard_map band
+    rendering); static params stay a host numpy array."""
     if interpret is None:
         interpret = default_interpret()
     params = np.zeros((1, NB), np.float32)
@@ -222,8 +315,15 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
     params[0, B_POWER] = power
     params[0, B_LIMIT] = max(1, int(max_iter))
     params[0, B_OFFX], params[0, B_OFFY] = offset
+    if isinstance(row0, (int, float)):
+        params[0, B_ROW0] = row0
+        params_dev = jnp.asarray(params)
+    else:
+        params_dev = jnp.asarray(params).at[0, B_ROW0].set(
+            jnp.asarray(row0, jnp.float32))
     outs = _march_call(
-        jnp.asarray(params), width=width, height=height,
+        params_dev, width=width, height=height,
+        map_height=int(map_height if map_height is not None else height),
         max_iter_cap=int(max_iter), tile=tuple(tile),
         interpret=bool(interpret), shade=bool(shade))
     names = ["hit", "t", "d", "esc"] + (["nx", "ny", "nz", "ao"]

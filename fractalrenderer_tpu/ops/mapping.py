@@ -36,14 +36,20 @@ def map_centered(xp, px, py, width: int, height: int,
 def map_uv(xp, px, py, width: int, height: int,
            cx, cy, zoom, off_x: float, off_y: float):
     """julia/burning-ship/phoenix mapping.  ``off_*`` are the precomputed AA
-    offsets in uv space *before* the division by size (see aa_offsets_uv)."""
+    offsets in uv space *before* the division by size (see aa_offsets_uv).
+
+    Algebraically identical to the shader's ``(uv.x-0.5)*zoom*aspect`` but
+    factored as ``(px - 0.5*w)/h * zoom``: aspect/w == 1/h, so the only
+    division is by the height.  Mosaic lowers division to reciprocal-
+    multiply, which is exact only for power-of-two divisors — the /w form
+    broke TPU↔golden bit-equality for any non-power-of-two width (found by
+    the tpu_checks.py exactness lane)."""
     w = xp.float32(width)
     h = xp.float32(height)
-    aspect = w / h
-    ux = px / w + xp.float32(off_x) / w
-    uy = py / h + xp.float32(off_y) / h
-    re = xp.float32(cx) + (ux - xp.float32(0.5)) * xp.float32(zoom) * aspect
-    im = xp.float32(cy) + (uy - xp.float32(0.5)) * xp.float32(zoom)
+    ux = (px + xp.float32(off_x) - xp.float32(0.5) * w) / h
+    uy = (py + xp.float32(off_y) - xp.float32(0.5) * h) / h
+    re = xp.float32(cx) + ux * xp.float32(zoom)
+    im = xp.float32(cy) + uy * xp.float32(zoom)
     return re, im
 
 

@@ -140,3 +140,34 @@ def test_deep_zoom_model_sharded():
     np.testing.assert_array_equal(n_s, n_1)
     np.testing.assert_array_equal(zx_s, zx_1)
     assert info_s["references_used"] == info_1["references_used"]
+
+
+def test_mandelbulb_sharded_matches_single():
+    # The bulb joins the row-band decomposition: per-lane predicated
+    # march/DE updates make results independent of tile grouping, so the
+    # 8-band sharded render must equal the single-device one exactly.
+    from fractalrenderer_tpu.models import mandelbulb
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=12)
+    W, H = 64, 48
+    single = np.asarray(mandelbulb.render(s, W, H))
+    sharded = mandelbulb.render_sharded(s, W, H)
+    assert sharded.shape == single.shape
+    # march fields are bit-identical across band decompositions (see
+    # ops/bulb_kernel esc recording); the XLA shading epilogue compiles
+    # with different fusion orders under shard_map, so allow ulp-level
+    # color drift there
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+    assert (np.abs(sharded - single) > 1e-6).mean() < 0.01
+
+
+def test_mandelbulb_sharded_xla_path():
+    from fractalrenderer_tpu.models import mandelbulb
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=10)
+    W, H = 48, 32
+    single = np.asarray(mandelbulb.render(s, W, H, pallas_march=False))
+    sharded = mandelbulb.render_sharded(s, W, H, pallas_march=False)
+    np.testing.assert_array_equal(sharded, single)
