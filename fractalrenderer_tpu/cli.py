@@ -155,8 +155,11 @@ def cmd_render(args) -> int:
           f"{scene.fractal_type.display_name} in {dt*1e3:.1f} ms "
           f"({mpix:.0f} Mpix/s incl. host transfer) -> {args.out}")
     if dz_info is not None:
+        algo = dz_info.get("algorithm", "secondary_refs")
+        if algo == "rebase":
+            algo = f"rebase x{dz_info['rebase_passes']} passes"
         print(f"  deep zoom: {dz_info['precision_mode']} "
-              f"({dz_info['precision_bits']} bits), "
+              f"({dz_info['precision_bits']} bits), {algo}, "
               f"{dz_info['references_used']} reference orbit(s), "
               f"{dz_info['glitched_pixels_initial']} glitch-flagged -> "
               f"{dz_info['fallback_pixels']} HP-fallback, "

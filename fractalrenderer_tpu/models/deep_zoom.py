@@ -51,7 +51,8 @@ def render_fields(scene: Scene, width: int, height: int,
                   offset: Tuple[float, float] = (0.0, 0.0),
                   force_python_orbit: bool = False,
                   orbit_cache: dict = None, mesh=None,
-                  ref_center: Tuple[str, str] = None):
+                  ref_center: Tuple[str, str] = None,
+                  rebasing: bool = True):
     """Returns (n, zx, zy, glitch_remaining, info dict).
 
     ``orbit_cache``: optional dict keyed by HP center strings; lets
@@ -65,7 +66,11 @@ def render_fields(scene: Scene, width: int, height: int,
     via the shift mechanism (c = ref + pixel-delta + (center - ref)).
     Zoom-path animations pass the final (deepest) center here so one orbit
     serves every frame (the reference recomputes per frame,
-    deep_zoom_system.cpp:454-559)."""
+    deep_zoom_system.cpp:454-559).
+    ``rebasing`` (default): Zhuoran per-pixel rebasing — ONE reference
+    orbit, no glitches by construction (device-resident multi-pass, see
+    ops/perturbation._pert_rebase_call).  False selects the round-1
+    pipeline: Pauldelbrot detection + secondary references + HP fallback."""
     if mesh is not None:
         import functools
 
@@ -85,14 +90,20 @@ def render_fields(scene: Scene, width: int, height: int,
 
     # Past ~1e-7 the f32 continuation c is meaningless; starved pixels are
     # flagged and re-referenced instead (see ops/perturbation.py).
-    float_cont = zoom_f > 1e-7
-    # QUAD mode iterates the delta in double-double (f64-class mantissa) —
-    # the reference's dd shader tier, applied to the delta.  ARBITRARY mode
-    # (zoom < 1e-30, deep_zoom_system.cpp:226-249) switches to floatexp
-    # deltas (dd mantissa + per-pixel exponent), which the reference's MPFR
-    # tier only reached on the CPU; here the whole image stays on the TPU.
-    dd_delta = mode.name == "QUAD"
+    # Rebasing replaces continuation entirely (starved lanes restart on
+    # orbit index 0).
+    float_cont = (zoom_f > 1e-7) and not rebasing
+    # Deltas iterate in double-double (f64-class mantissa) whenever f32
+    # would be boundary-noisy: the reference's deep-zoom shader is dd at
+    # EVERY depth (test_deep_zoom.comp:20-51), so past the f32-continuation
+    # regime (1e-7) we match its precision; shallower views keep cheap f32
+    # deltas (f32's 2^-24 relative error is below pixel scale there).
+    # ARBITRARY mode (zoom < 1e-30, deep_zoom_system.cpp:226-249) switches
+    # to floatexp deltas (dd mantissa + per-pixel exponent), which the
+    # reference's MPFR tier only reached on the CPU; here the whole image
+    # stays on the TPU.
     scaled = mode.name == "ARBITRARY"
+    dd_delta = (zoom_f <= 1e-7) and not scaled
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
     # full-strength (interior) reference needs max_iter+1 stored entries.
@@ -128,7 +139,7 @@ def render_fields(scene: Scene, width: int, height: int,
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
-            and not scaled and ref_center is None:
+            and not scaled and ref_center is None and not rebasing:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height
@@ -140,13 +151,22 @@ def render_fields(scene: Scene, width: int, height: int,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
         float_continuation=float_cont, series=series, dd_delta=dd_delta,
-        scaled_delta=scaled, zoom_frac=str(zoom), **shift_kw)
+        scaled_delta=scaled, zoom_frac=str(zoom), rebase=rebasing,
+        **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
-    glitch = np.asarray(f["glitch"]) > 0.5
+    # In rebase mode any lane still wanting a pass after max_passes (a
+    # pathological short-orbit case) routes to the HP fallback below;
+    # otherwise the render is glitch-free by construction.
+    if rebasing:
+        glitch = np.asarray(f["want"]) > 0.5
+    else:
+        glitch = np.asarray(f["glitch"]) > 0.5
     info = {"precision_mode": mode.name, "precision_bits": bits,
             "dd_delta": dd_delta, "scaled_delta": scaled,
+            "algorithm": "rebase" if rebasing else "secondary_refs",
+            "rebase_passes": int(f["passes"]) if rebasing else 0,
             "reference_iterations": len(orbit), "references_used": 1,
             "series_skip": series.n_skip if series else 0,
             "glitched_pixels_initial": int(glitch.sum())}
@@ -167,7 +187,7 @@ def render_fields(scene: Scene, width: int, height: int,
 
     refs = 1
     prev_glitched = None
-    while glitch.any() and refs < max_references:
+    while not rebasing and glitch.any() and refs < max_references:
         remaining = int(glitch.sum())
         if prev_glitched is not None and remaining >= prev_glitched:
             break  # no progress — bail rather than loop on hopeless pixels

@@ -47,8 +47,8 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 (Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_PSH, Q_PSL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
  Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
- Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP) = range(31)
-NQ = 31
+ Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP, Q_M0) = range(32)
+NQ = 32
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
@@ -73,11 +73,20 @@ def _expo(x):
     return ((bits >> 23) & 0xFF) - 127
 
 
+def _state_comps(dd_delta: bool, scaled: bool):
+    """Per-pixel delta-state component names for rebasing IO."""
+    if scaled:
+        return ["mrh", "mrl", "mih", "mil", "ex"]
+    if dd_delta:
+        return ["dzrh", "dzrl", "dzih", "dzil"]
+    return ["dzr", "dzi"]
+
+
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
                  float_continuation: bool, dd_delta: bool = False,
                  orbit_hbm: bool = False, orbit_cap: int = 0,
-                 scaled: bool = False):
+                 scaled: bool = False, rebase: bool = False):
     """``dd_delta=True`` iterates the perturbation delta in double-double
     (two-f32) instead of plain f32 — f64-class mantissa for the delta, used
     in the QUAD precision mode (zoom < 1e-14).  ~6x the per-iteration cost;
@@ -90,13 +99,34 @@ def _make_kernel(width: int, height: int, map_height: int,
     entirely — depth is bounded only by the i32 exponent, i.e. ~1e-2500000.
     The recurrence dz <- 2*Z*dz + dz^2 + dc aligns the three terms to the
     max exponent with exact power-of-two factors (terms more than 2^126
-    below the max flush to zero — far under the dd noise floor)."""
+    below the max flush to zero — far under the dd noise floor).
+
+    ``rebase=True`` runs ONE PASS of Zhuoran-style per-pixel rebasing: a
+    lane whose full value drops below its delta (|z| < |dz|), or that
+    outlives the reference orbit with iteration budget left, freezes with
+    delta <- z_full (dd-accurate) and raises a ``want`` flag; the caller
+    (_pert_rebase_call) loops passes — every pass restarts flagged lanes
+    at orbit index 0 (Z_0 = 0 for the critical orbit) — until no lane
+    wants another.  One reference orbit serves the whole image with no
+    glitches by construction; Pauldelbrot detection and float continuation
+    are superseded (kernel inputs carry per-pixel live/nf/z/delta state;
+    params[Q_M0] is the pass's starting orbit index: 1 first, 0 after)."""
     th, tw = tile
     n_streams = 4 if (dd_delta or scaled) else 2
+    comps = _state_comps(dd_delta, scaled)
 
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
-               orbit_re_lo_ref, orbit_im_lo_ref,
-               n_ref, zx_ref, zy_ref, glitch_ref, *scratch):
+               orbit_re_lo_ref, orbit_im_lo_ref, *rest):
+        if rebase:
+            n_in = 4 + len(comps)  # live, nf, zfr, zfi, delta comps
+            st_refs = rest[:n_in]
+            out_refs = rest[n_in:n_in + 6 + len(comps)]
+            scratch = rest[n_in + 6 + len(comps):]
+            (n_ref, zx_ref, zy_ref, glitch_ref, want_ref,
+             nf_ref, *comp_refs) = out_refs
+        else:
+            n_ref, zx_ref, zy_ref, glitch_ref = rest[:4]
+            scratch = rest[4:]
         if orbit_hbm:
             # scratch: DOUBLE-BUFFERED per-stream SMEM row buffers + DMA
             # semaphores (2 slots x n_streams).  The orbit lives in HBM
@@ -167,6 +197,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             & (rows - row0 < height)
 
         limit = params_ref[0, Q_LIMIT].astype(jnp.int32)
+        limit_f = params_ref[0, Q_LIMIT]
         bail2 = params_ref[0, Q_BAIL2]
         ref_len = params_ref[0, Q_REFLEN].astype(jnp.int32)
         glitch_tol = params_ref[0, Q_GLITCH_TOL]
@@ -211,6 +242,10 @@ def _make_kernel(width: int, height: int, map_height: int,
         # coefficients A=1, B=C=0, n0=1 reduce exactly to the peeled
         # update 0 of the plain path (δ_1 = δc).
         n0 = params_ref[0, Q_NSKIP].astype(jnp.int32)
+        if rebase:
+            # pass-local starting orbit index (1 first pass, 0 after);
+            # series skip is disabled by the host in rebase mode
+            n0 = params_ref[0, Q_M0].astype(jnp.int32)
         ar, ai = params_ref[0, Q_AR], params_ref[0, Q_AI]
         br, bi = params_ref[0, Q_BR], params_ref[0, Q_BI]
         cr3, ci3 = params_ref[0, Q_CR], params_ref[0, Q_CI]
@@ -221,7 +256,10 @@ def _make_kernel(width: int, height: int, map_height: int,
                   tr * delta_i + ti * delta_r + ai)
         dz0r = tr * delta_r - ti * delta_i
         dz0i = tr * delta_i + ti * delta_r
-        pert_end = jnp.minimum(limit, ref_len - 1)
+        # In rebase mode the iteration budget is tracked per pixel (nf),
+        # not by the shared index, so the orbit range is the only cap.
+        pert_end = (ref_len - 1) if rebase \
+            else jnp.minimum(limit, ref_len - 1)
         if dd_delta:
             # series init in dd: horner with dd coefficients over dd delta-c
             a_dd = ((params_ref[0, Q_AR], params_ref[0, Q_ARL]),
@@ -281,6 +319,30 @@ def _make_kernel(width: int, height: int, map_height: int,
         else:
             state0["dzr"] = dz0r
             state0["dzi"] = dz0i
+        if rebase:
+            first = params_ref[0, Q_M0] > 0.5
+            live_ref, nf_in_ref, zfr_in_ref, zfi_in_ref = st_refs[:4]
+            comp_in = st_refs[4:]
+            # select in f32 — Mosaic cannot lower arith.select on i1 vectors
+            inb_f = in_bounds.astype(jnp.float32)
+            state0["live"] = jnp.where(first, inb_f,
+                                       live_ref[:, :] * inb_f)
+            state0["want"] = jnp.zeros((th, tw), jnp.float32)
+            # continuing passes: z/nf/delta come from the previous pass's
+            # frozen state (dead lanes keep their values verbatim — the
+            # live/want latches keep them out of the iteration)
+            state0["zfr"] = jnp.where(first, state0["zfr"],
+                                      zfr_in_ref[:, :])
+            state0["zfi"] = jnp.where(first, state0["zfi"],
+                                      zfi_in_ref[:, :])
+            state0["nf"] = jnp.where(first, state0["nf"], nf_in_ref[:, :])
+            for k_, c_ in enumerate(comps):
+                v_in = comp_in[k_][:, :]
+                if c_ == "ex":
+                    state0["ex"] = jnp.where(first, state0["ex"],
+                                             v_in.astype(jnp.int32))
+                else:
+                    state0[c_] = jnp.where(first, state0[c_], v_in)
 
         def pert_chunk(s, base, count, rd):
             def body(k, s):
@@ -289,6 +351,9 @@ def _make_kernel(width: int, height: int, map_height: int,
                 i = s["i"]
                 mag2 = s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"]
                 alive = (mag2 <= bail2) & (i < pert_end)
+                if rebase:
+                    alive = alive & (s["live"] > 0.5) \
+                        & (s["want"] < 0.5) & (s["nf"] < limit_f)
                 s["nf"] = s["nf"] + alive.astype(jnp.float32)
                 zr = rd["re"](i, base)
                 zi = rd["im"](i, base)
@@ -340,6 +405,27 @@ def _make_kernel(width: int, height: int, map_height: int,
                             + (rd["rel"](i + 1, base) + nmr[1] * dfac))
                     nzfi = ((rd["im"](i + 1, base) + nmi[0] * dfac)
                             + (rd["iml"](i + 1, base) + nmi[1] * dfac))
+                    if rebase:
+                        zm2 = nzfr * nzfr + nzfi * nzfi
+                        dm2 = (nmr[0] * nmr[0] + nmi[0] * nmi[0]) \
+                            * _pow2(nex + nex)
+                        want_now = alive & ((zm2 < dm2)
+                                            | (i + 1 >= pert_end)) \
+                            & (s["nf"] < limit_f)
+                        # rebased delta <- z_full as dd mantissa, exp 0
+                        zr_fu = dd.dd_add(jnp, (rd["re"](i + 1, base),
+                                                rd["rel"](i + 1, base)),
+                                          (nmr[0] * dfac, nmr[1] * dfac))
+                        zi_fu = dd.dd_add(jnp, (rd["im"](i + 1, base),
+                                                rd["iml"](i + 1, base)),
+                                          (nmi[0] * dfac, nmi[1] * dfac))
+                        nmr = (jnp.where(want_now, zr_fu[0], nmr[0]),
+                               jnp.where(want_now, zr_fu[1], nmr[1]))
+                        nmi = (jnp.where(want_now, zi_fu[0], nmi[0]),
+                               jnp.where(want_now, zi_fu[1], nmi[1]))
+                        nex = jnp.where(want_now, 0, nex)
+                        s["want"] = jnp.maximum(
+                            s["want"], want_now.astype(jnp.float32))
                     s["mrh"] = jnp.where(alive, nmr[0], mr[0])
                     s["mrl"] = jnp.where(alive, nmr[1], mr[1])
                     s["mih"] = jnp.where(alive, nmi[0], mi[0])
@@ -367,6 +453,24 @@ def _make_kernel(width: int, height: int, map_height: int,
                             + (rd["rel"](i + 1, base) + ndzr[1]))
                     nzfi = ((rd["im"](i + 1, base) + ndzi[0])
                             + (rd["iml"](i + 1, base) + ndzi[1]))
+                    if rebase:
+                        zm2 = nzfr * nzfr + nzfi * nzfi
+                        dm2 = ndzr[0] * ndzr[0] + ndzi[0] * ndzi[0]
+                        want_now = alive & ((zm2 < dm2)
+                                            | (i + 1 >= pert_end)) \
+                            & (s["nf"] < limit_f)
+                        zr_fu = dd.dd_add(jnp, (rd["re"](i + 1, base),
+                                                rd["rel"](i + 1, base)),
+                                          ndzr)
+                        zi_fu = dd.dd_add(jnp, (rd["im"](i + 1, base),
+                                                rd["iml"](i + 1, base)),
+                                          ndzi)
+                        ndzr = (jnp.where(want_now, zr_fu[0], ndzr[0]),
+                                jnp.where(want_now, zr_fu[1], ndzr[1]))
+                        ndzi = (jnp.where(want_now, zi_fu[0], ndzi[0]),
+                                jnp.where(want_now, zi_fu[1], ndzi[1]))
+                        s["want"] = jnp.maximum(
+                            s["want"], want_now.astype(jnp.float32))
                     s["dzrh"] = jnp.where(alive, ndzr[0], dzr[0])
                     s["dzrl"] = jnp.where(alive, ndzr[1], dzr[1])
                     s["dzih"] = jnp.where(alive, ndzi[0], dzi[0])
@@ -382,15 +486,29 @@ def _make_kernel(width: int, height: int, map_height: int,
                     ndzi = t1i + t2i + delta_i
                     nzfr = rd["re"](i + 1, base) + ndzr
                     nzfi = rd["im"](i + 1, base) + ndzi
+                    if rebase:
+                        zm2 = nzfr * nzfr + nzfi * nzfi
+                        dm2 = ndzr * ndzr + ndzi * ndzi
+                        want_now = alive & ((zm2 < dm2)
+                                            | (i + 1 >= pert_end)) \
+                            & (s["nf"] < limit_f)
+                        ndzr = jnp.where(want_now, nzfr, ndzr)
+                        ndzi = jnp.where(want_now, nzfi, ndzi)
+                        s["want"] = jnp.maximum(
+                            s["want"], want_now.astype(jnp.float32))
                     s["dzr"] = jnp.where(alive, ndzr, dzr)
                     s["dzi"] = jnp.where(alive, ndzi, dzi)
                 s["zfr"] = jnp.where(alive, nzfr, s["zfr"])
                 s["zfi"] = jnp.where(alive, nzfi, s["zfi"])
-                # Pauldelbrot glitch criterion on the live full value
-                zmag2 = nzfr * nzfr + nzfi * nzfi
-                bad = alive & (zmag2 < glitch_tol * rd["mag2"](i + 1, base))
-                s["glitch"] = jnp.maximum(s["glitch"],
-                                          bad.astype(jnp.float32))
+                if not rebase:
+                    # Pauldelbrot glitch criterion on the live full value
+                    # (rebasing supersedes it: |z| < |dz| fires first and
+                    # the lane restarts on a fresh orbit index)
+                    zmag2 = nzfr * nzfr + nzfi * nzfi
+                    bad = alive & (zmag2
+                                   < glitch_tol * rd["mag2"](i + 1, base))
+                    s["glitch"] = jnp.maximum(s["glitch"],
+                                              bad.astype(jnp.float32))
                 s["i"] = i + 1
                 return s
 
@@ -399,6 +517,14 @@ def _make_kernel(width: int, height: int, map_height: int,
         def cond1(carry):
             s, keep = carry
             return (s["i"] < pert_end) & keep
+
+        def _keep(s):
+            act = s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2
+            if rebase:
+                # dead/frozen lanes may hold |z| <= bail forever
+                act = act & (s["live"] > 0.5) & (s["want"] < 0.5) \
+                    & (s["nf"] < limit_f)
+            return jnp.any(act)
 
         if orbit_hbm:
             # HBM rows hold [j*chunk, j*chunk+chunk]; rounds must stay
@@ -422,23 +548,20 @@ def _make_kernel(width: int, height: int, map_height: int,
                 dma_start(j + 2, 0)
                 s = pert_chunk(s, (j + 1) * chunk, chunk, rd1)
                 dma_wait(j + 2, 0)
-                keep = jnp.any(s["zfr"] * s["zfr"]
-                               + s["zfi"] * s["zfi"] <= bail2)
-                return s, keep
+                return s, _keep(s)
         else:
             def body1(carry):
                 s, _ = carry
                 s = pert_chunk(s, jnp.int32(0), chunk, rd0)
-                keep = jnp.any(s["zfr"] * s["zfr"]
-                               + s["zfi"] * s["zfi"] <= bail2)
-                return s, keep
+                return s, _keep(s)
 
         s, _ = jax.lax.while_loop(cond1, body1, (state0, jnp.bool_(True)))
 
-        if not float_continuation:
+        if not float_continuation and not rebase:
             # Deep mode: a pixel still alive when the reference orbit ran
             # out cannot be finished in f32 — flag it for a secondary
             # reference (models/deep_zoom.py) instead of iterating garbage.
+            # (Rebase mode flags these lanes as `want` in-loop instead.)
             alive_end = (s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2)
             starved = alive_end & (pert_end < limit)
             s["glitch"] = jnp.maximum(s["glitch"],
@@ -477,16 +600,64 @@ def _make_kernel(width: int, height: int, map_height: int,
         if float_continuation:
             s, _ = jax.lax.while_loop(cond2, body2, (s, jnp.bool_(True)))
 
-        interior = (s["zfr"] * s["zfr"] + s["zfi"] * s["zfi"] <= bail2) \
-            & in_bounds
+        if rebase:
+            # interior means the per-pixel budget ran out (want lanes keep
+            # a provisional n; the next pass overwrites it)
+            interior = (s["nf"] >= limit_f) & in_bounds
+        else:
+            interior = (s["zfr"] * s["zfr"]
+                        + s["zfi"] * s["zfi"] <= bail2) & in_bounds
         n = jnp.where(interior, limit,
                       s["nf"].astype(jnp.int32) * in_bounds.astype(jnp.int32))
         n_ref[:, :] = n
         zx_ref[:, :] = s["zfr"]
         zy_ref[:, :] = s["zfi"]
         glitch_ref[:, :] = s["glitch"] * in_bounds.astype(jnp.float32)
+        if rebase:
+            want_ref[:, :] = s["want"]
+            nf_ref[:, :] = s["nf"]
+            for r_, c_ in zip(comp_refs, comps):
+                v = s[c_]
+                if c_ == "ex":
+                    v = v.astype(jnp.float32)
+                r_[:, :] = v
 
     return kernel
+
+
+def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
+                 chunk, interpret, float_continuation, dd_delta, orbit_hbm,
+                 scaled):
+    th, tw = tile
+    grid = (cdiv(height, th), cdiv(width, tw))
+    kernel = _make_kernel(width, height, map_height, tile, chunk,
+                          float_continuation, dd_delta, orbit_hbm,
+                          orbit_cap, scaled, rebase)
+    comps = _state_comps(dd_delta, scaled)
+    n_state = 4 + len(comps) if rebase else 0
+    f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    out_shapes = (
+        (jax.ShapeDtypeStruct((height, width), jnp.int32),)
+        + (f32s,) * (3 + ((2 + len(comps)) if rebase else 0)))
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [pl.BlockSpec(memory_space=(pl.ANY if orbit_hbm
+                                                else pltpu.SMEM))] * 5
+                  + [out_spec] * n_state),
+        out_specs=tuple(out_spec for _ in out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.SMEM((1, HBM_ROW_W), jnp.float32)
+             for _ in range(2 * (4 if (dd_delta or scaled) else 2))]
+            + [pltpu.SemaphoreType.DMA(
+                (2, 4 if (dd_delta or scaled) else 2))]
+            if orbit_hbm else []),
+        interpret=interpret,
+    )
 
 
 @functools.partial(
@@ -499,35 +670,56 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                map_height, orbit_cap, tile, chunk, interpret,
                float_continuation, dd_delta=False, orbit_hbm=False,
                scaled=False):
-    th, tw = tile
-    grid = (cdiv(height, th), cdiv(width, tw))
-    kernel = _make_kernel(width, height, map_height, tile, chunk,
-                          float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap, scaled)
-    out_shapes = (
-        jax.ShapeDtypeStruct((height, width), jnp.int32),
-        jax.ShapeDtypeStruct((height, width), jnp.float32),
-        jax.ShapeDtypeStruct((height, width), jnp.float32),
-        jax.ShapeDtypeStruct((height, width), jnp.float32),
-    )
-    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [pl.BlockSpec(memory_space=(pl.ANY if orbit_hbm
-                                                else pltpu.SMEM))] * 5),
-        out_specs=tuple(out_spec for _ in out_shapes),
-        out_shape=out_shapes,
-        scratch_shapes=(
-            [pltpu.SMEM((1, HBM_ROW_W), jnp.float32)
-             for _ in range(2 * (4 if (dd_delta or scaled) else 2))]
-            + [pltpu.SemaphoreType.DMA(
-                (2, 4 if (dd_delta or scaled) else 2))]
-            if orbit_hbm else []),
-        interpret=interpret,
-    )(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo, orbit_im_lo)
+    call = _pallas_pert(False, width=width, height=height,
+                        map_height=map_height, orbit_cap=orbit_cap,
+                        tile=tile, chunk=chunk, interpret=interpret,
+                        float_continuation=float_continuation,
+                        dd_delta=dd_delta, orbit_hbm=orbit_hbm,
+                        scaled=scaled)
+    return call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
+                orbit_im_lo)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
+                     "chunk", "interpret", "dd_delta", "orbit_hbm",
+                     "scaled", "max_passes"))
+def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
+                      orbit_im_lo, *, width, height, map_height, orbit_cap,
+                      tile, chunk, interpret, dd_delta=False,
+                      orbit_hbm=False, scaled=False, max_passes=256):
+    """Device-resident multi-pass rebasing: a lax.while_loop re-launches
+    the kernel until no lane wants another rebase — zero host round trips
+    per pass (the frozen per-pixel state feeds back as kernel inputs)."""
+    call = _pallas_pert(True, width=width, height=height,
+                        map_height=map_height, orbit_cap=orbit_cap,
+                        tile=tile, chunk=chunk, interpret=interpret,
+                        float_continuation=False, dd_delta=dd_delta,
+                        orbit_hbm=orbit_hbm, scaled=scaled)
+    comps = _state_comps(dd_delta, scaled)
+    z = jnp.zeros((height, width), jnp.float32)
+
+    def run(m0, live, nf, zfr, zfi, comp_vals):
+        p2 = params.at[0, Q_M0].set(m0)
+        return call(p2, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
+                    orbit_im_lo, live, nf, zfr, zfi, *comp_vals)
+
+    outs0 = run(jnp.float32(1.0), z + 1.0, z, z, z, [z] * len(comps))
+
+    def cond(c):
+        k, outs = c
+        want = outs[4]
+        return (k < max_passes) & jnp.any(want > 0.5)
+
+    def body(c):
+        k, outs = c
+        n, zx, zy, gl, want, nf, *comp_vals = outs
+        return k + 1, run(jnp.float32(0.0), want, nf, zx, zy, comp_vals)
+
+    k, outs = jax.lax.while_loop(cond, body, (jnp.int32(1), outs0))
+    n, zx, zy, gl, want, nf, *_ = outs
+    return n, zx, zy, gl, want, k
 
 
 def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
@@ -548,6 +740,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         zoom_frac: Union[str, Fraction, None] = None,
                         ref_shift_x_frac: Union[str, Fraction, None] = None,
                         ref_shift_y_frac: Union[str, Fraction, None] = None,
+                        rebase: bool = False, max_passes: int = 256,
                         interpret: Optional[bool] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
@@ -576,6 +769,11 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         assert not dd_delta, "scaled_delta supersedes dd_delta"
         assert series is None or series.n_skip <= 1, \
             "series skip not supported in scaled mode"
+    if rebase:
+        assert not float_continuation, \
+            "rebasing supersedes float continuation"
+        assert series is None or series.n_skip <= 1, \
+            "series skip not supported with rebasing"
     # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
     if zoom_frac is not None:
         zoom_fr = Fraction(zoom_frac)
@@ -696,6 +894,15 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         float_continuation=bool(float_continuation),
         dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm),
         scaled=bool(scaled_delta))
+    if rebase:
+        call_kw.pop("float_continuation")
+        call_kw["max_passes"] = int(max_passes)
+        if _build_only:
+            return operands, call_kw
+        n, zx, zy, glitch, want, passes = _pert_rebase_call(*operands,
+                                                            **call_kw)
+        return {"n": n, "zx": zx, "zy": zy, "glitch": glitch,
+                "want": want, "passes": passes}
     if _build_only:
         return operands, call_kw
     n, zx, zy, glitch = _pert_call(*operands, **call_kw)

@@ -122,21 +122,33 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
     operands, call_kw = pert.perturbation_fields(
         orbit, width, band_h, map_height=height, _build_only=True, **pert_kw)
 
+    rebase = "max_passes" in call_kw
+
     def shard_body(params, ore, oim, om2, orel, oiml):
         ridx = jax.lax.axis_index("rows")
         p2 = params.at[0, pert.Q_ROW0].set(
             (ridx * band_h).astype(jnp.float32))
+        if rebase:
+            n, zx, zy, g, want, k = pert._pert_rebase_call(
+                p2, ore, oim, om2, orel, oiml, **call_kw)
+            return n, zx, zy, g, want, jnp.reshape(k, (1, 1))
         return pert._pert_call(p2, ore, oim, om2, orel, oiml, **call_kw)
 
+    n_out = 6 if rebase else 4
     fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(),) * 6,
-        out_specs=(P("rows"), P("rows"), P("rows"), P("rows")),
+        out_specs=(P("rows"),) * n_out,
         check_vma=False))
-    n, zx, zy, g = fn(*operands)
-    return {"n": _np.asarray(n)[:height], "zx": _np.asarray(zx)[:height],
-            "zy": _np.asarray(zy)[:height],
-            "glitch": _np.asarray(g)[:height]}
+    outs = fn(*operands)
+    res = {"n": _np.asarray(outs[0])[:height],
+           "zx": _np.asarray(outs[1])[:height],
+           "zy": _np.asarray(outs[2])[:height],
+           "glitch": _np.asarray(outs[3])[:height]}
+    if rebase:
+        res["want"] = _np.asarray(outs[4])[:height]
+        res["passes"] = int(_np.asarray(outs[5]).max())
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -79,7 +79,7 @@ def params_layout_selfcheck() -> bool:
         "CXH", "CXL", "CYH", "CYL", "PSH", "PSL", "LIMIT", "BAIL2", "REFLEN",
         "GLITCH_TOL", "SHIFTXH", "SHIFTXL", "SHIFTYH", "SHIFTYL", "OFFX",
         "OFFY", "AR", "AI", "BR", "BI", "CR", "CI", "NSKIP", "ROW0",
-        "ARL", "AIL", "BRL", "BIL", "CRL", "CIL", "SEXP")]
+        "ARL", "AIL", "BRL", "BIL", "CRL", "CIL", "SEXP", "M0")]
     assert sorted(pert_idx) == list(range(perturbation.NQ))
     dd_idx = [getattr(dd_escape, f"D_{n}") for n in (
         "CXH", "CXL", "CYH", "CYL", "ZH", "ZL", "LIMIT", "BAIL2", "OFFX",

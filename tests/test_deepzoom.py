@@ -428,9 +428,9 @@ def test_series_skip_preserves_counts():
                  hp_center_x="-0.74364388703715158",
                  hp_center_y="0.13182590420531198",
                  hp_zoom="1e-9", max_iterations=2500, use_perturbation=True)
-    n0, *_ , i0 = deep_zoom.render_fields(base, 48, 32)
+    n0, *_ , i0 = deep_zoom.render_fields(base, 48, 32, rebasing=False)
     s2 = base.with_(use_series_approximation=True)
-    n1, *_ , i1 = deep_zoom.render_fields(s2, 48, 32)
+    n1, *_ , i1 = deep_zoom.render_fields(s2, 48, 32, rebasing=False)
     assert i1["series_skip"] > 10
     mism = (n0 != n1).mean()
     # The series delta (computed in f64 on host) is MORE accurate than the
@@ -618,7 +618,8 @@ def test_deep_zoom_zero_glitch_guarantee():
               hp_center_y="0.580340963154017",
               hp_zoom="1e-9", max_iterations=400, use_perturbation=True)
     n, zx, zy, glitch, info = deep_zoom.render_fields(s, 32, 24,
-                                                      max_references=1)
+                                                      max_references=1,
+                                                      rebasing=False)
     assert info["fallback_pixels"] > 0
     assert info["glitched_pixels_remaining"] == 0
     assert not glitch.any()
@@ -639,7 +640,8 @@ def test_deep_zoom_fallback_matches_f64_oracle():
     orb = orbit.compute_orbit(cx, cy, 64, MI + 1)
     assert len(orb) < MI, "center must escape to force starved pixels"
     n, zx, zy, glitch, info = deep_zoom.render_fields(s, W, H,
-                                                      max_references=1)
+                                                      max_references=1,
+                                                      rebasing=False)
     assert info["fallback_pixels"] > 0 and not glitch.any()
 
     py, px = np.mgrid[0:H, 0:W].astype(np.float64)
@@ -797,3 +799,96 @@ def test_zoom_path_shared_reference_orbit():
         np.testing.assert_array_equal(last, n_alone)
     finally:
         deep_zoom.orbit_mod.compute_orbit = orig
+
+
+# ---------------------------------------------------------------------------
+# per-pixel rebasing (Zhuoran's method) — the default deep-zoom algorithm
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode_kw,zoom,MI,bits", [
+    (dict(), "1e-8", 300, 128),                                  # f32 tier
+    (dict(dd_delta=True), "1e-8", 300, 128),                     # dd tier
+    (dict(scaled_delta=True, zoom_frac="1e-50"), "1e-50", 400, 300),
+])
+def test_rebase_matches_exact_oracle(mode_kw, zoom, MI, bits):
+    # One reference orbit + per-pixel rebasing must reproduce the exact
+    # HP oracle in every precision tier at c = i (varied counts).
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H = 16, 12
+    orb = orbit.compute_orbit("0", "1", bits, MI + 1)
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(1.0, 0.0),
+              max_iter=MI, float_continuation=False, rebase=True, **mode_kw)
+    if "zoom_frac" not in mode_kw:
+        kw["zoom_dd"] = dd_from_string(zoom)
+    f = perturbation_fields(orb, W, H, **kw)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_oracle_counts("0", "1", zoom, W, H, MI, bits, bail=4.0)
+    assert len(np.unique(nref)) > 3
+    assert (n == nref).mean() >= 0.95, f"{n}\n{nref}"
+    assert np.abs(n - nref).max() <= 1
+
+
+def test_rebase_handles_starving_reference():
+    # The reference orbit escapes long before max_iter; rebasing restarts
+    # starved lanes at orbit index 0 instead of flagging them — this
+    # replaces float continuation AND secondary references with one orbit.
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    cx, cy, zoom = "-0.74364388703715158", "0.13182590420531198", "1e-12"
+    W, H, MI, bits = 48, 32, 4000, 128
+    orb = orbit.compute_orbit(cx, cy, bits, MI + 1)
+    assert len(orb) < MI  # escaping reference
+    f = perturbation_fields(orb, W, H, center_x_dd=dd_from_string(cx),
+                            center_y_dd=dd_from_string(cy),
+                            zoom_dd=dd_from_string(zoom), max_iter=MI,
+                            float_continuation=False, dd_delta=True,
+                            rebase=True)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    assert int(f["passes"]) > 2  # really multi-pass
+    nref = _hp_oracle_counts(cx, cy, zoom, W, H, MI, bits, bail=4.0)
+    assert len(np.unique(nref)) > 100  # rich structure
+    exact = (n == nref).mean()
+    # chaotic-boundary dd rounding flips a fraction of a percent of pixels
+    assert exact >= 0.99, f"only {exact:.3%} exact"
+
+
+def test_deep_zoom_model_uses_rebasing_by_default():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="0.245670923653024",
+              hp_center_y="0.580340963154017",
+              hp_zoom="1e-9", max_iterations=400, use_perturbation=True)
+    n, zx, zy, glitch, info = deep_zoom.render_fields(s, 32, 24)
+    assert info["algorithm"] == "rebase"
+    assert info["references_used"] == 1
+    assert info["glitched_pixels_remaining"] == 0
+    assert info["fallback_pixels"] == 0  # no HP fallback needed
+    assert not glitch.any()
+
+    # and the legacy pipeline agrees on this benign view
+    n2, *_rest, info2 = deep_zoom.render_fields(s, 32, 24, rebasing=False)
+    assert (n == n2).mean() > 0.97
+
+
+def test_rebase_sharded_matches_single():
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+    from fractalrenderer_tpu.parallel.tiled import perturbation_fields_sharded
+
+    cx, cy = "-0.743643887037151", "0.13182590420533"
+    orb = orbit.compute_orbit(cx, cy, 64, 401)
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              zoom_dd=dd_from_string("1e-8"), max_iter=400,
+              float_continuation=False, rebase=True)
+    single = perturbation_fields(orb, 64, 48, **kw)
+    sharded = perturbation_fields_sharded(orb, 64, 48, **kw)
+    np.testing.assert_array_equal(sharded["n"], np.asarray(single["n"]))
+    np.testing.assert_array_equal(sharded["zx"], np.asarray(single["zx"]))
+    assert not (sharded["want"] > 0.5).any()
