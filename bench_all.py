@@ -140,9 +140,15 @@ def bench_deep_zoom():
               hp_center_y="0.13182590420531198",
               hp_zoom="1e-12", max_iterations=10000, use_perturbation=True)
     t0 = time.perf_counter()
+    deep_zoom.render_fields(s, 1920, 1080)  # compile + warm
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
     n, zx, zy, glitch, info = deep_zoom.render_fields(s, 1920, 1080)
     dt = time.perf_counter() - t0
     return {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
+            "cold_seconds_incl_compile": round(cold, 1),
+            "algorithm": info.get("algorithm"),
+            "rebase_passes": info.get("rebase_passes"),
             **{k: info[k] for k in ("references_used",
                                     "glitched_pixels_initial",
                                     "glitched_pixels_remaining")}}
@@ -198,12 +204,14 @@ def bench_scaled_deep_zoom():
     s = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="0",
               hp_center_y="1", hp_zoom="1e-50", max_iterations=2000,
               use_perturbation=True)
+    deep_zoom.render_fields(s, 960, 540)  # compile + warm
     t0 = time.perf_counter()
     n, zx, zy, glitch, info = deep_zoom.render_fields(s, 960, 540)
     dt = time.perf_counter() - t0
     return {"config": "scaled_deep_zoom_1e-50_2k_960x540",
             "seconds": round(dt, 1),
             "precision_mode": info["precision_mode"],
+            "rebase_passes": info.get("rebase_passes"),
             "glitched_pixels_remaining": info["glitched_pixels_remaining"]}
 
 
