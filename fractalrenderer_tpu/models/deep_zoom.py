@@ -139,7 +139,7 @@ def render_fields(scene: Scene, width: int, height: int,
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
-            and not scaled and ref_center is None and not rebasing:
+            and not scaled and ref_center is None:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height

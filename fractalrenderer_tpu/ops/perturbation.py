@@ -705,7 +705,8 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
         return call(p2, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                     orbit_im_lo, live, nf, zfr, zfi, *comp_vals)
 
-    outs0 = run(jnp.float32(1.0), z + 1.0, z, z, z, [z] * len(comps))
+    # first pass starts at the series-skip index (1 when no series)
+    outs0 = run(params[0, Q_NSKIP], z + 1.0, z, z, z, [z] * len(comps))
 
     def cond(c):
         k, outs = c
@@ -772,8 +773,8 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     if rebase:
         assert not float_continuation, \
             "rebasing supersedes float continuation"
-        assert series is None or series.n_skip <= 1, \
-            "series skip not supported with rebasing"
+        # series IS supported with rebasing: the first pass starts at the
+        # skip index (Q_M0 <- n_skip); later passes start at 0.
     # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
     if zoom_frac is not None:
         zoom_fr = Fraction(zoom_frac)

@@ -229,6 +229,17 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         png.write_png(tmp, band_np, bit_depth=bit_depth)
         os.replace(tmp, tile_path)
 
+    # Quantize on DEVICE to the target bit depth (identical clip/scale/
+    # truncate to utils.png._prepare_rows) so the link carries uint16/uint8
+    # instead of f32 RGB — halves (or quarters) the per-band transfer on
+    # the link-bound path.
+    @jax.jit
+    def _quantize(x):
+        x = jnp.clip(x, 0.0, 1.0)
+        if bit_depth == 8:
+            return (x * 255.0 + 0.5).astype(jnp.uint8)
+        return (x * 65535.0 + 0.5).astype(jnp.uint16)
+
     inflight = []
     encode_futures = []
     with _futures.ThreadPoolExecutor(max_workers=3) as pool:
@@ -248,7 +259,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                 skipped += 1
                 continue
             row0 = b * band_rows
-            arr = sharded(dyn, jnp.float32(row0))
+            arr = _quantize(sharded(dyn, jnp.float32(row0)))
             try:
                 arr.copy_to_host_async()
             except Exception:

@@ -892,3 +892,22 @@ def test_rebase_sharded_matches_single():
     np.testing.assert_array_equal(sharded["n"], np.asarray(single["n"]))
     np.testing.assert_array_equal(sharded["zx"], np.asarray(single["zx"]))
     assert not (sharded["want"] > 0.5).any()
+
+
+def test_series_skip_with_rebasing():
+    # The rebase path starts its first pass at the series-skip index;
+    # later passes start at orbit index 0 without series.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    base = Scene(fractal_type=FractalType.DEEP_ZOOM,
+                 hp_center_x="-0.74364388703715158",
+                 hp_center_y="0.13182590420531198",
+                 hp_zoom="1e-9", max_iterations=2500, use_perturbation=True)
+    n0, *_, i0 = deep_zoom.render_fields(base, 48, 32)
+    n1, *_, i1 = deep_zoom.render_fields(
+        base.with_(use_series_approximation=True), 48, 32)
+    assert i1["algorithm"] == "rebase" and i1["series_skip"] > 10
+    assert i1["glitched_pixels_remaining"] == 0
+    mism = float((n0 != n1).mean())
+    assert mism < 0.05, f"series+rebase changed {mism:.3%} of counts"
