@@ -213,13 +213,16 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
 
     dyn = {k: jnp.float32(v) for k, v in common.scene_dyn_params(scene).items()}
 
-    # Pipelined bands: dispatch band b+1 and start its device->host copy
-    # BEFORE blocking on band b (JAX async dispatch renders ahead; the
-    # copy rides the link while the next band computes), and PNG deflate
-    # runs in worker threads so encoding band b overlaps fetching band
-    # b+1.  Config #5 is link-bound (5-11 s/band transfer vs ~3 ms
-    # render), so wall time tracks max(render, single-transfer) instead
-    # of their sum — this replaces the reference's synchronous
+    # Fully pipelined export: bands render in FINAL scanline order
+    # (reversed — export orientation is a vertical flip), dispatching band
+    # k+1 and starting its async device->host copy before blocking on band
+    # k; resume tiles AND the final PNG's IDAT chunks deflate in worker
+    # threads (pigz-style independently-deflated full-flush chunks,
+    # utils.png.ParallelPNGWriter) while later bands render.  End-to-end
+    # wall time tracks max(render+transfer, deflate/threads) instead of
+    # render + transfer + tile-deflate + assembly-re-deflate — the round-1
+    # pipeline re-compressed the entire image single-threaded in a
+    # separate assembly pass.  Replaces the reference's synchronous
     # single-staging-buffer export (vk_engine.cpp:1939-2003).
     import concurrent.futures as _futures
 
@@ -240,23 +243,53 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             return (x * 255.0 + 0.5).astype(jnp.uint8)
         return (x * 65535.0 + 0.5).astype(jnp.uint16)
 
-    inflight = []
-    encode_futures = []
-    with _futures.ThreadPoolExecutor(max_workers=3) as pool:
+    meta = {"Software": "fractalrenderer_tpu (giant still)",
+            **scene.metadata_summary()}
+    out_tmp = out_path + ".tmp"
+    done_ct = 0
+    with open(out_tmp, "wb") as fp, \
+            png.ParallelPNGWriter(fp, width, height, bit_depth=bit_depth,
+                                  channels=3, metadata=meta, dpi=dpi) as w, \
+            _futures.ThreadPoolExecutor(max_workers=4) as pool:
+        inflight = []       # (band, device array, row0, tile path)
+        tile_futures = []
+        final_q = []        # (n_rows, deflate future, raw bytes) in order
+
+        def flush_final(block=False):
+            while final_q and (block or final_q[0][1].done()):
+                n_rows_, fut_, raw_ = final_q.pop(0)
+                w.write_deflated(n_rows_, fut_.result(), raw_)
+
+        def emit(band_np):
+            # band_np is in render orientation; the final PNG wants the
+            # export flip.  Called strictly in final scanline order.
+            nonlocal done_ct
+            rows_final = to_export_orientation(band_np)
+            raw = png.band_raw_bytes(rows_final, bit_depth)
+            final_q.append((rows_final.shape[0],
+                            pool.submit(png.deflate_chunk, raw,
+                                        compress_level), raw))
+            flush_final()
+            done_ct += 1
+            if progress_cb:
+                progress_cb(done_ct, n_bands)
+
         def drain_one():
             nonlocal rendered
-            bb, arr, tile_path, r0 = inflight.pop(0)
+            bb, arr, r0, tile_path = inflight.pop(0)
             band_np = np.asarray(arr)[:min(band_rows, height - r0)]
-            encode_futures.append(
+            tile_futures.append(
                 pool.submit(encode_band, bb, band_np, tile_path))
             rendered += 1
-            if progress_cb:
-                progress_cb(bb + 1, n_bands)
+            emit(band_np)
 
-        for b in range(n_bands):
+        for b in reversed(range(n_bands)):  # final scanline order
             tile_path = os.path.join(tile_dir, f"band_{b:05d}.png")
             if resume and os.path.exists(tile_path):
+                while inflight:  # keep emit() ordering
+                    drain_one()
                 skipped += 1
+                emit(png.read_png(tile_path))
                 continue
             row0 = b * band_rows
             arr = _quantize(sharded(dyn, jnp.float32(row0)))
@@ -264,24 +297,14 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                 arr.copy_to_host_async()
             except Exception:
                 pass  # not every backend exposes async D2H
-            inflight.append((b, arr, tile_path, row0))
+            inflight.append((b, arr, row0, tile_path))
             if len(inflight) >= 2:
                 drain_one()
         while inflight:
             drain_one()
-        for fut in encode_futures:
-            fut.result()  # surface any encode error
-
-    # -- assembly: stream tiles into the final PNG (flipped orientation) --
-    meta = {"Software": "fractalrenderer_tpu (giant still)",
-            **scene.metadata_summary()}
-    with open(out_path, "wb") as fp:
-        with png.PNGWriter(fp, width, height, bit_depth=bit_depth,
-                           channels=3, metadata=meta, dpi=dpi) as w:
-            # export orientation = vertical flip ⇒ write bands in reverse,
-            # each band's rows reversed
-            for b in reversed(range(n_bands)):
-                tile = png.read_png(os.path.join(tile_dir, f"band_{b:05d}.png"))
-                w.write_rows(to_export_orientation(tile))
+        flush_final(block=True)
+        for fut in tile_futures:
+            fut.result()  # surface any tile-encode error
+    os.replace(out_tmp, out_path)
     return {"bands": n_bands, "rendered": rendered, "skipped": skipped,
             "tile_dir": tile_dir, "out": out_path}

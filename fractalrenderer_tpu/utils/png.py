@@ -130,6 +130,63 @@ class PNGWriter:
             self.close()
 
 
+def band_raw_bytes(band: np.ndarray, bit_depth: int) -> bytes:
+    """Filtered scanline bytes of a band (filter type 0 per row) — the raw
+    deflate input the parallel writer's workers consume."""
+    rows = _prepare_rows(band, bit_depth)
+    filtered = np.concatenate(
+        [np.zeros((rows.shape[0], 1), np.uint8), rows], axis=1)
+    return filtered.tobytes()
+
+
+def deflate_chunk(raw: bytes, compress_level: int = 6) -> bytes:
+    """Raw-deflate ``raw`` ending in a Z_FULL_FLUSH (empty stored block +
+    window reset) so independently-compressed chunks concatenate into one
+    valid zlib stream — the pigz trick, here for PNG IDAT."""
+    c = zlib.compressobj(compress_level, zlib.DEFLATED, -15)
+    return c.compress(raw) + c.flush(zlib.Z_FULL_FLUSH)
+
+
+class ParallelPNGWriter(PNGWriter):
+    """PNGWriter variant whose IDAT stream is assembled from chunks
+    deflated *in parallel* by the caller (one zlib header + concatenated
+    full-flushed raw-deflate chunks + final empty block + adler32).
+
+    Protocol per band, in scanline order:
+        raw = band_raw_bytes(band, bit_depth)   # main thread or worker
+        payload = deflate_chunk(raw, level)     # worker thread, any order
+        w.write_deflated(raw_len=len(raw), n_rows=..., payload=payload,
+                         adler_of=raw)          # main thread, in order
+    """
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._comp = None  # superseded
+        self._adler = 1
+        self.fp.write(_chunk(b"IDAT", b"\x78\x9c"))  # zlib header
+
+    def write_rows(self, band: np.ndarray) -> None:
+        raw = band_raw_bytes(band, self.bit_depth)
+        self.write_deflated(band.shape[0],
+                            deflate_chunk(raw, 6), raw)
+
+    def write_deflated(self, n_rows: int, payload: bytes,
+                       adler_of: bytes) -> None:
+        self._adler = zlib.adler32(adler_of, self._adler)
+        self.fp.write(_chunk(b"IDAT", payload))
+        self._rows_written += n_rows
+
+    def close(self) -> None:
+        if self._rows_written != self.height:
+            raise ValueError(
+                f"wrote {self._rows_written} rows, expected {self.height}")
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        fin = c.compress(b"") + c.flush(zlib.Z_FINISH)  # final empty block
+        self.fp.write(_chunk(b"IDAT",
+                             fin + struct.pack(">I", self._adler)))
+        self.fp.write(_chunk(b"IEND", b""))
+
+
 def write_png(path: str, image: np.ndarray, bit_depth: int = 8,
               metadata: Optional[Dict[str, str]] = None,
               dpi: Optional[float] = None, srgb: bool = True,
