@@ -911,3 +911,22 @@ def test_series_skip_with_rebasing():
     assert i1["glitched_pixels_remaining"] == 0
     mism = float((n0 != n1).mean())
     assert mism < 0.05, f"series+rebase changed {mism:.3%} of counts"
+
+
+def test_rebase_with_hbm_streamed_orbit():
+    # orbits past the SMEM cap stream from HBM; rebasing must compose with
+    # the double-buffered row DMA (the loop restarts at row 0 after rebase)
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import (MAX_ORBIT_SMEM,
+                                                      perturbation_fields)
+
+    MI = MAX_ORBIT_SMEM + 7000
+    orb = orbit.compute_orbit("0", "1", 192, MI + 1)
+    assert len(orb) == MI + 1
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(1.0, 0.0),
+              zoom_dd=dd_from_string("1e-8"), max_iter=MI,
+              float_continuation=False, dd_delta=True)
+    f = perturbation_fields(orb, 8, 6, rebase=True, **kw)
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    f2 = perturbation_fields(orb, 8, 6, **kw)
+    np.testing.assert_array_equal(np.asarray(f["n"]), np.asarray(f2["n"]))
