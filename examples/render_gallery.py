@@ -47,6 +47,12 @@ SCENES = {
         hp_center_y="0.13182590420531198", hp_zoom="1e-12",
         max_iterations=10000, use_perturbation=True,
         use_series_approximation=True),
+    # floatexp (ARBITRARY) tier + per-pixel rebasing: depth far past the
+    # f32/f64 exponent floor — the dendrite at the Misiurewicz point c=i
+    "deep_zoom_1e50": fr.Scene(
+        fractal_type=fr.FractalType.DEEP_ZOOM,
+        hp_center_x="0", hp_center_y="1", hp_zoom="1e-50",
+        max_iterations=2000, use_perturbation=True, palette_mode=1),
 }
 
 
