@@ -55,6 +55,23 @@ def precision_mode_for_zoom(zoom: float) -> Tuple[PrecisionMode, int]:
     return PrecisionMode.ARBITRARY, calculate_precision_bits_for_zoom(z)
 
 
+def precision_mode_for_zoom_frac(fr: Fraction) -> Tuple[PrecisionMode, int]:
+    """Exact-rational precision selection — extends the reference's formula
+    past f64's exponent range (its 4096-bit cap topped out near 1e-1150;
+    the floatexp kernel tier has no such floor, so neither should the host
+    orbit).  Uncapped above: bits = 64 + digits*3.32 + 64, clamped to
+    [128, 1<<20]."""
+    if fr == 0:
+        return PrecisionMode.ARBITRARY, 4096
+    z = abs(float(fr))
+    if z > 0.0:  # within f64 range: defer to the reference formula
+        return precision_mode_for_zoom(z)
+    digits = (abs(fr.denominator).bit_length()
+              - abs(fr.numerator).bit_length()) * 0.30103
+    bits = int(64 + digits * 3.32 + 64)
+    return PrecisionMode.ARBITRARY, max(128, min(bits, 1 << 20))
+
+
 class HPFloat:
     """Fixed-point arbitrary precision: value = man / 2^bits."""
 

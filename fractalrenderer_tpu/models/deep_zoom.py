@@ -25,7 +25,8 @@ from typing import Tuple
 import numpy as np
 
 from ..deepzoom import orbit as orbit_mod
-from ..deepzoom.hp import HPFloat, precision_mode_for_zoom
+from ..deepzoom.hp import (HPFloat, precision_mode_for_zoom,
+                           precision_mode_for_zoom_frac)
 from ..ops import coloring
 from ..ops.coloring import ColorParams
 from ..ops.dd import dd_from_string
@@ -80,8 +81,9 @@ def render_fields(scene: Scene, width: int, height: int,
     else:
         field_fn = perturbation_fields
     cx, cy, zoom = _scene_coords(scene)
-    zoom_f = float(Fraction(str(zoom)))
-    mode, bits = precision_mode_for_zoom(zoom_f)
+    zoom_fr = Fraction(str(zoom))
+    zoom_f = float(zoom_fr)
+    mode, bits = precision_mode_for_zoom_frac(zoom_fr)
     max_iter = scene.max_iterations
 
     center_x_dd = _dd_of(cx, 0.0)

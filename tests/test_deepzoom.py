@@ -930,3 +930,24 @@ def test_rebase_with_hbm_streamed_orbit():
     assert not (np.asarray(f["want"]) > 0.5).any()
     f2 = perturbation_fields(orb, 8, 6, **kw)
     np.testing.assert_array_equal(np.asarray(f["n"]), np.asarray(f2["n"]))
+
+
+def test_deep_zoom_beyond_f64_exponent_range():
+    # zoom 1e-500 underflows float64 entirely; precision selection works
+    # from the exact Fraction (1787 bits, not the reference's 4096 cap)
+    # and the floatexp+rebase pipeline matches the exact HP oracle.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    zoom, W, H, MI = "1e-500", 8, 6, 2000
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="0",
+              hp_center_y="1", hp_zoom=zoom, max_iterations=MI,
+              use_perturbation=True)
+    n, zx, zy, g, info = deep_zoom.render_fields(s, W, H)
+    assert info["precision_mode"] == "ARBITRARY"
+    assert 1000 < info["precision_bits"] < 4096
+    assert info["glitched_pixels_remaining"] == 0
+    nref = _hp_oracle_counts("0", "1", zoom, W, H, MI,
+                             info["precision_bits"], bail=4.0)
+    assert len(np.unique(nref)) > 3
+    assert (np.asarray(n) == nref).mean() >= 0.9
