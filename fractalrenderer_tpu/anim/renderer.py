@@ -117,6 +117,27 @@ class AnimationRenderer:
             from .. import models
             from ..scene import FractalType
 
+            # Deep-zoom sequences share ONE reference orbit at the deepest
+            # frame's center via the shift mechanism (plus a cache for any
+            # repeats) instead of recomputing per frame.
+            dz_scenes = [s for s in scenes
+                         if s.fractal_type == FractalType.DEEP_ZOOM]
+            dz_kw = {}
+            if dz_scenes:
+                from fractions import Fraction
+
+                def _z(sc):
+                    return abs(Fraction(str(sc.hp_zoom if sc.hp_zoom
+                                             is not None else sc.zoom)))
+
+                deepest = min(dz_scenes, key=_z)
+                rcx = deepest.hp_center_x if deepest.hp_center_x is not None \
+                    else repr(deepest.center_x)
+                rcy = deepest.hp_center_y if deepest.hp_center_y is not None \
+                    else repr(deepest.center_y)
+                dz_kw = dict(ref_center=(str(rcx), str(rcy)),
+                             orbit_cache={})
+
             for f, sc in enumerate(scenes):
                 if self._cancel:
                     self.progress.status = RenderStatus.CANCELLED
@@ -126,7 +147,9 @@ class AnimationRenderer:
                     # the frame time (vk_engine render_animation_frame
                     # passes time into the dispatch)
                     sc = sc.with_(time=animation.frame_time(f))
-                img = np.asarray(models.render(sc, width, height))
+                kw = dz_kw if sc.fractal_type == FractalType.DEEP_ZOOM \
+                    else {}
+                img = np.asarray(models.render(sc, width, height, **kw))
                 path = os.path.join(output_folder, f"frame_{f:06d}.png")
                 png.write_png(path, to_export_orientation(img),
                               bit_depth=bit_depth)

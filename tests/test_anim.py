@@ -373,3 +373,37 @@ def test_video_encoder_cleanup_and_failure(fake_ffmpeg, tmp_path,
     assert not ok2 and not enc2.progress.success
     assert "exited with code 1" in enc2.progress.error
     assert len(os.listdir(frames)) == 3  # no cleanup on failure
+
+
+def test_deep_zoom_animation_shares_reference_orbit(tmp_path):
+    # A deep-zoom .franim sequence computes ONE reference orbit (at the
+    # deepest frame's center) for the whole render, not one per frame.
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+    from fractalrenderer_tpu.models import deep_zoom
+
+    a = Animation(duration=0.3, target_fps=10, export_width=24,
+                  export_height=16)
+    a.keyframes.append(Keyframe(0.0, Scene(
+        fractal_type=FractalType.DEEP_ZOOM, center_x=-0.7436438870371,
+        center_y=0.1318259042053, zoom=1e-5, max_iterations=300),
+        InterpolationType.LINEAR))
+    a.keyframes.append(Keyframe(0.3, Scene(
+        fractal_type=FractalType.DEEP_ZOOM, center_x=-0.74364388703715,
+        center_y=0.13182590420531, zoom=1e-8, max_iterations=300),
+        InterpolationType.LINEAR))
+
+    calls = []
+    orig = deep_zoom.orbit_mod.compute_orbit
+
+    def counting(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    deep_zoom.orbit_mod.compute_orbit = counting
+    try:
+        r = AnimationRenderer()
+        assert r.start_render(a, str(tmp_path / "dz"))
+    finally:
+        deep_zoom.orbit_mod.compute_orbit = orig
+    assert len(calls) <= 2, f"{len(calls)} orbit computations"
+    assert len(os.listdir(tmp_path / "dz")) == a.total_frames
