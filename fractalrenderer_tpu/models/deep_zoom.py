@@ -53,7 +53,7 @@ def render_fields(scene: Scene, width: int, height: int,
                   force_python_orbit: bool = False,
                   orbit_cache: dict = None, mesh=None,
                   ref_center: Tuple[str, str] = None,
-                  rebasing: bool = True):
+                  rebasing: bool = True, max_passes: int = 256):
     """Returns (n, zx, zy, glitch_remaining, info dict).
 
     ``orbit_cache``: optional dict keyed by HP center strings; lets
@@ -154,7 +154,7 @@ def render_fields(scene: Scene, width: int, height: int,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
         float_continuation=float_cont, series=series, dd_delta=dd_delta,
         scaled_delta=scaled, zoom_frac=str(zoom), rebase=rebasing,
-        **shift_kw)
+        max_passes=max_passes, **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])

@@ -951,3 +951,23 @@ def test_deep_zoom_beyond_f64_exponent_range():
                              info["precision_bits"], bail=4.0)
     assert len(np.unique(nref)) > 3
     assert (np.asarray(n) == nref).mean() >= 0.9
+
+
+def test_rebase_max_passes_fallback():
+    # If the pass budget runs out (pathological short orbit), leftover
+    # `want` lanes route through the guaranteed HP fallback — the render
+    # still ends with zero flagged pixels and oracle-correct counts.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="0.245670923653024",
+              hp_center_y="0.580340963154017",
+              hp_zoom="1e-9", max_iterations=400, use_perturbation=True)
+    n, zx, zy, glitch, info = deep_zoom.render_fields(s, 16, 12,
+                                                      max_passes=1)
+    assert info["fallback_pixels"] > 0  # budget exhausted -> HP fallback
+    assert info["glitched_pixels_remaining"] == 0
+    n_full, *_ , info2 = deep_zoom.render_fields(s, 16, 12)
+    assert info2["fallback_pixels"] == 0
+    np.testing.assert_array_equal(n, n_full)
