@@ -55,6 +55,10 @@ def _add_scene_args(p: argparse.ArgumentParser):
     p.add_argument("--julia-ci", type=float, default=None)
     p.add_argument("--julia-preset", default=None,
                    help="named Julia c preset (e.g. \"Douady's Rabbit\")")
+    p.add_argument("--deep-julia", dest="deep_julia", action="store_true",
+                   default=None,
+                   help="deep-zoom the JULIA set of --julia-cr/ci (beyond "
+                        "the reference, which only deep-zooms Mandelbrot)")
     p.add_argument("--phoenix-p", type=float, default=None)
     p.add_argument("--phoenix-r", type=float, default=None)
     p.add_argument("--use-julia-set", action="store_true", default=None)
@@ -85,6 +89,7 @@ _ARG_TO_FIELD = {
     "time": "time", "hp_center_x": "hp_center_x",
     "hp_center_y": "hp_center_y", "hp_zoom": "hp_zoom",
     "perturbation": "use_perturbation",
+    "deep_julia": "deep_zoom_julia",
 }
 
 

@@ -40,17 +40,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR],
-                               check=True, capture_output=True, timeout=120)
+            # make is a freshness no-op when the .so is current, and
+            # rebuilds it after any orbit.cpp change
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
-            lib.orbit_compute.restype = ctypes.c_long
-            lib.orbit_compute.argtypes = [
-                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            lib.orbit_compute_z0.restype = ctypes.c_long
+            lib.orbit_compute_z0.argtypes = [
+                u64p, ctypes.c_int, u64p, ctypes.c_int,
+                u64p, ctypes.c_int, u64p, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_double),
+                f64p, f64p, ctypes.c_int,
             ]
             _lib = lib
         except Exception:
@@ -80,7 +82,10 @@ def _to_limbs(value: Union[str, float, HPFloat], frac_bits: int,
 def compute_orbit_python(cx: Union[str, float, HPFloat],
                          cy: Union[str, float, HPFloat],
                          precision_bits: int, max_iter: int,
-                         escape_mag_sq: float = 4.0) -> np.ndarray:
+                         escape_mag_sq: float = 4.0,
+                         z0x: Union[str, float, HPFloat, None] = None,
+                         z0y: Union[str, float, HPFloat, None] = None,
+                         emit_rel: bool = False) -> np.ndarray:
     """Pure-Python bignum fallback — bit-identical to the native path: each
     product is truncated toward zero after the fixed-point shift (Python's
     ``>>`` floors negatives toward -inf, so the cross term shifts the
@@ -96,7 +101,9 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
         return round(Fraction(v if isinstance(v, str) else float(v)) * one)
 
     cxm, cym = to_man(cx), to_man(cy)
-    zr = zi = 0
+    zr = to_man(z0x) if z0x is not None else 0
+    zi = to_man(z0y) if z0y is not None else 0
+    z0r, z0i = zr, zi
     out = np.empty((max_iter, 2), np.float64)
     stored = 0
     import math
@@ -121,7 +128,10 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
     for i in range(max_iter):
         dre = to_f64(zr)
         dim = to_f64(zi)
-        out[i] = (dre, dim)
+        if emit_rel:
+            out[i] = (to_f64(zr - z0r), to_f64(zi - z0i))
+        else:
+            out[i] = (dre, dim)
         stored = i + 1
         mag2 = dre * dre + dim * dim
         if mag2 > escape_mag_sq or not np.isfinite(mag2):
@@ -138,27 +148,42 @@ def compute_orbit(cx: Union[str, float, HPFloat],
                   cy: Union[str, float, HPFloat],
                   precision_bits: int, max_iter: int,
                   escape_mag_sq: float = 4.0,
-                  force_python: bool = False) -> np.ndarray:
-    """Returns an (L, 2) float64 array of the reference orbit, trimmed at
-    escape (L <= max_iter)."""
+                  force_python: bool = False,
+                  z0x: Union[str, float, HPFloat, None] = None,
+                  z0y: Union[str, float, HPFloat, None] = None,
+                  emit_rel: bool = False) -> np.ndarray:
+    """Returns an (L, 2) float64 array of the orbit z <- z^2 + c from z0
+    (default 0 — the Mandelbrot critical orbit; Julia references pass the
+    view center), trimmed at escape (L <= max_iter).
+
+    ``emit_rel=True`` emits the DRIFT D_i = z_i - z0 instead of z_i,
+    computed in fixed point so tiny drifts near a periodic start survive
+    the f64 conversion (deep-Julia kernels reconstruct Z = Z0 + D)."""
     precision_bits = max(64, int(precision_bits))
     lib = None if force_python else _load_native()
     if lib is None:
         return compute_orbit_python(cx, cy, precision_bits, max_iter,
-                                    escape_mag_sq)
+                                    escape_mag_sq, z0x=z0x, z0y=z0y,
+                                    emit_rel=emit_rel)
     # 8 integer bits of headroom (|z| <= 2 pre-escape, c within ±2)
     frac_bits = precision_bits
     n_limbs = (frac_bits + 8 + 63) // 64
     cx_l, sx = _to_limbs(cx, frac_bits, n_limbs)
     cy_l, sy = _to_limbs(cy, frac_bits, n_limbs)
+    zx_l, szx = _to_limbs(z0x if z0x is not None else 0.0, frac_bits,
+                          n_limbs)
+    zy_l, szy = _to_limbs(z0y if z0y is not None else 0.0, frac_bits,
+                          n_limbs)
     out_re = np.empty(max_iter, np.float64)
     out_im = np.empty(max_iter, np.float64)
-    n = lib.orbit_compute(
-        cx_l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sx,
-        cy_l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sy,
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    n = lib.orbit_compute_z0(
+        cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
+        zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,
         n_limbs, frac_bits, max_iter, escape_mag_sq,
-        out_re.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
+        1 if emit_rel else 0)
     return np.stack([out_re[:n], out_im[:n]], axis=1)
 
 

@@ -106,15 +106,35 @@ def render_fields(scene: Scene, width: int, height: int,
     # stays on the TPU.
     scaled = mode.name == "ARBITRARY"
     dd_delta = (zoom_f <= 1e-7) and not scaled
+    # Deep Julia (beyond reference): the reference orbit starts at the view
+    # center with the scene's shared c; only the rebasing algorithm
+    # supports it (no Pauldelbrot/secondary-reference path).
+    julia = bool(getattr(scene, "deep_zoom_julia", False))
+    if julia:
+        assert rebasing, "deep-zoom julia requires the rebasing pipeline"
+        if scaled:
+            raise NotImplementedError(
+                "deep-zoom julia supports zoom >= ~1e-25 (drift-table "
+                "f32 floor); requested zoom is in the floatexp tier")
+    jc = (repr(float(scene.julia_c_real)), repr(float(scene.julia_c_imag)))
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
     # full-strength (interior) reference needs max_iter+1 stored entries.
     def cached_orbit(ocx, ocy):
-        key = (str(ocx), str(ocy), bits, max_iter)
+        key = (str(ocx), str(ocy), bits, max_iter, julia, jc if julia
+               else None)
         if orbit_cache is not None and key in orbit_cache:
             return orbit_cache[key]
-        o = orbit_mod.compute_orbit(ocx, ocy, bits, max_iter + 1,
-                                    force_python=force_python_orbit)
+        if julia:
+            # julia reference: z0 = the point itself, c = the shared julia
+            # constant; the table holds the drift D = Z - Z0 so tiny
+            # excursions near periodic points keep full precision
+            o = orbit_mod.compute_orbit(jc[0], jc[1], bits, max_iter + 1,
+                                        force_python=force_python_orbit,
+                                        z0x=ocx, z0y=ocy, emit_rel=True)
+        else:
+            o = orbit_mod.compute_orbit(ocx, ocy, bits, max_iter + 1,
+                                        force_python=force_python_orbit)
         if orbit_cache is not None:
             orbit_cache[key] = o
         return o
@@ -136,12 +156,14 @@ def render_fields(scene: Scene, width: int, height: int,
         shift_kw = dict(ref_shift_x=dd_from_string(sx_s),
                         ref_shift_y=dd_from_string(sy_s),
                         ref_shift_x_frac=sx_s, ref_shift_y_frac=sy_s)
+        orbit_center = (rcx_s, rcy_s)
     else:
         orbit = cached_orbit(cx, cy)
+        orbit_center = (cx, cy)
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
-            and not scaled and ref_center is None:
+            and not scaled and ref_center is None and not julia:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height
@@ -152,9 +174,12 @@ def render_fields(scene: Scene, width: int, height: int,
         orbit, width, height, center_x_dd=center_x_dd,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
-        float_continuation=float_cont, series=series, dd_delta=dd_delta,
-        scaled_delta=scaled, zoom_frac=str(zoom), rebase=rebasing,
-        max_passes=max_passes, **shift_kw)
+        float_continuation=(float_cont and not julia), series=series,
+        dd_delta=dd_delta, scaled_delta=scaled, zoom_frac=str(zoom),
+        rebase=rebasing, max_passes=max_passes, julia=julia,
+        julia_z0=((float(Fraction(str(orbit_center[0]))),
+                   float(Fraction(str(orbit_center[1]))))
+                  if julia else None), **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
@@ -167,6 +192,7 @@ def render_fields(scene: Scene, width: int, height: int,
         glitch = np.asarray(f["glitch"]) > 0.5
     info = {"precision_mode": mode.name, "precision_bits": bits,
             "dd_delta": dd_delta, "scaled_delta": scaled,
+            "deep_zoom_julia": julia,
             "algorithm": "rebase" if rebasing else "secondary_refs",
             "rebase_passes": int(f["passes"]) if rebasing else 0,
             "reference_iterations": len(orbit), "references_used": 1,
@@ -251,9 +277,15 @@ def render_fields(scene: Scene, width: int, height: int,
         ys, xs = np.nonzero(glitch)
         for y, x in zip(ys, xs):
             pcx, pcy = pixel_c(int(y), int(x))
-            o = orbit_mod.compute_orbit(pcx, pcy, hp_bits, max_iter + 1,
-                                        escape_mag_sq=bail2,
-                                        force_python=force_python_orbit)
+            if julia:
+                o = orbit_mod.compute_orbit(
+                    jc[0], jc[1], hp_bits, max_iter + 1,
+                    escape_mag_sq=bail2, force_python=force_python_orbit,
+                    z0x=pcx, z0y=pcy)
+            else:
+                o = orbit_mod.compute_orbit(
+                    pcx, pcy, hp_bits, max_iter + 1, escape_mag_sq=bail2,
+                    force_python=force_python_orbit)
             zfx, zfy = float(o[-1, 0]), float(o[-1, 1])
             escaped = zfx * zfx + zfy * zfy > bail2
             # kernel count convention: n = #{i >= 1 : |z_i| <= bail} — the

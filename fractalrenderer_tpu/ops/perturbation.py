@@ -47,8 +47,9 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 (Q_CXH, Q_CXL, Q_CYH, Q_CYL, Q_PSH, Q_PSL, Q_LIMIT, Q_BAIL2, Q_REFLEN,
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
  Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
- Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP, Q_M0) = range(32)
-NQ = 32
+ Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP, Q_M0, Q_FIRST,
+ Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL) = range(37)
+NQ = 37
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
@@ -86,7 +87,18 @@ def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
                  float_continuation: bool, dd_delta: bool = False,
                  orbit_hbm: bool = False, orbit_cap: int = 0,
-                 scaled: bool = False, rebase: bool = False):
+                 scaled: bool = False, rebase: bool = False,
+                 julia: bool = False):
+    """``julia=True`` iterates the JULIA perturbation dz <- 2*Z*dz + dz^2
+    (no +dc term — c is a shared constant; the reference orbit starts at
+    the view center z0 instead of 0).  The orbit tables hold the DRIFT
+    D_i = Z_i - Z_0 (host-computed in fixed point, so tiny drifts near a
+    periodic start keep full precision); the kernel reconstructs
+    Z = Z_0 + D in dd, rebasing assigns dz <- D + dz (cancellation-free)
+    and the Zhuoran test compares |D + dz| against |dz|.  Beyond the
+    reference, which only deep-zooms the Mandelbrot set.  Requires rebase
+    mode; the f32/dd tiers only (zoom >= ~1e-25 — D's f32 hi/lo floor)."""
+
     """``dd_delta=True`` iterates the perturbation delta in double-double
     (two-f32) instead of plain f32 — f64-class mantissa for the delta, used
     in the QUAD precision mode (zoom < 1e-14).  ~6x the per-iteration cost;
@@ -111,6 +123,9 @@ def _make_kernel(width: int, height: int, map_height: int,
     glitches by construction; Pauldelbrot detection and float continuation
     are superseded (kernel inputs carry per-pixel live/nf/z/delta state;
     params[Q_M0] is the pass's starting orbit index: 1 first, 0 after)."""
+    assert not (julia and scaled), \
+        "deep-zoom julia supports the f32/dd tiers only (zoom >= ~1e-25)"
+    assert not julia or rebase, "deep-zoom julia requires rebase mode"
     th, tw = tile
     n_streams = 4 if (dd_delta or scaled) else 2
     comps = _state_comps(dd_delta, scaled)
@@ -227,6 +242,9 @@ def _make_kernel(width: int, height: int, map_height: int,
         delta_r = dd.dd_to_float(jnp, dcx)
         delta_i = dd.dd_to_float(jnp, dcy)
         s_exp = params_ref[0, Q_SEXP].astype(jnp.int32)  # scaled mode only
+        # julia reference start Z_0 (0 for Mandelbrot's critical orbit)
+        z0x_h, z0x_l = params_ref[0, Q_Z0XH], params_ref[0, Q_Z0XL]
+        z0y_h, z0y_l = params_ref[0, Q_Z0YH], params_ref[0, Q_Z0YL]
 
         # full c in f32 for the float-continuation phase (comp:139-141)
         cx_dd = dd.dd_add(jnp, (params_ref[0, Q_CXH], params_ref[0, Q_CXL]),
@@ -298,8 +316,12 @@ def _make_kernel(width: int, height: int, map_height: int,
             dz0r = delta_r * dscale
             dz0i = delta_i * dscale
         base0 = dma_sync(n0)
-        z1r = rd0["re"](n0, base0) + dz0r
-        z1i = rd0["im"](n0, base0) + dz0i
+        if julia:  # z_0 = Z_0 + D_{n0} + dz_0 (tables hold the drift D)
+            z1r = z0x_h + (z0x_l + (rd0["re"](n0, base0) + dz0r))
+            z1i = z0y_h + (z0y_l + (rd0["im"](n0, base0) + dz0i))
+        else:
+            z1r = rd0["re"](n0, base0) + dz0r
+            z1i = rd0["im"](n0, base0) + dz0i
         big = jnp.float32(3.4e38)
         state0 = {
             "zfr": jnp.where(in_bounds, z1r, big),
@@ -320,7 +342,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             state0["dzr"] = dz0r
             state0["dzi"] = dz0i
         if rebase:
-            first = params_ref[0, Q_M0] > 0.5
+            first = params_ref[0, Q_FIRST] > 0.5
             live_ref, nf_in_ref, zfr_in_ref, zfi_in_ref = st_refs[:4]
             comp_in = st_refs[4:]
             # select in f32 — Mosaic cannot lower arith.select on i1 vectors
@@ -378,17 +400,18 @@ def _make_kernel(width: int, height: int, map_height: int,
                     rz = dd.dd_mul(jnp, mr, mi)
                     sq_i = (rz[0] * 2.0, rz[1] * 2.0)
                     e2 = ex + ex
-                    emax = jnp.maximum(jnp.maximum(ex, e2), -s_exp)
+                    emax = jnp.maximum(ex, e2)
+                    if not julia:
+                        emax = jnp.maximum(emax, -s_exp)
                     fA = _pow2(ex - emax)
                     fB = _pow2(e2 - emax)
-                    fC = _pow2(-s_exp - emax)
                     scl = lambda v, f: (v[0] * f, v[1] * f)
-                    nmr = dd.dd_add(jnp, dd.dd_add(jnp, scl(t1r, fA),
-                                                   scl(sq_r, fB)),
-                                    scl(dcx, fC))
-                    nmi = dd.dd_add(jnp, dd.dd_add(jnp, scl(t1i, fA),
-                                                   scl(sq_i, fB)),
-                                    scl(dcy, fC))
+                    nmr = dd.dd_add(jnp, scl(t1r, fA), scl(sq_r, fB))
+                    nmi = dd.dd_add(jnp, scl(t1i, fA), scl(sq_i, fB))
+                    if not julia:
+                        fC = _pow2(-s_exp - emax)
+                        nmr = dd.dd_add(jnp, nmr, scl(dcx, fC))
+                        nmi = dd.dd_add(jnp, nmi, scl(dcy, fC))
                     # renormalize mantissa hi into [1, 2)
                     mag = jnp.maximum(jnp.abs(nmr[0]), jnp.abs(nmi[0]))
                     zero = mag == 0.0
@@ -412,7 +435,7 @@ def _make_kernel(width: int, height: int, map_height: int,
                         want_now = alive & ((zm2 < dm2)
                                             | (i + 1 >= pert_end)) \
                             & (s["nf"] < limit_f)
-                        # rebased delta <- z_full as dd mantissa, exp 0
+                        # rebased delta <- z_full - Z_0 as dd mantissa, exp 0
                         zr_fu = dd.dd_add(jnp, (rd["re"](i + 1, base),
                                                 rd["rel"](i + 1, base)),
                                           (nmr[0] * dfac, nmr[1] * dfac))
@@ -436,8 +459,16 @@ def _make_kernel(width: int, height: int, map_height: int,
                     dzi = (s["dzih"], s["dzil"])
                     # the orbit itself is dd in this mode — the f32-rounded
                     # Z error would otherwise dominate the dd delta
-                    zr_dd = (zr * 2.0, rd["rel"](i, base) * 2.0)  # exact x2
-                    zi_dd = (zi * 2.0, rd["iml"](i, base) * 2.0)
+                    if julia:  # tables hold D = Z - Z0; Z = Z0 + D in dd
+                        zjr = dd.dd_add(jnp, (z0x_h, z0x_l),
+                                        (zr, rd["rel"](i, base)))
+                        zji = dd.dd_add(jnp, (z0y_h, z0y_l),
+                                        (zi, rd["iml"](i, base)))
+                        zr_dd = (zjr[0] * 2.0, zjr[1] * 2.0)  # exact x2
+                        zi_dd = (zji[0] * 2.0, zji[1] * 2.0)
+                    else:
+                        zr_dd = (zr * 2.0, rd["rel"](i, base) * 2.0)
+                        zi_dd = (zi * 2.0, rd["iml"](i, base) * 2.0)
                     # dz <- 2*Z*dz + dz^2 + delta, all components dd
                     t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, zr_dd),
                                     dd.dd_mul(jnp, dzi, zi_dd))
@@ -447,14 +478,25 @@ def _make_kernel(width: int, height: int, map_height: int,
                                      dd.dd_mul(jnp, dzi, dzi))
                     rziv = dd.dd_mul(jnp, dzr, dzi)
                     sq_i = (rziv[0] * 2.0, rziv[1] * 2.0)
-                    ndzr = dd.dd_add(jnp, dd.dd_add(jnp, t1r, sq_r), dcx)
-                    ndzi = dd.dd_add(jnp, dd.dd_add(jnp, t1i, sq_i), dcy)
-                    nzfr = ((rd["re"](i + 1, base) + ndzr[0])
-                            + (rd["rel"](i + 1, base) + ndzr[1]))
-                    nzfi = ((rd["im"](i + 1, base) + ndzi[0])
-                            + (rd["iml"](i + 1, base) + ndzi[1]))
+                    ndzr = dd.dd_add(jnp, t1r, sq_r)
+                    ndzi = dd.dd_add(jnp, t1i, sq_i)
+                    if not julia:
+                        ndzr = dd.dd_add(jnp, ndzr, dcx)
+                        ndzi = dd.dd_add(jnp, ndzi, dcy)
+                    # rel = D + dz (julia: rebased delta & Zhuoran metric,
+                    # no cancellation; Mandelbrot: this IS z_full)
+                    rel_r = ((rd["re"](i + 1, base) + ndzr[0])
+                             + (rd["rel"](i + 1, base) + ndzr[1]))
+                    rel_i = ((rd["im"](i + 1, base) + ndzi[0])
+                             + (rd["iml"](i + 1, base) + ndzi[1]))
+                    if julia:
+                        nzfr = z0x_h + (z0x_l + rel_r)
+                        nzfi = z0y_h + (z0y_l + rel_i)
+                    else:
+                        nzfr = rel_r
+                        nzfi = rel_i
                     if rebase:
-                        zm2 = nzfr * nzfr + nzfi * nzfi
+                        zm2 = rel_r * rel_r + rel_i * rel_i
                         dm2 = ndzr[0] * ndzr[0] + ndzi[0] * ndzi[0]
                         want_now = alive & ((zm2 < dm2)
                                             | (i + 1 >= pert_end)) \
@@ -477,23 +519,39 @@ def _make_kernel(width: int, height: int, map_height: int,
                     s["dzil"] = jnp.where(alive, ndzi[1], dzi[1])
                 else:
                     dzr, dzi = s["dzr"], s["dzi"]
-                    # dz <- 2*Z*dz + dz^2 + delta  (comp:156-163)
+                    # dz <- 2*Z*dz + dz^2 (+ delta for Mandelbrot, where c
+                    # varies per pixel; julia's c is shared)  (comp:156-163)
+                    if julia:  # tables hold D = Z - Z0
+                        zr = z0x_h + zr
+                        zi = z0y_h + zi
                     t1r = 2.0 * (zr * dzr - zi * dzi)
                     t1i = 2.0 * (zr * dzi + zi * dzr)
                     t2r = dzr * dzr - dzi * dzi
                     t2i = (2.0 * dzr) * dzi
-                    ndzr = t1r + t2r + delta_r
-                    ndzi = t1i + t2i + delta_i
-                    nzfr = rd["re"](i + 1, base) + ndzr
-                    nzfi = rd["im"](i + 1, base) + ndzi
+                    if julia:
+                        ndzr = t1r + t2r
+                        ndzi = t1i + t2i
+                    else:
+                        ndzr = t1r + t2r + delta_r
+                        ndzi = t1i + t2i + delta_i
+                    # julia: rel = D_{i+1} + dz — the rebased delta AND the
+                    # Zhuoran distance-to-Z0, with no cancellation
+                    relr = rd["re"](i + 1, base) + ndzr
+                    reli = rd["im"](i + 1, base) + ndzi
+                    if julia:
+                        nzfr = z0x_h + relr
+                        nzfi = z0y_h + reli
+                    else:
+                        nzfr = relr
+                        nzfi = reli
                     if rebase:
-                        zm2 = nzfr * nzfr + nzfi * nzfi
+                        zm2 = relr * relr + reli * reli
                         dm2 = ndzr * ndzr + ndzi * ndzi
                         want_now = alive & ((zm2 < dm2)
                                             | (i + 1 >= pert_end)) \
                             & (s["nf"] < limit_f)
-                        ndzr = jnp.where(want_now, nzfr, ndzr)
-                        ndzi = jnp.where(want_now, nzfi, ndzi)
+                        ndzr = jnp.where(want_now, relr, ndzr)
+                        ndzi = jnp.where(want_now, reli, ndzi)
                         s["want"] = jnp.maximum(
                             s["want"], want_now.astype(jnp.float32))
                     s["dzr"] = jnp.where(alive, ndzr, dzr)
@@ -608,7 +666,8 @@ def _make_kernel(width: int, height: int, map_height: int,
             interior = (s["zfr"] * s["zfr"]
                         + s["zfi"] * s["zfi"] <= bail2) & in_bounds
         n = jnp.where(interior, limit,
-                      s["nf"].astype(jnp.int32) * in_bounds.astype(jnp.int32))
+                      jnp.maximum(s["nf"], 0.0).astype(jnp.int32)
+                      * in_bounds.astype(jnp.int32))
         n_ref[:, :] = n
         zx_ref[:, :] = s["zfr"]
         zy_ref[:, :] = s["zfi"]
@@ -627,12 +686,12 @@ def _make_kernel(width: int, height: int, map_height: int,
 
 def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  chunk, interpret, float_continuation, dd_delta, orbit_hbm,
-                 scaled):
+                 scaled, julia=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap, scaled, rebase)
+                          orbit_cap, scaled, rebase, julia)
     comps = _state_comps(dd_delta, scaled)
     n_state = 4 + len(comps) if rebase else 0
     f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
@@ -664,18 +723,18 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "float_continuation", "dd_delta",
-                     "orbit_hbm", "scaled"))
+                     "orbit_hbm", "scaled", "julia"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                orbit_im_lo, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
                float_continuation, dd_delta=False, orbit_hbm=False,
-               scaled=False):
+               scaled=False, julia=False):
     call = _pallas_pert(False, width=width, height=height,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=float_continuation,
                         dd_delta=dd_delta, orbit_hbm=orbit_hbm,
-                        scaled=scaled)
+                        scaled=scaled, julia=julia)
     return call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                 orbit_im_lo)
 
@@ -684,11 +743,12 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "dd_delta", "orbit_hbm",
-                     "scaled", "max_passes"))
+                     "scaled", "max_passes", "julia"))
 def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                       orbit_im_lo, *, width, height, map_height, orbit_cap,
                       tile, chunk, interpret, dd_delta=False,
-                      orbit_hbm=False, scaled=False, max_passes=256):
+                      orbit_hbm=False, scaled=False, max_passes=256,
+                      julia=False):
     """Device-resident multi-pass rebasing: a lax.while_loop re-launches
     the kernel until no lane wants another rebase — zero host round trips
     per pass (the frozen per-pixel state feeds back as kernel inputs)."""
@@ -696,17 +756,19 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=False, dd_delta=dd_delta,
-                        orbit_hbm=orbit_hbm, scaled=scaled)
+                        orbit_hbm=orbit_hbm, scaled=scaled, julia=julia)
     comps = _state_comps(dd_delta, scaled)
     z = jnp.zeros((height, width), jnp.float32)
 
-    def run(m0, live, nf, zfr, zfi, comp_vals):
-        p2 = params.at[0, Q_M0].set(m0)
+    def run(m0, first, live, nf, zfr, zfi, comp_vals):
+        p2 = params.at[0, Q_M0].set(m0).at[0, Q_FIRST].set(first)
         return call(p2, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                     orbit_im_lo, live, nf, zfr, zfi, *comp_vals)
 
-    # first pass starts at the series-skip index (1 when no series)
-    outs0 = run(params[0, Q_NSKIP], z + 1.0, z, z, z, [z] * len(comps))
+    # first pass starts at the series-skip index (1 when no series;
+    # 0 for julia, whose delta_0 references Z_0 directly)
+    outs0 = run(params[0, Q_NSKIP], jnp.float32(1.0), z + 1.0, z, z, z,
+                [z] * len(comps))
 
     def cond(c):
         k, outs = c
@@ -716,7 +778,8 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     def body(c):
         k, outs = c
         n, zx, zy, gl, want, nf, *comp_vals = outs
-        return k + 1, run(jnp.float32(0.0), want, nf, zx, zy, comp_vals)
+        return k + 1, run(jnp.float32(0.0), jnp.float32(0.0), want, nf,
+                          zx, zy, comp_vals)
 
     k, outs = jax.lax.while_loop(cond, body, (jnp.int32(1), outs0))
     n, zx, zy, gl, want, nf, *_ = outs
@@ -742,6 +805,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         ref_shift_x_frac: Union[str, Fraction, None] = None,
                         ref_shift_y_frac: Union[str, Fraction, None] = None,
                         rebase: bool = False, max_passes: int = 256,
+                        julia: bool = False, julia_z0=None,
                         interpret: Optional[bool] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
@@ -775,6 +839,17 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
             "rebasing supersedes float continuation"
         # series IS supported with rebasing: the first pass starts at the
         # skip index (Q_M0 <- n_skip); later passes start at 0.
+    if julia:
+        assert not float_continuation, \
+            "julia deep zoom has no float-continuation path"
+        assert series is None or series.n_skip <= 1, \
+            "series skip is Mandelbrot-only"
+        assert rebase, "deep-zoom julia requires the rebasing pipeline"
+        if scaled_delta:
+            raise NotImplementedError(
+                "deep-zoom julia supports zoom >= ~1e-25 (the drift "
+                "table's f32 hi/lo floor); the floatexp tier is "
+                "Mandelbrot-only")
     # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
     if zoom_frac is not None:
         zoom_fr = Fraction(zoom_frac)
@@ -882,7 +957,16 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         put_dd(Q_CI, Q_CIL, series.c.imag)
         params[0, Q_NSKIP] = series.n_skip
     else:
-        params[0, Q_AR], params[0, Q_NSKIP] = 1.0, 1.0
+        # julia iterates from index 0 (delta_0 = dc references Z_0, the
+        # view center); Mandelbrot peels update 0 (delta_1 = dc, Z_0 = 0)
+        params[0, Q_AR], params[0, Q_NSKIP] = 1.0, (0.0 if julia else 1.0)
+    params[0, Q_FIRST] = 1.0
+    if julia:
+        # the orbit tables hold the drift D = Z - Z0, so the reference
+        # start Z0 must come from the caller
+        assert julia_z0 is not None, "julia mode requires julia_z0"
+        put_dd(Q_Z0XH, Q_Z0XL, float(julia_z0[0]))
+        put_dd(Q_Z0YH, Q_Z0YL, float(julia_z0[1]))
     params[0, Q_ROW0] = row0
 
     operands = (jnp.asarray(params), jnp.asarray(orbit_re),
@@ -894,7 +978,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         interpret=bool(interpret),
         float_continuation=bool(float_continuation),
         dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm),
-        scaled=bool(scaled_delta))
+        scaled=bool(scaled_delta), julia=bool(julia))
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)

@@ -127,6 +127,10 @@ class Scene:
     use_julia_set: bool = False
 
     # Deep zoom (src/fractal_state.h:87-91)
+    # deep_zoom_julia (beyond reference): deep-zoom the Julia set of
+    # (julia_c_real, julia_c_imag) — the reference only deep-zooms the
+    # Mandelbrot set
+    deep_zoom_julia: bool = False
     use_perturbation: bool = False
     reference_iterations: int = 0
     use_series_approximation: bool = False

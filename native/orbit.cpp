@@ -145,39 +145,62 @@ double to_double(const Big& a, int frac_bits) {
 
 }  // namespace
 
+namespace {
+
+Big big_from(const u64* limbs, int sign, int n_limbs) {
+    Big v;
+    v.m.assign(limbs, limbs + n_limbs);
+    while (v.m.size() > 1 && v.m.back() == 0) v.m.pop_back();
+    v.sign = (v.m.size() == 1 && v.m[0] == 0) ? 0 : sign;
+    return v;
+}
+
+}  // namespace
+
 extern "C" {
 
-// Compute the reference orbit z <- z^2 + c, storing z (as doubles) BEFORE
-// each update and stopping when |z|^2 > escape_mag_sq (then the escaped z is
-// the last stored entry), exactly like deep_zoom_system.cpp:294-323/391-419.
+// Compute the orbit z <- z^2 + c from an arbitrary start z0 (Julia
+// references start at the view center; Mandelbrot's critical orbit passes
+// z0 = 0), storing z (as doubles) BEFORE each update and stopping when
+// |z|^2 > escape_mag_sq (the escaped z is the last stored entry), exactly
+// like deep_zoom_system.cpp:294-323/391-419.
 //
-// cx/cy are fixed-point magnitudes (little-endian u64 limbs, n_limbs each)
-// with separate signs; value = sign * limbs / 2^frac_bits.
+// All coordinates are fixed-point magnitudes (little-endian u64 limbs,
+// n_limbs each) with separate signs; value = sign * limbs / 2^frac_bits.
 // Returns the stored orbit length (<= max_iter).
-long orbit_compute(const u64* cx_limbs, int sign_x,
-                   const u64* cy_limbs, int sign_y,
-                   int n_limbs, int frac_bits,
-                   long max_iter, double escape_mag_sq,
-                   double* out_re, double* out_im) {
-    Big cx, cy;
-    cx.m.assign(cx_limbs, cx_limbs + n_limbs);
-    cy.m.assign(cy_limbs, cy_limbs + n_limbs);
-    while (cx.m.size() > 1 && cx.m.back() == 0) cx.m.pop_back();
-    while (cy.m.size() > 1 && cy.m.back() == 0) cy.m.pop_back();
-    cx.sign = (cx.m.size() == 1 && cx.m[0] == 0) ? 0 : sign_x;
-    cy.sign = (cy.m.size() == 1 && cy.m[0] == 0) ? 0 : sign_y;
-
-    Big zr(1), zi(1), t1, t2, t3, nr, ni;
-    zr.sign = zi.sign = 0;
-    zr.m.assign(1, 0);
-    zi.m.assign(1, 0);
+// emit_rel=1 writes out the DRIFT from the start point, D_i = z_i - z0,
+// instead of z_i — computed in fixed point, so tiny drifts near a
+// periodic start keep full relative precision in the f64 outputs (the
+// julia perturbation kernel reconstructs Z = Z0 + D in double-double).
+long orbit_compute_z0(const u64* cx_limbs, int sign_x,
+                      const u64* cy_limbs, int sign_y,
+                      const u64* z0x_limbs, int sign_z0x,
+                      const u64* z0y_limbs, int sign_z0y,
+                      int n_limbs, int frac_bits,
+                      long max_iter, double escape_mag_sq,
+                      double* out_re, double* out_im, int emit_rel) {
+    Big cx = big_from(cx_limbs, sign_x, n_limbs);
+    Big cy = big_from(cy_limbs, sign_y, n_limbs);
+    Big zr = big_from(z0x_limbs, sign_z0x, n_limbs);
+    Big zi = big_from(z0y_limbs, sign_z0y, n_limbs);
+    Big z0r = zr, z0i = zi;
+    z0r.sign = -z0r.sign;
+    z0i.sign = -z0i.sign;
+    Big t1, t2, t3, nr, ni;
 
     long stored = 0;
     for (long i = 0; i < max_iter; ++i) {
         double dre = to_double(zr, frac_bits);
         double dim = to_double(zi, frac_bits);
-        out_re[i] = dre;
-        out_im[i] = dim;
+        if (emit_rel) {
+            add_signed(zr, z0r, t1);  // z - z0 (exact fixed point)
+            add_signed(zi, z0i, t2);
+            out_re[i] = to_double(t1, frac_bits);
+            out_im[i] = to_double(t2, frac_bits);
+        } else {
+            out_re[i] = dre;
+            out_im[i] = dim;
+        }
         stored = i + 1;
         double mag2 = dre * dre + dim * dim;
         if (mag2 > escape_mag_sq || !std::isfinite(mag2)) break;
@@ -206,6 +229,19 @@ long orbit_compute(const u64* cx_limbs, int sign_x,
         zi = ni;
     }
     return stored;
+}
+
+// Backward-compatible entry: the Mandelbrot critical orbit (z0 = 0).
+long orbit_compute(const u64* cx_limbs, int sign_x,
+                   const u64* cy_limbs, int sign_y,
+                   int n_limbs, int frac_bits,
+                   long max_iter, double escape_mag_sq,
+                   double* out_re, double* out_im) {
+    std::vector<u64> zero(n_limbs, 0);
+    return orbit_compute_z0(cx_limbs, sign_x, cy_limbs, sign_y,
+                            zero.data(), 0, zero.data(), 0,
+                            n_limbs, frac_bits, max_iter, escape_mag_sq,
+                            out_re, out_im, 0);
 }
 
 }  // extern "C"

@@ -971,3 +971,83 @@ def test_rebase_max_passes_fallback():
     n_full, *_ , info2 = deep_zoom.render_fields(s, 16, 12)
     assert info2["fallback_pixels"] == 0
     np.testing.assert_array_equal(n, n_full)
+
+
+# ---------------------------------------------------------------------------
+# deep-zoom JULIA sets (beyond the reference, which only deep-zooms
+# Mandelbrot): reference orbit from z0 = view center with shared c;
+# rebasing assigns dz <- z - Z_0
+# ---------------------------------------------------------------------------
+
+_JC = ("-0.7", "0.27015")
+# repelling fixed point z* = (1+sqrt(1-4c))/2 to 75 digits (exact-rational
+# Newton) — ON the Julia set, so the neighborhood has structure at every
+# depth; f64 precision would park every 1e-50 pixel ~1e-17 OFF the set
+_JZSTAR = (
+    "1.484292748140190509759902440314769152069911011656749053313607708428926366189",
+    "-0.137230514250178732651450854196740117783619435441039716507673181503075677979")
+
+
+def _hp_julia_oracle_counts(zoom, W, H, MI, bits, bail=4.0):
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.hp import HPFloat
+
+    step = Fraction(zoom) * 4 / (H * H)
+    cxh = HPFloat(_JZSTAR[0], bits)
+    cyh = HPFloat(_JZSTAR[1], bits)
+    bail2 = bail * bail
+    n = np.zeros((H, W), np.int64)
+    for py in range(H):
+        for px in range(W):
+            z0x = cxh + HPFloat(step * (Fraction(px) - Fraction(W, 2)), bits)
+            z0y = cyh + HPFloat(step * (Fraction(py) - Fraction(H, 2)), bits)
+            o = orbit.compute_orbit(_JC[0], _JC[1], bits, MI + 1,
+                                    escape_mag_sq=bail2, z0x=z0x, z0y=z0y)
+            zfx, zfy = o[-1]
+            n[py, px] = (len(o) - 2) if zfx*zfx + zfy*zfy > bail2 else MI
+    return n
+
+
+@pytest.mark.parametrize("mode_kw,zoom,MI,bits", [
+    (dict(dd_delta=True), "1e-10", 300, 128),
+    (dict(dd_delta=True), "1e-20", 300, 192),
+])
+def test_deep_julia_matches_exact_oracle(mode_kw, zoom, MI, bits):
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H = 12, 8
+    orb = orbit.compute_orbit(_JC[0], _JC[1], bits, MI + 1,
+                              z0x=_JZSTAR[0], z0y=_JZSTAR[1],
+                              emit_rel=True)
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(0.0, 0.0),
+              max_iter=MI, float_continuation=False, rebase=True,
+              julia=True, julia_z0=(float(_JZSTAR[0]), float(_JZSTAR[1])),
+              **mode_kw)
+    if "zoom_frac" not in mode_kw:
+        kw["zoom_dd"] = (float(zoom), 0.0)
+    f = perturbation_fields(orb, W, H, **kw)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_julia_oracle_counts(zoom, W, H, MI, bits)
+    assert len(np.unique(nref)) > 3
+    # pixels orbiting the repelling fixed point for hundreds of steps are
+    # precision-hypersensitive; everything else must agree exactly
+    exact = (n == nref).mean()
+    assert exact >= 0.9, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_deep_julia_model_and_scene():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, deep_zoom_julia=True,
+              julia_c_real=-0.7, julia_c_imag=0.27015,
+              hp_center_x=_JZSTAR[0], hp_center_y=_JZSTAR[1],
+              hp_zoom="1e-12", max_iterations=500, use_perturbation=True)
+    n, zx, zy, g, info = deep_zoom.render_fields(s, 24, 16)
+    assert info["deep_zoom_julia"]
+    assert info["glitched_pixels_remaining"] == 0
+    assert len(np.unique(n)) > 3  # structure at 1e-12
+    img, info2 = deep_zoom.render(s, 24, 16, return_info=True)
+    assert np.isfinite(np.asarray(img)).all()
