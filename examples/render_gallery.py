@@ -53,6 +53,15 @@ SCENES = {
         fractal_type=fr.FractalType.DEEP_ZOOM,
         hp_center_x="0", hp_center_y="1", hp_zoom="1e-50",
         max_iterations=2000, use_perturbation=True, palette_mode=1),
+    # deep-zoom JULIA set (beyond the reference): the repelling fixed
+    # point of c = -0.7+0.27015i at 1e-12
+    "deep_julia_1e12": fr.Scene(
+        fractal_type=fr.FractalType.DEEP_ZOOM, deep_zoom_julia=True,
+        julia_c_real=-0.7, julia_c_imag=0.27015,
+        hp_center_x="1.48429274814019050975990244031476915206991101165674905331360770842892636619",
+        hp_center_y="-0.13723051425017873265145085419674011778361943544103971650767318150307567798",
+        hp_zoom="1e-12", max_iterations=2000, use_perturbation=True,
+        palette_mode=2),
 }
 
 
