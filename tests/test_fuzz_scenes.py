@@ -1,0 +1,58 @@
+"""Fuzz: random scene configurations through the full render path must
+produce finite, in-range images (no NaN poisoning, no crashes) — the
+analog of the reference's defensive clamps (compute_effect_manager.h:
+335-345), exercised instead of hoped for."""
+import numpy as np
+import pytest
+
+import fractalrenderer_tpu as fr
+
+
+def _random_scene(rng) -> fr.Scene:
+    ft = rng.choice([fr.FractalType.MANDELBROT, fr.FractalType.JULIA,
+                     fr.FractalType.BURNING_SHIP, fr.FractalType.PHOENIX])
+    return fr.Scene(
+        fractal_type=ft,
+        center_x=float(rng.uniform(-2.5, 1.5)),
+        center_y=float(rng.uniform(-2, 2)),
+        zoom=float(10 ** rng.uniform(-6, 1.2)),
+        max_iterations=int(rng.integers(1, 300)),
+        bailout=float(rng.uniform(-1.0, 64.0)),  # invalid values too
+        antialiasing_samples=int(rng.choice([1, 2])),
+        palette_mode=int(rng.integers(-2, 12)),  # out-of-range modes
+        color_offset=float(rng.uniform(-3, 3)),
+        color_scale=float(rng.uniform(-2, 5)),
+        interior_style=int(rng.integers(0, 4)),
+        orbit_trap_enabled=bool(rng.integers(0, 2)),
+        orbit_trap_radius=float(rng.uniform(-0.5, 2.0)),
+        stripe_enabled=bool(rng.integers(0, 2)),
+        stripe_density=float(rng.uniform(0, 30)),
+        color_brightness=float(rng.uniform(0, 3)),
+        color_saturation=float(rng.uniform(0, 3)),
+        color_contrast=float(rng.uniform(0, 3)),
+        julia_c_real=float(rng.uniform(-2, 2)),
+        julia_c_imag=float(rng.uniform(-2, 2)),
+        phoenix_p=float(rng.uniform(-1, 1)),
+        phoenix_r=float(rng.uniform(-1, 1)),
+        use_julia_set=bool(rng.integers(0, 2)),
+    )
+
+
+def test_fuzz_2d_families_finite():
+    rng = np.random.default_rng(20260816)
+    for k in range(24):
+        s = _random_scene(rng)
+        img = np.asarray(fr.render(s, 32, 16))
+        assert img.shape == (16, 32, 3), s
+        assert np.isfinite(img).all(), s
+        assert (img >= 0).all() and (img <= 1).all(), s
+
+
+def test_fuzz_extreme_view_params():
+    # zero/NaN zoom, huge centers — the validator must repair them
+    for kw in (dict(zoom=0.0), dict(zoom=float("nan")),
+               dict(zoom=1e30), dict(center_x=1e20),
+               dict(bailout=float("nan")), dict(max_iterations=0)):
+        s = fr.Scene(**kw)
+        img = np.asarray(fr.render(s, 16, 8))
+        assert np.isfinite(img).all(), kw
