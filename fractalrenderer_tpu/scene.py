@@ -192,6 +192,87 @@ class Scene:
             max_iterations=_auto_iterations_point(zoom),
         )
 
+    # -- high-precision camera (beyond the reference: its navigation math
+    # is f64, so interactive moves die at ~1e-15; these operate on the hp
+    # decimal strings with exact rationals, valid at ANY depth) ----------
+    def _hp_coords_frac(self):
+        from fractions import Fraction
+
+        cx = Fraction(str(self.hp_center_x)) if self.hp_center_x is not None \
+            else Fraction(repr(self.center_x))
+        cy = Fraction(str(self.hp_center_y)) if self.hp_center_y is not None \
+            else Fraction(repr(self.center_y))
+        zm = Fraction(str(self.hp_zoom)) if self.hp_zoom is not None \
+            else Fraction(repr(self.zoom))
+        return cx, cy, zm
+
+    @staticmethod
+    def _frac_str(fr, digits: int) -> str:
+        sign = "-" if fr < 0 else ""
+        fr = abs(fr)
+        ip = fr.numerator // fr.denominator
+        rem = fr - ip
+        dec = (rem.numerator * 10 ** digits) // rem.denominator
+        return f"{sign}{ip}.{str(dec).zfill(digits)}"
+
+    @staticmethod
+    def _hp_digits(zoom_fr) -> int:
+        # enough decimal places for dd-relative precision at depth
+        if zoom_fr == 0:
+            return 40
+        d = (abs(zoom_fr.denominator).bit_length()
+             - abs(zoom_fr.numerator).bit_length())
+        return max(40, int(d * 0.30103) + 25)
+
+    def hp_zoomed(self, zoom_in: bool) -> "Scene":
+        """Exact-rational wheel zoom about the center — deep-zoom-safe
+        variant of zoomed()."""
+        from fractions import Fraction
+
+        cx, cy, zm = self._hp_coords_frac()
+        zm = zm * (Fraction(4, 5) if zoom_in else Fraction(5, 4))
+        digs = self._hp_digits(zm)
+        zf = float(zm) if zm < Fraction(10) ** 300 else 0.0
+        return self.with_(
+            hp_center_x=self._frac_str(cx, digs),
+            hp_center_y=self._frac_str(cy, digs),
+            hp_zoom=self._frac_str(zm, digs),
+            zoom=(zf if zf > 0 else self.zoom),
+            max_iterations=max(self.max_iterations,
+                               _auto_iterations_wheel(zf if zf > 0
+                                                      else 0.0)))
+
+    def hp_zoom_to_point(self, px: float, py: float, width: int,
+                         height: int, zoom_in: bool) -> "Scene":
+        """Zoom keeping the world point under (px, py) fixed, in exact
+        rationals over the DEEP-ZOOM mapping (view spans 4*zoom
+        vertically; dc = zoom*4/h^2 * (p - size/2))."""
+        from fractions import Fraction
+
+        if width == 0 or height == 0:
+            return self
+        cx, cy, zm = self._hp_coords_frac()
+        step = zm * 4 / (height * height)
+        nxp = Fraction(px) - Fraction(width, 2)
+        nyp = Fraction(py) - Fraction(height, 2)
+        wx = cx + step * nxp
+        wy = cy + step * nyp
+        f = Fraction(7, 10) if zoom_in else Fraction(7, 5)
+        zm2 = zm * f
+        step2 = zm2 * 4 / (height * height)
+        cx2 = wx - step2 * nxp
+        cy2 = wy - step2 * nyp
+        digs = self._hp_digits(zm2)
+        zf = float(zm2) if zm2 < Fraction(10) ** 300 else 0.0
+        return self.with_(
+            hp_center_x=self._frac_str(cx2, digs),
+            hp_center_y=self._frac_str(cy2, digs),
+            hp_zoom=self._frac_str(zm2, digs),
+            zoom=(zf if zf > 0 else self.zoom),
+            max_iterations=max(self.max_iterations,
+                               _auto_iterations_point(zf if zf > 0
+                                                      else 0.0)))
+
     # -- (de)serialization ----------------------------------------------
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

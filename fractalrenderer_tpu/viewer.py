@@ -75,18 +75,27 @@ class Viewer:
         try:
             if cmd in ("q", "quit", "exit"):
                 return None
+            deep = s.fractal_type == FractalType.DEEP_ZOOM
             if cmd == "+":
-                self.scene = s.zoomed(zoom_in=True)
+                self.scene = s.hp_zoomed(True) if deep \
+                    else s.zoomed(zoom_in=True)
             elif cmd == "-":
-                self.scene = s.zoomed(zoom_in=False)
+                self.scene = s.hp_zoomed(False) if deep \
+                    else s.zoomed(zoom_in=False)
             elif cmd == "click":
                 px, py = float(args[0]), float(args[1])
-                self.scene = s.zoom_to_point(px, py, self.width, self.height,
-                                             zoom_in=True)
+                self.scene = (s.hp_zoom_to_point(px, py, self.width,
+                                                 self.height, True)
+                              if deep else
+                              s.zoom_to_point(px, py, self.width,
+                                              self.height, zoom_in=True))
             elif cmd == "rclick":
                 px, py = float(args[0]), float(args[1])
-                self.scene = s.zoom_to_point(px, py, self.width, self.height,
-                                             zoom_in=False)
+                self.scene = (s.hp_zoom_to_point(px, py, self.width,
+                                                 self.height, False)
+                              if deep else
+                              s.zoom_to_point(px, py, self.width,
+                                              self.height, zoom_in=False))
             elif cmd in ("w", "a", "s", "d"):
                 # zoom-proportional pan (input_handler.h:211-248)
                 step = s.zoom * 0.05

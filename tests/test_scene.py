@@ -89,3 +89,54 @@ def test_metadata_summary():
     assert md["Zoom"] == "0.015000000"
     assert md["Iterations"] == "768"
     assert md["Orbit Trap"] == "Enabled"
+
+
+def test_hp_camera_exact_navigation():
+    # HP camera ops are exact rationals — navigation works at depths where
+    # f64 zoom math would collapse (beyond-reference capability).
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="-0.74364388703715158",
+              hp_center_y="0.13182590420531198", hp_zoom="1e-40",
+              max_iterations=500)
+    z = s.hp_zoomed(True)
+    assert abs(Fraction(z.hp_zoom) / (Fraction("1e-40") * Fraction(4, 5))
+               - 1) < Fraction(1, 10 ** 20)
+    assert Fraction(z.hp_center_x) == Fraction(s.hp_center_x)
+
+    # zoom-to-point keeps the chosen world point EXACTLY fixed
+    W, H = 192, 108
+    px, py = 31.0, 77.0
+    t = s.hp_zoom_to_point(px, py, W, H, True)
+    def world(sc):
+        cx, cy, zm = sc._hp_coords_frac()
+        step = zm * 4 / (H * H)
+        return (cx + step * (Fraction(px) - Fraction(W, 2)),
+                cy + step * (Fraction(py) - Fraction(H, 2)))
+    wx0, wy0 = world(s)
+    wx1, wy1 = world(t)
+    # exact up to the serialized digit budget (far below pixel scale)
+    assert abs(wx1 - wx0) < Fraction(10) ** -55
+    assert abs(wy1 - wy0) < Fraction(10) ** -55
+    assert abs(Fraction(t.hp_zoom) / (Fraction("1e-40") * Fraction(7, 10))
+               - 1) < Fraction(1, 10 ** 20)
+
+    # fifty consecutive zooms stay precise (f64 would have died at ~1e-15)
+    d = s
+    for _ in range(50):
+        d = d.hp_zoomed(True)
+    want = Fraction("1e-40") * Fraction(4, 5) ** 50
+    assert abs(Fraction(d.hp_zoom) / want - 1) < Fraction(1, 10 ** 18)
+
+
+def test_hp_camera_from_float_scene():
+    # starting from a plain f64 scene, hp navigation promotes to strings
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, zoom=1e-3)
+    z = s.hp_zoomed(True)
+    assert z.hp_zoom is not None and float(z.hp_zoom) > 0
+    assert z.zoom == float(z.hp_zoom)
