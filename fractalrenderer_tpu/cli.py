@@ -59,6 +59,10 @@ def _add_scene_args(p: argparse.ArgumentParser):
                    default=None,
                    help="deep-zoom the JULIA set of --julia-cr/ci (beyond "
                         "the reference, which only deep-zooms Mandelbrot)")
+    p.add_argument("--deep-ship", dest="deep_ship", action="store_true",
+                   default=None,
+                   help="deep-zoom the BURNING SHIP via diffabs "
+                        "perturbation (beyond the reference)")
     p.add_argument("--phoenix-p", type=float, default=None)
     p.add_argument("--phoenix-r", type=float, default=None)
     p.add_argument("--use-julia-set", action="store_true", default=None)
@@ -90,6 +94,7 @@ _ARG_TO_FIELD = {
     "hp_center_y": "hp_center_y", "hp_zoom": "hp_zoom",
     "perturbation": "use_perturbation",
     "deep_julia": "deep_zoom_julia",
+    "deep_ship": "deep_zoom_ship",
 }
 
 

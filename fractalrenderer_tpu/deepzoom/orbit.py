@@ -47,12 +47,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
             u64p = ctypes.POINTER(ctypes.c_uint64)
             f64p = ctypes.POINTER(ctypes.c_double)
-            lib.orbit_compute_z0.restype = ctypes.c_long
-            lib.orbit_compute_z0.argtypes = [
+            lib.orbit_compute_kind.restype = ctypes.c_long
+            lib.orbit_compute_kind.argtypes = [
                 u64p, ctypes.c_int, u64p, ctypes.c_int,
                 u64p, ctypes.c_int, u64p, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
-                f64p, f64p, ctypes.c_int,
+                f64p, f64p, ctypes.c_int, ctypes.c_int,
             ]
             _lib = lib
         except Exception:
@@ -85,7 +85,8 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
                          escape_mag_sq: float = 4.0,
                          z0x: Union[str, float, HPFloat, None] = None,
                          z0y: Union[str, float, HPFloat, None] = None,
-                         emit_rel: bool = False) -> np.ndarray:
+                         emit_rel: bool = False,
+                         kind: int = 0) -> np.ndarray:
     """Pure-Python bignum fallback — bit-identical to the native path: each
     product is truncated toward zero after the fixed-point shift (Python's
     ``>>`` floors negatives toward -inf, so the cross term shifts the
@@ -138,6 +139,8 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
             break
         t = zr * zi
         t = (t >> bits) if t >= 0 else -((-t) >> bits)
+        if kind == 1:  # burning ship: y' = 2|x*y| + cy
+            t = abs(t)
         nzr = ((zr * zr) >> bits) - ((zi * zi) >> bits) + cxm
         nzi = (t << 1) + cym
         zr, zi = nzr, nzi
@@ -151,20 +154,21 @@ def compute_orbit(cx: Union[str, float, HPFloat],
                   force_python: bool = False,
                   z0x: Union[str, float, HPFloat, None] = None,
                   z0y: Union[str, float, HPFloat, None] = None,
-                  emit_rel: bool = False) -> np.ndarray:
+                  emit_rel: bool = False, kind: int = 0) -> np.ndarray:
     """Returns an (L, 2) float64 array of the orbit z <- z^2 + c from z0
     (default 0 — the Mandelbrot critical orbit; Julia references pass the
     view center), trimmed at escape (L <= max_iter).
 
     ``emit_rel=True`` emits the DRIFT D_i = z_i - z0 instead of z_i,
     computed in fixed point so tiny drifts near a periodic start survive
-    the f64 conversion (deep-Julia kernels reconstruct Z = Z0 + D)."""
+    the f64 conversion (deep-Julia kernels reconstruct Z = Z0 + D).
+    ``kind``: 0 = z^2+c; 1 = Burning Ship ((|x|+i|y|)^2 + c)."""
     precision_bits = max(64, int(precision_bits))
     lib = None if force_python else _load_native()
     if lib is None:
         return compute_orbit_python(cx, cy, precision_bits, max_iter,
                                     escape_mag_sq, z0x=z0x, z0y=z0y,
-                                    emit_rel=emit_rel)
+                                    emit_rel=emit_rel, kind=kind)
     # 8 integer bits of headroom (|z| <= 2 pre-escape, c within ±2)
     frac_bits = precision_bits
     n_limbs = (frac_bits + 8 + 63) // 64
@@ -178,12 +182,12 @@ def compute_orbit(cx: Union[str, float, HPFloat],
     out_im = np.empty(max_iter, np.float64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     f64p = ctypes.POINTER(ctypes.c_double)
-    n = lib.orbit_compute_z0(
+    n = lib.orbit_compute_kind(
         cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
         zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,
         n_limbs, frac_bits, max_iter, escape_mag_sq,
         out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
-        1 if emit_rel else 0)
+        1 if emit_rel else 0, int(kind))
     return np.stack([out_re[:n], out_im[:n]], axis=1)
 
 

@@ -110,12 +110,23 @@ def render_fields(scene: Scene, width: int, height: int,
     # center with the scene's shared c; only the rebasing algorithm
     # supports it (no Pauldelbrot/secondary-reference path).
     julia = bool(getattr(scene, "deep_zoom_julia", False))
+    ship = bool(getattr(scene, "deep_zoom_ship", False))
+    assert not (julia and ship), "pick ONE of deep_zoom_julia / _ship"
     if julia:
         assert rebasing, "deep-zoom julia requires the rebasing pipeline"
         if scaled:
             raise NotImplementedError(
                 "deep-zoom julia supports zoom >= ~1e-25 (drift-table "
                 "f32 floor); requested zoom is in the floatexp tier")
+    if ship:
+        assert rebasing, "deep-zoom ship requires the rebasing pipeline"
+        if scaled:
+            raise NotImplementedError(
+                "deep-zoom burning ship supports the f32/dd tiers "
+                "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
+        # the armada dust flips f32-tier counts even at 1e-5 — always dd
+        dd_delta = True
+        float_cont = False
     jc = (repr(float(scene.julia_c_real)), repr(float(scene.julia_c_imag)))
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
@@ -134,7 +145,8 @@ def render_fields(scene: Scene, width: int, height: int,
                                         z0x=ocx, z0y=ocy, emit_rel=True)
         else:
             o = orbit_mod.compute_orbit(ocx, ocy, bits, max_iter + 1,
-                                        force_python=force_python_orbit)
+                                        force_python=force_python_orbit,
+                                        kind=1 if ship else 0)
         if orbit_cache is not None:
             orbit_cache[key] = o
         return o
@@ -163,7 +175,8 @@ def render_fields(scene: Scene, width: int, height: int,
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
-            and not scaled and ref_center is None and not julia:
+            and not scaled and ref_center is None and not julia \
+            and not ship:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height
@@ -176,7 +189,7 @@ def render_fields(scene: Scene, width: int, height: int,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
         float_continuation=(float_cont and not julia), series=series,
         dd_delta=dd_delta, scaled_delta=scaled, zoom_frac=str(zoom),
-        rebase=rebasing, max_passes=max_passes, julia=julia,
+        rebase=rebasing, max_passes=max_passes, julia=julia, ship=ship,
         julia_z0=((float(Fraction(str(orbit_center[0]))),
                    float(Fraction(str(orbit_center[1]))))
                   if julia else None), **shift_kw)
@@ -192,7 +205,7 @@ def render_fields(scene: Scene, width: int, height: int,
         glitch = np.asarray(f["glitch"]) > 0.5
     info = {"precision_mode": mode.name, "precision_bits": bits,
             "dd_delta": dd_delta, "scaled_delta": scaled,
-            "deep_zoom_julia": julia,
+            "deep_zoom_julia": julia, "deep_zoom_ship": ship,
             "algorithm": "rebase" if rebasing else "secondary_refs",
             "rebase_passes": int(f["passes"]) if rebasing else 0,
             "reference_iterations": len(orbit), "references_used": 1,
@@ -285,7 +298,8 @@ def render_fields(scene: Scene, width: int, height: int,
             else:
                 o = orbit_mod.compute_orbit(
                     pcx, pcy, hp_bits, max_iter + 1, escape_mag_sq=bail2,
-                    force_python=force_python_orbit)
+                    force_python=force_python_orbit,
+                    kind=1 if ship else 0)
             zfx, zfy = float(o[-1, 0]), float(o[-1, 1])
             escaped = zfx * zfx + zfy * zfy > bail2
             # kernel count convention: n = #{i >= 1 : |z_i| <= bail} — the

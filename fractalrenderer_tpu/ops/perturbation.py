@@ -83,12 +83,33 @@ def _state_comps(dd_delta: bool, scaled: bool):
     return ["dzr", "dzi"]
 
 
+def _diffabs(xp, X, d):
+    """|X+d| - |X| by sign cases (exact; the Burning Ship perturbation's
+    key primitive)."""
+    s = X + d
+    return xp.where(X >= 0, xp.where(s >= 0, d, -(2.0 * X + d)),
+                    xp.where(s >= 0, 2.0 * X + d, -d))
+
+
+def _dd_diffabs(X, d):
+    """dd |X+d| - |X|: the four case values are d, -(2X+d), 2X+d, -d —
+    selected componentwise on the hi-part signs."""
+    t = dd.dd_add(jnp, (X[0] * 2.0, X[1] * 2.0), d)
+    xpos = X[0] >= 0
+    spos = (X[0] + d[0]) >= 0
+    hi = jnp.where(xpos, jnp.where(spos, d[0], -t[0]),
+                   jnp.where(spos, t[0], -d[0]))
+    lo = jnp.where(xpos, jnp.where(spos, d[1], -t[1]),
+                   jnp.where(spos, t[1], -d[1]))
+    return hi, lo
+
+
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
                  float_continuation: bool, dd_delta: bool = False,
                  orbit_hbm: bool = False, orbit_cap: int = 0,
                  scaled: bool = False, rebase: bool = False,
-                 julia: bool = False):
+                 julia: bool = False, ship: bool = False):
     """``julia=True`` iterates the JULIA perturbation dz <- 2*Z*dz + dz^2
     (no +dc term — c is a shared constant; the reference orbit starts at
     the view center z0 instead of 0).  The orbit tables hold the DRIFT
@@ -126,6 +147,9 @@ def _make_kernel(width: int, height: int, map_height: int,
     assert not (julia and scaled), \
         "deep-zoom julia supports the f32/dd tiers only (zoom >= ~1e-25)"
     assert not julia or rebase, "deep-zoom julia requires rebase mode"
+    assert not (ship and (scaled or julia)), \
+        "deep-zoom burning ship: f32/dd tiers, not combinable with julia"
+    assert not ship or rebase, "deep-zoom burning ship requires rebase"
     th, tw = tile
     n_streams = 4 if (dd_delta or scaled) else 2
     comps = _state_comps(dd_delta, scaled)
@@ -459,30 +483,62 @@ def _make_kernel(width: int, height: int, map_height: int,
                     dzi = (s["dzih"], s["dzil"])
                     # the orbit itself is dd in this mode — the f32-rounded
                     # Z error would otherwise dominate the dd delta
-                    if julia:  # tables hold D = Z - Z0; Z = Z0 + D in dd
-                        zjr = dd.dd_add(jnp, (z0x_h, z0x_l),
-                                        (zr, rd["rel"](i, base)))
-                        zji = dd.dd_add(jnp, (z0y_h, z0y_l),
-                                        (zi, rd["iml"](i, base)))
-                        zr_dd = (zjr[0] * 2.0, zjr[1] * 2.0)  # exact x2
-                        zi_dd = (zji[0] * 2.0, zji[1] * 2.0)
+                    if ship:
+                        X = (zr, rd["rel"](i, base))
+                        Y = (zi, rd["iml"](i, base))
+                        da = _dd_diffabs(X, dzr)
+                        db = _dd_diffabs(Y, dzi)
+                        xpos = X[0] >= 0
+                        ypos = Y[0] >= 0
+                        A2 = (jnp.where(xpos, X[0], -X[0]) * 2.0,
+                              jnp.where(xpos, X[1], -X[1]) * 2.0)
+                        B2 = (jnp.where(ypos, Y[0], -Y[0]) * 2.0,
+                              jnp.where(ypos, Y[1], -Y[1]) * 2.0)
+                        ndzr = dd.dd_add(jnp, dd.dd_sub(
+                            jnp,
+                            dd.dd_mul(jnp, da, dd.dd_add(jnp, A2, da)),
+                            dd.dd_mul(jnp, db, dd.dd_add(jnp, B2, db))),
+                            dcx)
+                        # 2(|X| db + |Y| da + da db) == A2*db + B2*da
+                        #                              + 2*da*db
+                        dadb = dd.dd_mul(jnp, da, db)
+                        t2 = dd.dd_add(jnp,
+                                       dd.dd_add(
+                                           jnp,
+                                           dd.dd_mul(jnp,
+                                                     (A2[0] * 0.5,
+                                                      A2[1] * 0.5), db),
+                                           dd.dd_mul(jnp,
+                                                     (B2[0] * 0.5,
+                                                      B2[1] * 0.5), da)),
+                                       dadb)
+                        ndzi = dd.dd_add(jnp, (t2[0] * 2.0, t2[1] * 2.0),
+                                         dcy)
                     else:
-                        zr_dd = (zr * 2.0, rd["rel"](i, base) * 2.0)
-                        zi_dd = (zi * 2.0, rd["iml"](i, base) * 2.0)
-                    # dz <- 2*Z*dz + dz^2 + delta, all components dd
-                    t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, zr_dd),
-                                    dd.dd_mul(jnp, dzi, zi_dd))
-                    t1i = dd.dd_add(jnp, dd.dd_mul(jnp, dzi, zr_dd),
-                                    dd.dd_mul(jnp, dzr, zi_dd))
-                    sq_r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, dzr),
-                                     dd.dd_mul(jnp, dzi, dzi))
-                    rziv = dd.dd_mul(jnp, dzr, dzi)
-                    sq_i = (rziv[0] * 2.0, rziv[1] * 2.0)
-                    ndzr = dd.dd_add(jnp, t1r, sq_r)
-                    ndzi = dd.dd_add(jnp, t1i, sq_i)
-                    if not julia:
-                        ndzr = dd.dd_add(jnp, ndzr, dcx)
-                        ndzi = dd.dd_add(jnp, ndzi, dcy)
+                        if julia:  # tables hold D = Z - Z0; Z = Z0 + D
+                            zjr = dd.dd_add(jnp, (z0x_h, z0x_l),
+                                            (zr, rd["rel"](i, base)))
+                            zji = dd.dd_add(jnp, (z0y_h, z0y_l),
+                                            (zi, rd["iml"](i, base)))
+                            zr_dd = (zjr[0] * 2.0, zjr[1] * 2.0)
+                            zi_dd = (zji[0] * 2.0, zji[1] * 2.0)
+                        else:
+                            zr_dd = (zr * 2.0, rd["rel"](i, base) * 2.0)
+                            zi_dd = (zi * 2.0, rd["iml"](i, base) * 2.0)
+                        # dz <- 2*Z*dz + dz^2 + delta, all components dd
+                        t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, zr_dd),
+                                        dd.dd_mul(jnp, dzi, zi_dd))
+                        t1i = dd.dd_add(jnp, dd.dd_mul(jnp, dzi, zr_dd),
+                                        dd.dd_mul(jnp, dzr, zi_dd))
+                        sq_r = dd.dd_sub(jnp, dd.dd_mul(jnp, dzr, dzr),
+                                         dd.dd_mul(jnp, dzi, dzi))
+                        rziv = dd.dd_mul(jnp, dzr, dzi)
+                        sq_i = (rziv[0] * 2.0, rziv[1] * 2.0)
+                        ndzr = dd.dd_add(jnp, t1r, sq_r)
+                        ndzi = dd.dd_add(jnp, t1i, sq_i)
+                        if not julia:
+                            ndzr = dd.dd_add(jnp, ndzr, dcx)
+                            ndzi = dd.dd_add(jnp, ndzi, dcy)
                     # rel = D + dz (julia: rebased delta & Zhuoran metric,
                     # no cancellation; Mandelbrot: this IS z_full)
                     rel_r = ((rd["re"](i + 1, base) + ndzr[0])
@@ -524,16 +580,30 @@ def _make_kernel(width: int, height: int, map_height: int,
                     if julia:  # tables hold D = Z - Z0
                         zr = z0x_h + zr
                         zi = z0y_h + zi
-                    t1r = 2.0 * (zr * dzr - zi * dzi)
-                    t1i = 2.0 * (zr * dzi + zi * dzr)
-                    t2r = dzr * dzr - dzi * dzi
-                    t2i = (2.0 * dzr) * dzi
-                    if julia:
-                        ndzr = t1r + t2r
-                        ndzi = t1i + t2i
+                    if ship:
+                        # Burning Ship (x' = x^2-y^2+cx, y' = 2|xy|+cy):
+                        # with a = |X+dx| = |X|+da, da = diffabs(X, dx):
+                        #   dx' = da(2|X|+da) - db(2|Y|+db) + dcx
+                        #   dy' = 2(|X| db + |Y| da + da db) + dcy
+                        da = _diffabs(jnp, zr, dzr)
+                        db = _diffabs(jnp, zi, dzi)
+                        Aa = jnp.abs(zr)
+                        Bb = jnp.abs(zi)
+                        ndzr = (da * (2.0 * Aa + da)
+                                - db * (2.0 * Bb + db) + delta_r)
+                        ndzi = (2.0 * (Aa * db + Bb * da + da * db)
+                                + delta_i)
                     else:
-                        ndzr = t1r + t2r + delta_r
-                        ndzi = t1i + t2i + delta_i
+                        t1r = 2.0 * (zr * dzr - zi * dzi)
+                        t1i = 2.0 * (zr * dzi + zi * dzr)
+                        t2r = dzr * dzr - dzi * dzi
+                        t2i = (2.0 * dzr) * dzi
+                        if julia:
+                            ndzr = t1r + t2r
+                            ndzi = t1i + t2i
+                        else:
+                            ndzr = t1r + t2r + delta_r
+                            ndzi = t1i + t2i + delta_i
                     # julia: rel = D_{i+1} + dz — the rebased delta AND the
                     # Zhuoran distance-to-Z0, with no cancellation
                     relr = rd["re"](i + 1, base) + ndzr
@@ -686,12 +756,12 @@ def _make_kernel(width: int, height: int, map_height: int,
 
 def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  chunk, interpret, float_continuation, dd_delta, orbit_hbm,
-                 scaled, julia=False):
+                 scaled, julia=False, ship=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap, scaled, rebase, julia)
+                          orbit_cap, scaled, rebase, julia, ship)
     comps = _state_comps(dd_delta, scaled)
     n_state = 4 + len(comps) if rebase else 0
     f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
@@ -723,18 +793,18 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "float_continuation", "dd_delta",
-                     "orbit_hbm", "scaled", "julia"))
+                     "orbit_hbm", "scaled", "julia", "ship"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                orbit_im_lo, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
                float_continuation, dd_delta=False, orbit_hbm=False,
-               scaled=False, julia=False):
+               scaled=False, julia=False, ship=False):
     call = _pallas_pert(False, width=width, height=height,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=float_continuation,
                         dd_delta=dd_delta, orbit_hbm=orbit_hbm,
-                        scaled=scaled, julia=julia)
+                        scaled=scaled, julia=julia, ship=ship)
     return call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                 orbit_im_lo)
 
@@ -743,12 +813,12 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "dd_delta", "orbit_hbm",
-                     "scaled", "max_passes", "julia"))
+                     "scaled", "max_passes", "julia", "ship"))
 def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                       orbit_im_lo, *, width, height, map_height, orbit_cap,
                       tile, chunk, interpret, dd_delta=False,
                       orbit_hbm=False, scaled=False, max_passes=256,
-                      julia=False):
+                      julia=False, ship=False):
     """Device-resident multi-pass rebasing: a lax.while_loop re-launches
     the kernel until no lane wants another rebase — zero host round trips
     per pass (the frozen per-pixel state feeds back as kernel inputs)."""
@@ -756,7 +826,8 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=False, dd_delta=dd_delta,
-                        orbit_hbm=orbit_hbm, scaled=scaled, julia=julia)
+                        orbit_hbm=orbit_hbm, scaled=scaled, julia=julia,
+                        ship=ship)
     comps = _state_comps(dd_delta, scaled)
     z = jnp.zeros((height, width), jnp.float32)
 
@@ -806,6 +877,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         ref_shift_y_frac: Union[str, Fraction, None] = None,
                         rebase: bool = False, max_passes: int = 256,
                         julia: bool = False, julia_z0=None,
+                        ship: bool = False,
                         interpret: Optional[bool] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
@@ -850,6 +922,15 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                 "deep-zoom julia supports zoom >= ~1e-25 (the drift "
                 "table's f32 hi/lo floor); the floatexp tier is "
                 "Mandelbrot-only")
+    if ship:
+        assert rebase and not float_continuation, \
+            "deep-zoom burning ship requires the rebasing pipeline"
+        assert series is None or series.n_skip <= 1, \
+            "series skip is Mandelbrot-only"
+        if scaled_delta:
+            raise NotImplementedError(
+                "deep-zoom burning ship supports the f32/dd tiers "
+                "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
     # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
     if zoom_frac is not None:
         zoom_fr = Fraction(zoom_frac)
@@ -978,7 +1059,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         interpret=bool(interpret),
         float_continuation=bool(float_continuation),
         dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm),
-        scaled=bool(scaled_delta), julia=bool(julia))
+        scaled=bool(scaled_delta), julia=bool(julia), ship=bool(ship))
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)

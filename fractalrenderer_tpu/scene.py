@@ -131,6 +131,9 @@ class Scene:
     # (julia_c_real, julia_c_imag) — the reference only deep-zooms the
     # Mandelbrot set
     deep_zoom_julia: bool = False
+    # deep_zoom_ship (beyond reference): deep-zoom the Burning Ship via
+    # diffabs perturbation
+    deep_zoom_ship: bool = False
     use_perturbation: bool = False
     reference_iterations: int = 0
     use_series_approximation: bool = False

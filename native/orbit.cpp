@@ -172,13 +172,16 @@ extern "C" {
 // instead of z_i — computed in fixed point, so tiny drifts near a
 // periodic start keep full relative precision in the f64 outputs (the
 // julia perturbation kernel reconstructs Z = Z0 + D in double-double).
-long orbit_compute_z0(const u64* cx_limbs, int sign_x,
-                      const u64* cy_limbs, int sign_y,
-                      const u64* z0x_limbs, int sign_z0x,
-                      const u64* z0y_limbs, int sign_z0y,
-                      int n_limbs, int frac_bits,
-                      long max_iter, double escape_mag_sq,
-                      double* out_re, double* out_im, int emit_rel) {
+// fractal_kind: 0 = z^2 + c (Mandelbrot/Julia); 1 = Burning Ship
+// ((|x|+i|y|)^2 + c, i.e. x' = x^2 - y^2 + cx, y' = 2|x*y| + cy).
+long orbit_compute_kind(const u64* cx_limbs, int sign_x,
+                        const u64* cy_limbs, int sign_y,
+                        const u64* z0x_limbs, int sign_z0x,
+                        const u64* z0y_limbs, int sign_z0y,
+                        int n_limbs, int frac_bits,
+                        long max_iter, double escape_mag_sq,
+                        double* out_re, double* out_im, int emit_rel,
+                        int fractal_kind) {
     Big cx = big_from(cx_limbs, sign_x, n_limbs);
     Big cy = big_from(cy_limbs, sign_y, n_limbs);
     Big zr = big_from(z0x_limbs, sign_z0x, n_limbs);
@@ -213,6 +216,7 @@ long orbit_compute_z0(const u64* cx_limbs, int sign_x,
         add_signed(t3, cx, nr);             // + cx
 
         mul_shift(zr, zi, frac_bits, t1);   // zr*zi
+        if (fractal_kind == 1 && t1.sign != 0) t1.sign = 1;  // |zr*zi|
         // *2 == shift left by 1
         {
             u64 carry = 0;
@@ -238,10 +242,24 @@ long orbit_compute(const u64* cx_limbs, int sign_x,
                    long max_iter, double escape_mag_sq,
                    double* out_re, double* out_im) {
     std::vector<u64> zero(n_limbs, 0);
-    return orbit_compute_z0(cx_limbs, sign_x, cy_limbs, sign_y,
-                            zero.data(), 0, zero.data(), 0,
-                            n_limbs, frac_bits, max_iter, escape_mag_sq,
-                            out_re, out_im, 0);
+    return orbit_compute_kind(cx_limbs, sign_x, cy_limbs, sign_y,
+                              zero.data(), 0, zero.data(), 0,
+                              n_limbs, frac_bits, max_iter, escape_mag_sq,
+                              out_re, out_im, 0, 0);
+}
+
+// Backward-compatible z0 entry (kind 0).
+long orbit_compute_z0(const u64* cx_limbs, int sign_x,
+                      const u64* cy_limbs, int sign_y,
+                      const u64* z0x_limbs, int sign_z0x,
+                      const u64* z0y_limbs, int sign_z0y,
+                      int n_limbs, int frac_bits,
+                      long max_iter, double escape_mag_sq,
+                      double* out_re, double* out_im, int emit_rel) {
+    return orbit_compute_kind(cx_limbs, sign_x, cy_limbs, sign_y,
+                              z0x_limbs, sign_z0x, z0y_limbs, sign_z0y,
+                              n_limbs, frac_bits, max_iter, escape_mag_sq,
+                              out_re, out_im, emit_rel, 0);
 }
 
 }  // extern "C"

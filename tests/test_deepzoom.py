@@ -1051,3 +1051,66 @@ def test_deep_julia_model_and_scene():
     assert len(np.unique(n)) > 3  # structure at 1e-12
     img, info2 = deep_zoom.render(s, 24, 16, return_info=True)
     assert np.isfinite(np.asarray(img)).all()
+
+
+# ---------------------------------------------------------------------------
+# deep-zoom BURNING SHIP (beyond reference): diffabs perturbation
+# ---------------------------------------------------------------------------
+
+def _hp_ship_oracle_counts(cx, cy, zoom, W, H, MI, bits, bail=4.0):
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.hp import HPFloat
+
+    step = Fraction(zoom) * 4 / (H * H)
+    cxh, cyh = HPFloat(cx, bits), HPFloat(cy, bits)
+    bail2 = bail * bail
+    n = np.zeros((H, W), np.int64)
+    for py in range(H):
+        for px in range(W):
+            pcx = cxh + HPFloat(step * (Fraction(px) - Fraction(W, 2)), bits)
+            pcy = cyh + HPFloat(step * (Fraction(py) - Fraction(H, 2)), bits)
+            o = orbit.compute_orbit(pcx, pcy, bits, MI + 1,
+                                    escape_mag_sq=bail2, kind=1)
+            zfx, zfy = o[-1]
+            n[py, px] = (len(o) - 2) if zfx*zfx + zfy*zfy > bail2 else MI
+    return n
+
+
+def test_deep_ship_matches_exact_oracle():
+    # the "armada" dust — 50+ distinct counts in a 12x8 grid, every pixel
+    # near-boundary: the hardest case for the diffabs recurrence
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    cx, cy, zoom = "-1.7623025", "-0.028000625", "1e-10"
+    W, H, MI, bits = 12, 8, 400, 128
+    orb = orbit.compute_orbit(cx, cy, bits, MI + 1, kind=1)
+    f = perturbation_fields(orb, W, H, center_x_dd=dd_from_string(cx),
+                            center_y_dd=dd_from_string(cy),
+                            zoom_dd=dd_from_string(zoom), max_iter=MI,
+                            float_continuation=False, dd_delta=True,
+                            rebase=True, ship=True)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_ship_oracle_counts(cx, cy, zoom, W, H, MI, bits)
+    assert len(np.unique(nref)) > 30  # chaotic dust
+    exact = (n == nref).mean()
+    # mismatches concentrate on the longest-lived grazing pixels (the
+    # precision-hypersensitive class)
+    assert exact >= 0.85, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_deep_ship_model_and_scene():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, deep_zoom_ship=True,
+              hp_center_x="-1.7623025", hp_center_y="-0.028000625",
+              hp_zoom="1e-10", max_iterations=400, use_perturbation=True)
+    n, zx, zy, g, info = deep_zoom.render_fields(s, 16, 12)
+    assert info["deep_zoom_ship"] and info["dd_delta"]
+    assert info["glitched_pixels_remaining"] == 0
+    assert len(np.unique(n)) > 10
+    img = deep_zoom.render(s, 16, 12)
+    assert np.isfinite(np.asarray(img)).all()
