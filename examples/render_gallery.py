@@ -62,6 +62,12 @@ SCENES = {
         hp_center_y="-0.13723051425017873265145085419674011778361943544103971650767318150307567798",
         hp_zoom="1e-12", max_iterations=2000, use_perturbation=True,
         palette_mode=2),
+    # deep-zoom BURNING SHIP (beyond the reference): armada dust at 1e-10
+    "deep_ship_1e10": fr.Scene(
+        fractal_type=fr.FractalType.DEEP_ZOOM, deep_zoom_ship=True,
+        hp_center_x="-1.7623025", hp_center_y="-0.028000625",
+        hp_zoom="1e-10", max_iterations=1500, use_perturbation=True,
+        palette_mode=3),
 }
 
 
