@@ -63,6 +63,10 @@ def _add_scene_args(p: argparse.ArgumentParser):
                    default=None,
                    help="deep-zoom the BURNING SHIP via diffabs "
                         "perturbation (beyond the reference)")
+    p.add_argument("--deep-phoenix", dest="deep_phoenix",
+                   action="store_true", default=None,
+                   help="deep-zoom the PHOENIX set (two-term-recurrence "
+                        "perturbation; beyond the reference)")
     p.add_argument("--phoenix-p", type=float, default=None)
     p.add_argument("--phoenix-r", type=float, default=None)
     p.add_argument("--use-julia-set", action="store_true", default=None)
@@ -95,6 +99,7 @@ _ARG_TO_FIELD = {
     "perturbation": "use_perturbation",
     "deep_julia": "deep_zoom_julia",
     "deep_ship": "deep_zoom_ship",
+    "deep_phoenix": "deep_zoom_phoenix",
 }
 
 

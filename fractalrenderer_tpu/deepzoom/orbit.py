@@ -86,7 +86,8 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
                          z0x: Union[str, float, HPFloat, None] = None,
                          z0y: Union[str, float, HPFloat, None] = None,
                          emit_rel: bool = False,
-                         kind: int = 0) -> np.ndarray:
+                         kind: int = 0, pp: float = 0.0,
+                         rr: float = 0.0) -> np.ndarray:
     """Pure-Python bignum fallback — bit-identical to the native path: each
     product is truncated toward zero after the fixed-point shift (Python's
     ``>>`` floors negatives toward -inf, so the cross term shifts the
@@ -105,6 +106,8 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
     zr = to_man(z0x) if z0x is not None else 0
     zi = to_man(z0y) if z0y is not None else 0
     z0r, z0i = zr, zi
+    ppm, rrm = to_man(float(pp)), to_man(float(rr))
+    przr = przi = 0  # phoenix z_{n-1}
     out = np.empty((max_iter, 2), np.float64)
     stored = 0
     import math
@@ -143,6 +146,13 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
             t = abs(t)
         nzr = ((zr * zr) >> bits) - ((zi * zi) >> bits) + cxm
         nzi = (t << 1) + cym
+        if kind == 2:  # phoenix: + p*z_n + r*z_{n-1} (truncating products)
+            def tm(a, b):
+                v = a * b
+                return (v >> bits) if v >= 0 else -((-v) >> bits)
+            nzr += tm(ppm, zr) + tm(rrm, przr)
+            nzi += tm(ppm, zi) + tm(rrm, przi)
+            przr, przi = zr, zi
         zr, zi = nzr, nzi
     return out[:stored]
 
@@ -154,7 +164,8 @@ def compute_orbit(cx: Union[str, float, HPFloat],
                   force_python: bool = False,
                   z0x: Union[str, float, HPFloat, None] = None,
                   z0y: Union[str, float, HPFloat, None] = None,
-                  emit_rel: bool = False, kind: int = 0) -> np.ndarray:
+                  emit_rel: bool = False, kind: int = 0,
+                  pp: float = 0.0, rr: float = 0.0) -> np.ndarray:
     """Returns an (L, 2) float64 array of the orbit z <- z^2 + c from z0
     (default 0 — the Mandelbrot critical orbit; Julia references pass the
     view center), trimmed at escape (L <= max_iter).
@@ -162,13 +173,15 @@ def compute_orbit(cx: Union[str, float, HPFloat],
     ``emit_rel=True`` emits the DRIFT D_i = z_i - z0 instead of z_i,
     computed in fixed point so tiny drifts near a periodic start survive
     the f64 conversion (deep-Julia kernels reconstruct Z = Z0 + D).
-    ``kind``: 0 = z^2+c; 1 = Burning Ship ((|x|+i|y|)^2 + c)."""
+    ``kind``: 0 = z^2+c; 1 = Burning Ship ((|x|+i|y|)^2 + c);
+    2 = Phoenix (z^2 + c + pp*z_n + rr*z_{n-1}; Python engine only)."""
     precision_bits = max(64, int(precision_bits))
-    lib = None if force_python else _load_native()
+    lib = None if (force_python or kind == 2) else _load_native()
     if lib is None:
         return compute_orbit_python(cx, cy, precision_bits, max_iter,
                                     escape_mag_sq, z0x=z0x, z0y=z0y,
-                                    emit_rel=emit_rel, kind=kind)
+                                    emit_rel=emit_rel, kind=kind,
+                                    pp=pp, rr=rr)
     # 8 integer bits of headroom (|z| <= 2 pre-escape, c within ±2)
     frac_bits = precision_bits
     n_limbs = (frac_bits + 8 + 63) // 64

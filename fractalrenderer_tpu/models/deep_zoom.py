@@ -111,7 +111,9 @@ def render_fields(scene: Scene, width: int, height: int,
     # supports it (no Pauldelbrot/secondary-reference path).
     julia = bool(getattr(scene, "deep_zoom_julia", False))
     ship = bool(getattr(scene, "deep_zoom_ship", False))
-    assert not (julia and ship), "pick ONE of deep_zoom_julia / _ship"
+    phoenix = bool(getattr(scene, "deep_zoom_phoenix", False))
+    assert julia + ship + phoenix <= 1, \
+        "pick ONE of deep_zoom_julia / _ship / _phoenix"
     if julia:
         assert rebasing, "deep-zoom julia requires the rebasing pipeline"
         if scaled:
@@ -126,6 +128,13 @@ def render_fields(scene: Scene, width: int, height: int,
                 "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
         # the armada dust flips f32-tier counts even at 1e-5 — always dd
         dd_delta = True
+        float_cont = False
+    if phoenix:
+        assert rebasing, "deep-zoom phoenix requires the rebasing pipeline"
+        if scaled:
+            raise NotImplementedError(
+                "deep-zoom phoenix supports the f32/dd tiers "
+                "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
         float_cont = False
     jc = (repr(float(scene.julia_c_real)), repr(float(scene.julia_c_imag)))
 
@@ -144,9 +153,11 @@ def render_fields(scene: Scene, width: int, height: int,
                                         force_python=force_python_orbit,
                                         z0x=ocx, z0y=ocy, emit_rel=True)
         else:
-            o = orbit_mod.compute_orbit(ocx, ocy, bits, max_iter + 1,
-                                        force_python=force_python_orbit,
-                                        kind=1 if ship else 0)
+            o = orbit_mod.compute_orbit(
+                ocx, ocy, bits, max_iter + 1,
+                force_python=force_python_orbit,
+                kind=1 if ship else (2 if phoenix else 0),
+                pp=float(scene.phoenix_p), rr=float(scene.phoenix_r))
         if orbit_cache is not None:
             orbit_cache[key] = o
         return o
@@ -176,7 +187,7 @@ def render_fields(scene: Scene, width: int, height: int,
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
             and not scaled and ref_center is None and not julia \
-            and not ship:
+            and not ship and not phoenix:
         from ..deepzoom.series import compute_series_skip
 
         aspect = width / height
@@ -190,6 +201,8 @@ def render_fields(scene: Scene, width: int, height: int,
         float_continuation=(float_cont and not julia), series=series,
         dd_delta=dd_delta, scaled_delta=scaled, zoom_frac=str(zoom),
         rebase=rebasing, max_passes=max_passes, julia=julia, ship=ship,
+        phoenix=phoenix, phoenix_p=float(scene.phoenix_p),
+        phoenix_r=float(scene.phoenix_r),
         julia_z0=((float(Fraction(str(orbit_center[0]))),
                    float(Fraction(str(orbit_center[1]))))
                   if julia else None), **shift_kw)
@@ -206,6 +219,7 @@ def render_fields(scene: Scene, width: int, height: int,
     info = {"precision_mode": mode.name, "precision_bits": bits,
             "dd_delta": dd_delta, "scaled_delta": scaled,
             "deep_zoom_julia": julia, "deep_zoom_ship": ship,
+            "deep_zoom_phoenix": phoenix,
             "algorithm": "rebase" if rebasing else "secondary_refs",
             "rebase_passes": int(f["passes"]) if rebasing else 0,
             "reference_iterations": len(orbit), "references_used": 1,
@@ -299,7 +313,8 @@ def render_fields(scene: Scene, width: int, height: int,
                 o = orbit_mod.compute_orbit(
                     pcx, pcy, hp_bits, max_iter + 1, escape_mag_sq=bail2,
                     force_python=force_python_orbit,
-                    kind=1 if ship else 0)
+                    kind=1 if ship else (2 if phoenix else 0),
+                    pp=float(scene.phoenix_p), rr=float(scene.phoenix_r))
             zfx, zfy = float(o[-1, 0]), float(o[-1, 1])
             escaped = zfx * zfx + zfy * zfy > bail2
             # kernel count convention: n = #{i >= 1 : |z_i| <= bail} — the

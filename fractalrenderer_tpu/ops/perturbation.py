@@ -48,8 +48,8 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
  Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
  Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP, Q_M0, Q_FIRST,
- Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL) = range(37)
-NQ = 37
+ Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL, Q_PP, Q_RR) = range(39)
+NQ = 39
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
@@ -74,13 +74,15 @@ def _expo(x):
     return ((bits >> 23) & 0xFF) - 127
 
 
-def _state_comps(dd_delta: bool, scaled: bool):
+def _state_comps(dd_delta: bool, scaled: bool, phoenix: bool = False):
     """Per-pixel delta-state component names for rebasing IO."""
     if scaled:
         return ["mrh", "mrl", "mih", "mil", "ex"]
     if dd_delta:
-        return ["dzrh", "dzrl", "dzih", "dzil"]
-    return ["dzr", "dzi"]
+        base = ["dzrh", "dzrl", "dzih", "dzil"]
+        return base + (["pzrh", "pzrl", "pzih", "pzil"] if phoenix
+                       else [])
+    return ["dzr", "dzi"] + (["pzr", "pzi"] if phoenix else [])
 
 
 def _diffabs(xp, X, d):
@@ -109,7 +111,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                  float_continuation: bool, dd_delta: bool = False,
                  orbit_hbm: bool = False, orbit_cap: int = 0,
                  scaled: bool = False, rebase: bool = False,
-                 julia: bool = False, ship: bool = False):
+                 julia: bool = False, ship: bool = False,
+                 phoenix: bool = False):
     """``julia=True`` iterates the JULIA perturbation dz <- 2*Z*dz + dz^2
     (no +dc term — c is a shared constant; the reference orbit starts at
     the view center z0 instead of 0).  The orbit tables hold the DRIFT
@@ -150,9 +153,12 @@ def _make_kernel(width: int, height: int, map_height: int,
     assert not (ship and (scaled or julia)), \
         "deep-zoom burning ship: f32/dd tiers, not combinable with julia"
     assert not ship or rebase, "deep-zoom burning ship requires rebase"
+    assert not (phoenix and (scaled or julia or ship)), \
+        "deep-zoom phoenix: f32/dd tiers, standalone family"
+    assert not phoenix or rebase, "deep-zoom phoenix requires rebase"
     th, tw = tile
     n_streams = 4 if (dd_delta or scaled) else 2
-    comps = _state_comps(dd_delta, scaled)
+    comps = _state_comps(dd_delta, scaled, phoenix)
 
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
                orbit_re_lo_ref, orbit_im_lo_ref, *rest):
@@ -269,6 +275,8 @@ def _make_kernel(width: int, height: int, map_height: int,
         # julia reference start Z_0 (0 for Mandelbrot's critical orbit)
         z0x_h, z0x_l = params_ref[0, Q_Z0XH], params_ref[0, Q_Z0XL]
         z0y_h, z0y_l = params_ref[0, Q_Z0YH], params_ref[0, Q_Z0YL]
+        pp_ = params_ref[0, Q_PP]  # phoenix recurrence coefficients
+        rr_ = params_ref[0, Q_RR]
 
         # full c in f32 for the float-continuation phase (comp:139-141)
         cx_dd = dd.dd_add(jnp, (params_ref[0, Q_CXH], params_ref[0, Q_CXL]),
@@ -362,9 +370,17 @@ def _make_kernel(width: int, height: int, map_height: int,
         elif dd_delta:
             state0["dzrh"], state0["dzrl"] = dz0r_dd
             state0["dzih"], state0["dzil"] = dz0i_dd
+            if phoenix:  # delta_prev_1 = z_0 - Z_0 = 0
+                z_ = jnp.zeros((th, tw), jnp.float32)
+                state0["pzrh"] = state0["pzrl"] = z_
+                state0["pzih"] = state0["pzil"] = z_
         else:
             state0["dzr"] = dz0r
             state0["dzi"] = dz0i
+            if phoenix:
+                z_ = jnp.zeros((th, tw), jnp.float32)
+                state0["pzr"] = z_
+                state0["pzi"] = z_
         if rebase:
             first = params_ref[0, Q_FIRST] > 0.5
             live_ref, nf_in_ref, zfr_in_ref, zfi_in_ref = st_refs[:4]
@@ -539,6 +555,15 @@ def _make_kernel(width: int, height: int, map_height: int,
                         if not julia:
                             ndzr = dd.dd_add(jnp, ndzr, dcx)
                             ndzi = dd.dd_add(jnp, ndzi, dcy)
+                        if phoenix:
+                            ndzr = dd.dd_add(jnp, ndzr, dd.dd_add(
+                                jnp, dd.dd_mul_float(jnp, dzr, pp_),
+                                dd.dd_mul_float(
+                                    jnp, (s["pzrh"], s["pzrl"]), rr_)))
+                            ndzi = dd.dd_add(jnp, ndzi, dd.dd_add(
+                                jnp, dd.dd_mul_float(jnp, dzi, pp_),
+                                dd.dd_mul_float(
+                                    jnp, (s["pzih"], s["pzil"]), rr_)))
                     # rel = D + dz (julia: rebased delta & Zhuoran metric,
                     # no cancellation; Mandelbrot: this IS z_full)
                     rel_r = ((rd["re"](i + 1, base) + ndzr[0])
@@ -569,6 +594,19 @@ def _make_kernel(width: int, height: int, map_height: int,
                                 jnp.where(want_now, zi_fu[1], ndzi[1]))
                         s["want"] = jnp.maximum(
                             s["want"], want_now.astype(jnp.float32))
+                        if phoenix:
+                            # rebased dz_prev = absolute z_i in dd
+                            zar = dd.dd_add(jnp, (rd["re"](i, base),
+                                                  rd["rel"](i, base)), dzr)
+                            zai = dd.dd_add(jnp, (rd["im"](i, base),
+                                                  rd["iml"](i, base)), dzi)
+                            for nm_, cur_, reb_ in (
+                                    ("pzrh", dzr[0], zar[0]),
+                                    ("pzrl", dzr[1], zar[1]),
+                                    ("pzih", dzi[0], zai[0]),
+                                    ("pzil", dzi[1], zai[1])):
+                                v = jnp.where(want_now, reb_, cur_)
+                                s[nm_] = jnp.where(alive, v, s[nm_])
                     s["dzrh"] = jnp.where(alive, ndzr[0], dzr[0])
                     s["dzrl"] = jnp.where(alive, ndzr[1], dzr[1])
                     s["dzih"] = jnp.where(alive, ndzi[0], dzi[0])
@@ -598,7 +636,13 @@ def _make_kernel(width: int, height: int, map_height: int,
                         t1i = 2.0 * (zr * dzi + zi * dzr)
                         t2r = dzr * dzr - dzi * dzi
                         t2i = (2.0 * dzr) * dzi
-                        if julia:
+                        if phoenix:
+                            # dz' = 2Z dz + dz^2 + dc + p dz + r dz_prev
+                            ndzr = (t1r + t2r + delta_r + pp_ * dzr
+                                    + rr_ * s["pzr"])
+                            ndzi = (t1i + t2i + delta_i + pp_ * dzi
+                                    + rr_ * s["pzi"])
+                        elif julia:
                             ndzr = t1r + t2r
                             ndzi = t1i + t2i
                         else:
@@ -624,6 +668,14 @@ def _make_kernel(width: int, height: int, map_height: int,
                         ndzi = jnp.where(want_now, reli, ndzi)
                         s["want"] = jnp.maximum(
                             s["want"], want_now.astype(jnp.float32))
+                        if phoenix:
+                            # rebased dz_prev = absolute z_i (Z_{-1} = 0)
+                            npzr = jnp.where(want_now,
+                                             rd["re"](i, base) + dzr, dzr)
+                            npzi = jnp.where(want_now,
+                                             rd["im"](i, base) + dzi, dzi)
+                            s["pzr"] = jnp.where(alive, npzr, s["pzr"])
+                            s["pzi"] = jnp.where(alive, npzi, s["pzi"])
                     s["dzr"] = jnp.where(alive, ndzr, dzr)
                     s["dzi"] = jnp.where(alive, ndzi, dzi)
                 s["zfr"] = jnp.where(alive, nzfr, s["zfr"])
@@ -756,13 +808,13 @@ def _make_kernel(width: int, height: int, map_height: int,
 
 def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  chunk, interpret, float_continuation, dd_delta, orbit_hbm,
-                 scaled, julia=False, ship=False):
+                 scaled, julia=False, ship=False, phoenix=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap, scaled, rebase, julia, ship)
-    comps = _state_comps(dd_delta, scaled)
+                          orbit_cap, scaled, rebase, julia, ship, phoenix)
+    comps = _state_comps(dd_delta, scaled, phoenix)
     n_state = 4 + len(comps) if rebase else 0
     f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
     out_shapes = (
@@ -793,18 +845,19 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "float_continuation", "dd_delta",
-                     "orbit_hbm", "scaled", "julia", "ship"))
+                     "orbit_hbm", "scaled", "julia", "ship", "phoenix"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                orbit_im_lo, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
                float_continuation, dd_delta=False, orbit_hbm=False,
-               scaled=False, julia=False, ship=False):
+               scaled=False, julia=False, ship=False, phoenix=False):
     call = _pallas_pert(False, width=width, height=height,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=float_continuation,
                         dd_delta=dd_delta, orbit_hbm=orbit_hbm,
-                        scaled=scaled, julia=julia, ship=ship)
+                        scaled=scaled, julia=julia, ship=ship,
+                        phoenix=phoenix)
     return call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                 orbit_im_lo)
 
@@ -813,12 +866,12 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "dd_delta", "orbit_hbm",
-                     "scaled", "max_passes", "julia", "ship"))
+                     "scaled", "max_passes", "julia", "ship", "phoenix"))
 def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                       orbit_im_lo, *, width, height, map_height, orbit_cap,
                       tile, chunk, interpret, dd_delta=False,
                       orbit_hbm=False, scaled=False, max_passes=256,
-                      julia=False, ship=False):
+                      julia=False, ship=False, phoenix=False):
     """Device-resident multi-pass rebasing: a lax.while_loop re-launches
     the kernel until no lane wants another rebase — zero host round trips
     per pass (the frozen per-pixel state feeds back as kernel inputs)."""
@@ -827,8 +880,8 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=False, dd_delta=dd_delta,
                         orbit_hbm=orbit_hbm, scaled=scaled, julia=julia,
-                        ship=ship)
-    comps = _state_comps(dd_delta, scaled)
+                        ship=ship, phoenix=phoenix)
+    comps = _state_comps(dd_delta, scaled, phoenix)
     z = jnp.zeros((height, width), jnp.float32)
 
     def run(m0, first, live, nf, zfr, zfi, comp_vals):
@@ -877,7 +930,8 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         ref_shift_y_frac: Union[str, Fraction, None] = None,
                         rebase: bool = False, max_passes: int = 256,
                         julia: bool = False, julia_z0=None,
-                        ship: bool = False,
+                        ship: bool = False, phoenix: bool = False,
+                        phoenix_p: float = 0.0, phoenix_r: float = 0.0,
                         interpret: Optional[bool] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
@@ -931,6 +985,15 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
             raise NotImplementedError(
                 "deep-zoom burning ship supports the f32/dd tiers "
                 "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
+    if phoenix:
+        assert rebase and not float_continuation, \
+            "deep-zoom phoenix requires the rebasing pipeline"
+        assert series is None or series.n_skip <= 1, \
+            "series skip is Mandelbrot-only"
+        if scaled_delta:
+            raise NotImplementedError(
+                "deep-zoom phoenix supports the f32/dd tiers; the "
+                "floatexp tier is Mandelbrot-only")
     # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
     if zoom_frac is not None:
         zoom_fr = Fraction(zoom_frac)
@@ -1048,6 +1111,8 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         assert julia_z0 is not None, "julia mode requires julia_z0"
         put_dd(Q_Z0XH, Q_Z0XL, float(julia_z0[0]))
         put_dd(Q_Z0YH, Q_Z0YL, float(julia_z0[1]))
+    params[0, Q_PP] = phoenix_p
+    params[0, Q_RR] = phoenix_r
     params[0, Q_ROW0] = row0
 
     operands = (jnp.asarray(params), jnp.asarray(orbit_re),
@@ -1059,7 +1124,8 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         interpret=bool(interpret),
         float_continuation=bool(float_continuation),
         dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm),
-        scaled=bool(scaled_delta), julia=bool(julia), ship=bool(ship))
+        scaled=bool(scaled_delta), julia=bool(julia), ship=bool(ship),
+        phoenix=bool(phoenix))
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)

@@ -134,6 +134,9 @@ class Scene:
     # deep_zoom_ship (beyond reference): deep-zoom the Burning Ship via
     # diffabs perturbation
     deep_zoom_ship: bool = False
+    # deep_zoom_phoenix (beyond reference): deep-zoom the Phoenix set via
+    # two-term-recurrence perturbation (uses phoenix_p / phoenix_r)
+    deep_zoom_phoenix: bool = False
     use_perturbation: bool = False
     reference_iterations: int = 0
     use_series_approximation: bool = False

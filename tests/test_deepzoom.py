@@ -1114,3 +1114,69 @@ def test_deep_ship_model_and_scene():
     assert len(np.unique(n)) > 10
     img = deep_zoom.render(s, 16, 12)
     assert np.isfinite(np.asarray(img)).all()
+
+
+# ---------------------------------------------------------------------------
+# deep-zoom PHOENIX (beyond reference): two-term-recurrence perturbation
+# ---------------------------------------------------------------------------
+
+def _hp_phoenix_oracle_counts(cx, cy, zoom, W, H, MI, bits, pp, rr,
+                              bail=4.0):
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.hp import HPFloat
+
+    step = Fraction(zoom) * 4 / (H * H)
+    cxh, cyh = HPFloat(cx, bits), HPFloat(cy, bits)
+    bail2 = bail * bail
+    n = np.zeros((H, W), np.int64)
+    for py in range(H):
+        for px in range(W):
+            pcx = cxh + HPFloat(step * (Fraction(px) - Fraction(W, 2)), bits)
+            pcy = cyh + HPFloat(step * (Fraction(py) - Fraction(H, 2)), bits)
+            o = orbit.compute_orbit(pcx, pcy, bits, MI + 1,
+                                    escape_mag_sq=bail2, kind=2,
+                                    pp=pp, rr=rr)
+            zfx, zfy = o[-1]
+            n[py, px] = (len(o) - 2) if zfx*zfx + zfy*zfy > bail2 else MI
+    return n
+
+
+@pytest.mark.parametrize("zoom,dd_mode", [("1e-6", False), ("1e-10", True)])
+def test_deep_phoenix_matches_exact_oracle(zoom, dd_mode):
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    PP, RR = 0.0, -0.5
+    cx, cy = "0.5334632772339566", "0.05"  # boundary point, interior orbit
+    W, H, MI, bits = 12, 8, 400, 128
+    orb = orbit.compute_orbit(cx, cy, bits, MI + 1, kind=2, pp=PP, rr=RR)
+    assert len(orb) == MI + 1
+    f = perturbation_fields(orb, W, H, center_x_dd=dd_from_string(cx),
+                            center_y_dd=dd_from_string(cy),
+                            zoom_dd=dd_from_string(zoom), max_iter=MI,
+                            float_continuation=False, dd_delta=dd_mode,
+                            rebase=True, phoenix=True, phoenix_p=PP,
+                            phoenix_r=RR)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_phoenix_oracle_counts(cx, cy, zoom, W, H, MI, bits, PP, RR)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_deep_phoenix_model_and_scene():
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, deep_zoom_phoenix=True,
+              phoenix_p=0.0, phoenix_r=-0.5,
+              hp_center_x="0.5334632772339566", hp_center_y="0.05",
+              hp_zoom="1e-10", max_iterations=400, use_perturbation=True)
+    n, zx, zy, g, info = deep_zoom.render_fields(s, 16, 12)
+    assert info["deep_zoom_phoenix"]
+    assert info["glitched_pixels_remaining"] == 0
+    assert len(np.unique(n)) > 3
+    img = deep_zoom.render(s, 16, 12)
+    assert np.isfinite(np.asarray(img)).all()
