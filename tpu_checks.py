@@ -1,15 +1,16 @@
 #!/usr/bin/env python3
-"""TPU bit-exactness lane: run the strict kernel-vs-golden contract on real
-hardware each round (VERDICT r1 item 9 — the contract used to live only in
-commit messages).
+"""TPU bit-exactness lane: run the strict kernel-vs-golden contracts on
+real hardware each round (VERDICT r1 item 9 — the contract used to live
+only in commit messages).
 
 tests/conftest.py normally forces an 8-virtual-device CPU mesh; with
 FRACTAL_TPU_LANE=1 it leaves the platform alone, so the
 ``jax.default_backend() == 'tpu'`` branches in test_golden_vs_kernel.py
 assert exact integer iteration counts and bit-equal final z instead of
-loose mismatch fractions.
+loose mismatch fractions, and the deep-zoom oracle tests exercise the
+rebasing / floatexp / julia / ship / phoenix kernels on the chip.
 
-Usage:  python tpu_checks.py [extra pytest args]
+Usage:  python tpu_checks.py [extra pytest args for every phase]
 Exits nonzero on any strict failure; prints one JSON summary line.
 """
 import json
@@ -18,20 +19,32 @@ import subprocess
 import sys
 import time
 
-TARGETS = ["tests/test_golden_vs_kernel.py"]
+PHASES = {
+    "golden_exact": ["tests/test_golden_vs_kernel.py"],
+    "deepzoom_oracles": [
+        "tests/test_deepzoom.py", "-k",
+        ("rebase_matches_exact_oracle or scaled_delta_matches or "
+         "deep_julia_matches or deep_ship_matches or "
+         "deep_phoenix_matches")],
+}
 
 
 def main() -> int:
     env = dict(os.environ, FRACTAL_TPU_LANE="1")
     env.pop("JAX_PLATFORMS", None)
-    t0 = time.monotonic()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", *TARGETS, *sys.argv[1:]],
-        env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
-    dt = time.monotonic() - t0
-    print(json.dumps({"lane": "tpu_exactness", "ok": proc.returncode == 0,
-                      "seconds": round(dt, 1)}))
-    return proc.returncode
+    cwd = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    rc = 0
+    for name, targets in PHASES.items():
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *targets,
+             *sys.argv[1:]], env=env, cwd=cwd)
+        results[name] = {"ok": proc.returncode == 0,
+                         "seconds": round(time.monotonic() - t0, 1)}
+        rc = rc or proc.returncode
+    print(json.dumps({"lane": "tpu_exactness", "ok": rc == 0, **results}))
+    return rc
 
 
 if __name__ == "__main__":
