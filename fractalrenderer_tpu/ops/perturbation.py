@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 from fractions import Fraction
-from typing import Dict, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

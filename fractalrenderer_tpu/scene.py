@@ -15,7 +15,7 @@ import dataclasses
 import enum
 import json
 from dataclasses import dataclass, replace
-from typing import Optional, Tuple
+from typing import Optional
 
 
 class FractalType(enum.Enum):

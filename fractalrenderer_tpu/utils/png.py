@@ -10,7 +10,7 @@ from __future__ import annotations
 import struct
 import time
 import zlib
-from typing import BinaryIO, Dict, Iterable, Optional
+from typing import BinaryIO, Dict, Optional
 
 import numpy as np
 
