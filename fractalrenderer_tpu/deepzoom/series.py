@@ -20,8 +20,10 @@ respect to iteration counts.
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
-from typing import Tuple
+from fractions import Fraction
+from typing import Tuple, Union
 
 import numpy as np
 
@@ -69,3 +71,137 @@ def series_delta_coeffs(skip: SeriesSkip) -> Tuple[float, ...]:
     """Flatten to f32-friendly scalars for the kernel params."""
     return (skip.a.real, skip.a.imag, skip.b.real, skip.b.imag,
             skip.c.real, skip.c.imag, float(skip.n_skip))
+
+
+# ---------------------------------------------------------------------------
+# Floatexp series for the scaled-delta (ARBITRARY) tier
+# ---------------------------------------------------------------------------
+#
+# Past zoom ~1e-30 the coefficients A/B/C themselves overflow/underflow f64
+# (A grows roughly like 1/|δc| before the truncation test stops the skip),
+# so the host accumulates them as floatexp — complex f64 mantissa + int
+# exponent — the same representation the kernel carries per-pixel deltas in.
+
+
+@dataclass(frozen=True)
+class SeriesSkipFX:
+    """Cubic series coefficients in floatexp: X = x * 2^x_e."""
+    n_skip: int
+    a: complex
+    a_e: int
+    b: complex
+    b_e: int
+    c: complex
+    c_e: int
+
+
+_FX_ZERO = (0j, 0)
+
+
+def _fx_norm(m: complex, e: int) -> Tuple[complex, int]:
+    """Renormalize so max(|re|,|im|) lands in [0.5, 1)."""
+    mag = max(abs(m.real), abs(m.imag))
+    if mag == 0.0:
+        return _FX_ZERO
+    k = math.frexp(mag)[1]  # mag in [2^(k-1), 2^k)
+    return complex(math.ldexp(m.real, -k), math.ldexp(m.imag, -k)), e + k
+
+
+def _fx_cmul(a: Tuple[complex, int], b: Tuple[complex, int]):
+    return _fx_norm(a[0] * b[0], a[1] + b[1])
+
+
+def _fx_add(a: Tuple[complex, int], b: Tuple[complex, int]):
+    if a[0] == 0:
+        return b
+    if b[0] == 0:
+        return a
+    if a[1] < b[1]:
+        a, b = b, a
+    d = b[1] - a[1]
+    if d < -120:  # below f64 noise next to a — exact enough to drop
+        return a
+    return _fx_norm(a[0] + complex(math.ldexp(b[0].real, d),
+                                   math.ldexp(b[0].imag, d)), a[1])
+
+
+def _fx_abs(a: Tuple[complex, int]) -> Tuple[float, int]:
+    """(magnitude mantissa, exponent); mantissa 0 means zero."""
+    return abs(a[0]), a[1]
+
+
+def _mag_mul(a: Tuple[float, int], b: Tuple[float, int]) -> Tuple[float, int]:
+    return a[0] * b[0], a[1] + b[1]
+
+
+def _mag_add(a: Tuple[float, int], b: Tuple[float, int]) -> Tuple[float, int]:
+    if a[0] == 0.0:
+        return b
+    if b[0] == 0.0:
+        return a
+    if a[1] < b[1]:
+        a, b = b, a
+    d = b[1] - a[1]
+    return (a[0] + (math.ldexp(b[0], d) if d >= -120 else 0.0), a[1])
+
+
+def _mag_gt(a: Tuple[float, int], b: Tuple[float, int]) -> bool:
+    """a > b for non-negative floatexp magnitudes."""
+    if a[0] == 0.0:
+        return False
+    if b[0] == 0.0:
+        return True
+    d = a[1] - b[1]
+    if d > 120:
+        return True
+    if d < -120:
+        return False
+    return math.ldexp(a[0], d) > b[0]
+
+
+def _mag_from_fraction(fr: Fraction) -> Tuple[float, int]:
+    if fr == 0:
+        return 0.0, 0
+    fr = abs(fr)
+    e = fr.numerator.bit_length() - fr.denominator.bit_length()
+    m = float(fr * Fraction(2) ** (-e))  # in [0.5, 2)
+    if m >= 1.0:
+        m, e = m * 0.5, e + 1
+    return m, e
+
+
+def compute_series_skip_fx(orbit: np.ndarray,
+                           dc_max: Union[Fraction, str],
+                           tol: float = 1e-6,
+                           delta_cap: float = 1e-3) -> SeriesSkipFX:
+    """Floatexp version of compute_series_skip for the scaled-delta tier,
+    where |δc| (and hence the A/B/C dynamic range) is far outside f64.
+
+    ``dc_max`` is exact (Fraction or decimal string) because the zoom
+    itself may underflow f64.  The acceptance test is identical to the f64
+    version: cubic term below ``tol`` of the linear term at the worst-case
+    pixel AND worst-case |δ| below ``delta_cap`` at EVERY prefix step (so
+    with bailout >= 4 no pixel can escape inside the skipped range)."""
+    dcm = _mag_from_fraction(Fraction(dc_max))
+    dcm2 = _mag_mul(dcm, dcm)
+    dcm3 = _mag_mul(dcm2, dcm)
+    tol_m = _mag_from_fraction(Fraction(tol))
+    cap_m = _mag_from_fraction(Fraction(delta_cap))
+    L = len(orbit)
+    A = B = C = _FX_ZERO
+    one = _fx_norm(1.0 + 0j, 0)
+    best = SeriesSkipFX(1, 1.0 + 0j, 0, 0j, 0, 0j, 0)
+    for n in range(L - 1):
+        Z2 = _fx_norm(2.0 * complex(orbit[n, 0], orbit[n, 1]), 0)
+        A, B, C = (_fx_add(_fx_cmul(Z2, A), one),
+                   _fx_add(_fx_cmul(Z2, B), _fx_cmul(A, A)),
+                   _fx_add(_fx_cmul(Z2, C),
+                           _fx_cmul(_fx_norm(2.0 + 0j, 0), _fx_cmul(A, B))))
+        t1 = _mag_mul(_fx_abs(A), dcm)
+        t2 = _mag_mul(_fx_abs(B), dcm2)
+        t3 = _mag_mul(_fx_abs(C), dcm3)
+        delta_est = _mag_add(_mag_add(t1, t2), t3)
+        if _mag_gt(t3, _mag_mul(tol_m, t1)) or _mag_gt(delta_est, cap_m):
+            break
+        best = SeriesSkipFX(n + 1, A[0], A[1], B[0], B[1], C[0], C[1])
+    return best

@@ -186,13 +186,22 @@ def render_fields(scene: Scene, width: int, height: int,
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \
-            and not scaled and ref_center is None and not julia \
+            and ref_center is None and not julia \
             and not ship and not phoenix:
-        from ..deepzoom.series import compute_series_skip
-
         aspect = width / height
-        dc_max = zoom_f * 4.0 / height * math.hypot(0.5 * aspect, 0.5)
-        series = compute_series_skip(orbit, dc_max)
+        corner = math.hypot(0.5 * aspect, 0.5)
+        if scaled:
+            # zoom may underflow f64 here — dc_max stays exact-rational and
+            # the coefficients accumulate in floatexp
+            from ..deepzoom.series import compute_series_skip_fx
+
+            dc_max_fr = zoom_fr * 4 * Fraction(corner) / height
+            series = compute_series_skip_fx(orbit, dc_max_fr)
+        else:
+            from ..deepzoom.series import compute_series_skip
+
+            dc_max = zoom_f * 4.0 / height * corner
+            series = compute_series_skip(orbit, dc_max)
 
     f = field_fn(
         orbit, width, height, center_x_dd=center_x_dd,

@@ -48,8 +48,8 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
  Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
  Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP, Q_M0, Q_FIRST,
- Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL, Q_PP, Q_RR) = range(39)
-NQ = 39
+ Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL, Q_PP, Q_RR, Q_SE0) = range(40)
+NQ = 40
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
@@ -310,8 +310,11 @@ def _make_kernel(width: int, height: int, map_height: int,
         # not by the shared index, so the orbit range is the only cap.
         pert_end = (ref_len - 1) if rebase \
             else jnp.minimum(limit, ref_len - 1)
-        if dd_delta:
+        if dd_delta or scaled:
             # series init in dd: horner with dd coefficients over dd delta-c
+            # (scaled mode: the horner runs over the host-scaled dc mantissa
+            # with coefficients pre-aligned to exponent Q_SE0 — the default
+            # A'=1, B'=C'=0, e0=-s reduces exactly to delta_1 = dc·2^-s)
             a_dd = ((params_ref[0, Q_AR], params_ref[0, Q_ARL]),
                     (params_ref[0, Q_AI], params_ref[0, Q_AIL]))
             b_dd = ((params_ref[0, Q_BR], params_ref[0, Q_BRL]),
@@ -336,17 +339,26 @@ def _make_kernel(width: int, height: int, map_height: int,
             tr_dd = dd.dd_add(jnp, tr_dd, bt(a_dd[0]))
             ti_dd = dd.dd_add(jnp, ti_dd, bt(a_dd[1]))
             dz0r_dd, dz0i_dd = cmul_dd(tr_dd, ti_dd, dcx, dcy)
+        if scaled:
+            # floatexp init: the dd horner value sits at exponent Q_SE0
+            # (host-aligned); renormalize per-pixel into mantissa +
+            # exponent exactly as the iteration loop does.  Composed f32
+            # delta flushes to 0 below 2^-126: z1 ~= Z_{n0}.
+            mag0 = jnp.maximum(jnp.abs(dz0r_dd[0]), jnp.abs(dz0i_dd[0]))
+            zero0 = mag0 == 0.0
+            k0 = jnp.where(zero0, 0, _expo(mag0))
+            fN0 = _pow2(-k0)
+            m0r = (dz0r_dd[0] * fN0, dz0r_dd[1] * fN0)
+            m0i = (dz0i_dd[0] * fN0, dz0i_dd[1] * fN0)
+            e0_ = params_ref[0, Q_SE0].astype(jnp.int32)
+            ex0 = jnp.where(zero0, E_ZERO,
+                            jnp.clip(e0_ + k0, E_ZERO, 1 << 24))
+            dfac0 = _pow2(ex0)
+            dz0r = dd.dd_to_float(jnp, m0r) * dfac0
+            dz0i = dd.dd_to_float(jnp, m0i) * dfac0
+        elif dd_delta:
             dz0r = dd.dd_to_float(jnp, dz0r_dd)
             dz0i = dd.dd_to_float(jnp, dz0i_dd)
-        if scaled:
-            # floatexp init: delta_1 = delta_c, i.e. mantissa = dc' (the
-            # host-scaled dd), exponent = -s.  Series skip is disabled in
-            # this mode (host enforces n_skip == 1).
-            # flushes to 0 below 2^-126: z1 ~= Z_1.  (Broadcast before the
-            # bitcast — Mosaic's tpu.bitcast is vector-only.)
-            dscale = _pow2(jnp.broadcast_to(-s_exp, (th, tw)))
-            dz0r = delta_r * dscale
-            dz0i = delta_i * dscale
         base0 = dma_sync(n0)
         if julia:  # z_0 = Z_0 + D_{n0} + dz_0 (tables hold the drift D)
             z1r = z0x_h + (z0x_l + (rd0["re"](n0, base0) + dz0r))
@@ -364,9 +376,9 @@ def _make_kernel(width: int, height: int, map_height: int,
             "i": n0,
         }
         if scaled:
-            state0["mrh"], state0["mrl"] = dcx
-            state0["mih"], state0["mil"] = dcy
-            state0["ex"] = jnp.broadcast_to(-s_exp, (th, tw))
+            state0["mrh"], state0["mrl"] = m0r
+            state0["mih"], state0["mil"] = m0i
+            state0["ex"] = ex0
         elif dd_delta:
             state0["dzrh"], state0["dzrl"] = dz0r_dd
             state0["dzih"], state0["dzil"] = dz0i_dd
@@ -958,8 +970,13 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         assert not float_continuation, \
             "float continuation is meaningless at scaled-delta depths"
         assert not dd_delta, "scaled_delta supersedes dd_delta"
-        assert series is None or series.n_skip <= 1, \
-            "series skip not supported in scaled mode"
+        if series is not None and series.n_skip > 1:
+            # scaled mode needs floatexp coefficients (A/B/C overflow f64
+            # at these depths) — deepzoom.series.compute_series_skip_fx
+            from ..deepzoom.series import SeriesSkipFX
+            assert isinstance(series, SeriesSkipFX), \
+                "scaled-delta series skip requires SeriesSkipFX " \
+                "(compute_series_skip_fx)"
     if rebase:
         assert not float_continuation, \
             "rebasing supersedes float continuation"
@@ -1092,7 +1109,32 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         params[0, hi_idx] = hi
         params[0, lo_idx] = np.float32(value - float(hi))
 
-    if series is not None and series.n_skip > 1 and series.n_skip < L:
+    if series is not None and series.n_skip > 1 and series.n_skip < L \
+            and scaled_delta:
+        # Floatexp coefficients, pre-aligned to a shared exponent e0 so the
+        # kernel's dd horner over the SCALED dc mantissa (= δc·2^s) yields
+        # the delta mantissa at exponent e0:
+        #   T_k value = coeff_k · δc^k = (coeff_k·2^(e_k - k·s - e0)) ·
+        #               dc_m^k · 2^e0
+        # e0 = max_k (e_k - k·s) bounds every per-pixel mantissa by ~1
+        # (|dc_m| <= 1 by the host step scaling); terms more than ~126
+        # binary decades below e0 flush to 0 — far under the dd noise.
+        import math as _math
+
+        fx = [(series.a, series.a_e, 1), (series.b, series.b_e, 2),
+              (series.c, series.c_e, 3)]
+        e0 = max(e - k * s_exp for m, e, k in fx if m != 0)
+        slots = ((Q_AR, Q_ARL, Q_AI, Q_AIL), (Q_BR, Q_BRL, Q_BI, Q_BIL),
+                 (Q_CR, Q_CRL, Q_CI, Q_CIL))
+        for (m, e, k), (rh, rl, ih, il) in zip(fx, slots):
+            d = (e - k * s_exp) - e0
+            if m == 0 or d < -1070:
+                continue  # zeros are the params default
+            put_dd(rh, rl, _math.ldexp(m.real, d))
+            put_dd(ih, il, _math.ldexp(m.imag, d))
+        params[0, Q_NSKIP] = series.n_skip
+        params[0, Q_SE0] = e0
+    elif series is not None and series.n_skip > 1 and series.n_skip < L:
         put_dd(Q_AR, Q_ARL, series.a.real)
         put_dd(Q_AI, Q_AIL, series.a.imag)
         put_dd(Q_BR, Q_BRL, series.b.real)
@@ -1104,6 +1146,9 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         # julia iterates from index 0 (delta_0 = dc references Z_0, the
         # view center); Mandelbrot peels update 0 (delta_1 = dc, Z_0 = 0)
         params[0, Q_AR], params[0, Q_NSKIP] = 1.0, (0.0 if julia else 1.0)
+        # scaled default: A'=1 at e0=-s reduces the init horner to
+        # delta_1 = dc_m · 2^-s exactly
+        params[0, Q_SE0] = -s_exp
     params[0, Q_FIRST] = 1.0
     if julia:
         # the orbit tables hold the drift D = Z - Z0, so the reference

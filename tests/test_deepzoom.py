@@ -1180,3 +1180,98 @@ def test_deep_phoenix_model_and_scene():
     assert len(np.unique(n)) > 3
     img = deep_zoom.render(s, 16, 12)
     assert np.isfinite(np.asarray(img)).all()
+
+
+# ---------------------------------------------------------------------------
+# floatexp series approximation (scaled-delta / ARBITRARY tier)
+# ---------------------------------------------------------------------------
+
+def test_series_fx_matches_f64_series():
+    # At depths where both representations work, the floatexp accumulation
+    # must agree with the f64 series exactly (same fp operations, renorm by
+    # exact powers of two).
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.series import (compute_series_skip,
+                                                     compute_series_skip_fx)
+
+    orb = orbit.compute_orbit("-0.743643887037151", "0.13182590420533",
+                              128, 2001)
+    dc_max = 1e-12 * 4.0 / 24 * math.hypot(0.5 * 32 / 24, 0.5)
+    s1 = compute_series_skip(orb, dc_max)
+    s2 = compute_series_skip_fx(orb, Fraction(repr(dc_max)))
+    assert s1.n_skip == s2.n_skip > 100
+    assert s2.a * 2.0 ** s2.a_e == s1.a
+    assert s2.b * 2.0 ** s2.b_e == s1.b
+    assert s2.c * 2.0 ** s2.c_e == s1.c
+
+
+def test_series_skip_scaled_identical_counts():
+    # The skip is exact (bailout >= 4 keeps |z| < bail inside the skipped
+    # range), so scaled-mode counts with and without the series must be
+    # IDENTICAL — in both the plain and rebasing pipelines.
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.series import compute_series_skip_fx
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H, MI = 12, 8, 400
+    orb = orbit.compute_orbit("0", "1", 300, MI + 1)
+    dc_fr = (Fraction("1e-50") * 4
+             * Fraction(math.hypot(0.5 * W / H, 0.5)) / H)
+    sfx = compute_series_skip_fx(orb, dc_fr)
+    assert sfx.n_skip > 100
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(1.0, 0.0),
+              max_iter=MI, scaled_delta=True, zoom_frac="1e-50",
+              float_continuation=False)
+    f0 = perturbation_fields(orb, W, H, **kw)
+    f1 = perturbation_fields(orb, W, H, series=sfx, **kw)
+    np.testing.assert_array_equal(np.asarray(f0["n"]), np.asarray(f1["n"]))
+    r0 = perturbation_fields(orb, W, H, rebase=True, **kw)
+    r1 = perturbation_fields(orb, W, H, series=sfx, rebase=True, **kw)
+    np.testing.assert_array_equal(np.asarray(r0["n"]), np.asarray(r1["n"]))
+    assert not (np.asarray(r1["want"]) > 0.5).any()
+
+
+def test_series_skip_scaled_beyond_f64_coefficients():
+    # 1e-500: the linear coefficient A ~ 2^1651 overflows f64 entirely —
+    # only the floatexp accumulation can represent it.  The skip covers
+    # ~99% of the pre-escape iterations and leaves every count unchanged.
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.series import compute_series_skip_fx
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H, MI = 8, 6, 2000
+    orb = orbit.compute_orbit("0", "1", 2048, MI + 1)
+    dc_fr = (Fraction("1e-500") * 4
+             * Fraction(math.hypot(0.5 * W / H, 0.5)) / H)
+    sfx = compute_series_skip_fx(orb, dc_fr)
+    assert sfx.n_skip > 1300
+    assert sfx.a_e > 1100  # beyond f64's max exponent (1024)
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(1.0, 0.0),
+              max_iter=MI, scaled_delta=True, zoom_frac="1e-500",
+              float_continuation=False, rebase=True)
+    f0 = perturbation_fields(orb, W, H, **kw)
+    f1 = perturbation_fields(orb, W, H, series=sfx, **kw)
+    np.testing.assert_array_equal(np.asarray(f0["n"]), np.asarray(f1["n"]))
+
+
+def test_series_skip_scaled_scene_level():
+    # Scene plumbing: use_series_approximation in ARBITRARY mode routes to
+    # the floatexp series and reports the skip in info.
+    import dataclasses
+
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    sc = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="0",
+               hp_center_y="1", hp_zoom="1e-50", max_iterations=400,
+               use_perturbation=True, use_series_approximation=True)
+    n1, *_, i1 = deep_zoom.render_fields(sc, 12, 8)
+    n0, *_, i0 = deep_zoom.render_fields(
+        dataclasses.replace(sc, use_series_approximation=False), 12, 8)
+    assert i1["precision_mode"] == "ARBITRARY"
+    assert i1["series_skip"] > 100 and i0["series_skip"] == 0
+    assert i1["glitched_pixels_remaining"] == 0
+    np.testing.assert_array_equal(n1, n0)
