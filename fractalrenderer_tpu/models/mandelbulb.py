@@ -262,11 +262,13 @@ def _compiled(width: int, height: int, p: bm.BulbParams,
 def render(scene: Scene, width: int, height: int,
            pallas_march: bool = True, kernel_shading: bool = True, **kw):
     """pallas_march=True uses the tile-local Pallas raymarcher
-    (ops/bulb_kernel.py, ~2e-6 trig approximation); False forces the plain
-    XLA march (exact trig, image-global loop sync).  kernel_shading keeps
-    normals/AO inside the march kernel (hit-masked fused multi-point DE —
-    measured 1.05 s vs 1.26 s at 1080p on TPU v5e; round 1's unfused
-    version was 2.98 s and was shelved)."""
+    (ops/bulb_kernel.py); False forces the plain XLA march (exact trig,
+    image-global loop sync).  kernel_shading keeps normals/AO inside the
+    march kernel (hit-masked fused multi-point DE).  Integer powers run a
+    trig-free DE step (complex binary exponentiation, bulb_math.de_step_int)
+    — 0.086 s at 1080p on TPU v5e vs 0.98 s for the polynomial-trig step
+    (11x; measured warm, kernel-shaded); non-integer dynamic powers
+    (time != 0) keep the ~2e-6 ops/trig approximations."""
     return _compiled(width, height, _bulb_params(scene),
                      bool(pallas_march), bool(kernel_shading))()
 

@@ -41,7 +41,18 @@ NB = 9
 DE_CHUNK = 4  # DE iterations per cross-lane any() check
 
 
-def _de_tile(px, py, pz, power, max_iter_cap, limit):
+def _step_fn(int_power):
+    """DE step selector: static integer powers (the default — the animated
+    camera's dynamic power is integer whenever time == 0) run the trig-free
+    complex-squaring step; otherwise the ops/trig polynomial path."""
+    if int_power is not None:
+        return lambda *a: bm.de_step_int(jnp, *a[:7], int_power, a[8])
+    acos_fn = lambda v: trig.acos(jnp, v)
+    atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
+    return lambda *a: bm.de_step(jnp, *a, acos_fn, atan2_fn)
+
+
+def _de_tile(px, py, pz, power, max_iter_cap, limit, int_power=None):
     """In-kernel DE + escape iteration over a tile.
 
     No boolean loop carries (Mosaic cannot yield i1 vectors): the active
@@ -52,8 +63,7 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit):
     reduction amortizes (the per-step mask predication makes overshoot
     iterations no-ops)."""
     shape = px.shape
-    acos_fn = lambda v: trig.acos(jnp, v)
-    atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
+    step_fn = _step_fn(int_power)
 
     def act_of(i, zx, zy, zz):
         r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
@@ -68,9 +78,8 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit):
         def step(_, s):
             i, zx, zy, zz, dr, esc = s
             act, r = act_of(i, zx, zy, zz)
-            nzx, nzy, nzz, dr, _ = bm.de_step(jnp, zx, zy, zz, dr, px, py,
-                                              pz, power, act, acos_fn,
-                                              atan2_fn)
+            nzx, nzy, nzz, dr, _ = step_fn(zx, zy, zz, dr, px, py,
+                                           pz, power, act)
             # Record the escape in the SAME step whose update created it —
             # recording at the top of the next step (as the golden loop is
             # written) made the value depend on whether other lanes kept
@@ -97,7 +106,7 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit):
     return bm.de_finish(jnp, r, dr), esc
 
 
-def _de_tile_multi(ps, power, limit):
+def _de_tile_multi(ps, power, limit, int_power=None):
     """Fused multi-point DE: every position's orbit iterates in ONE while
     loop (state is the concatenation of all orbits), so P sequential
     tile-local loops — each paying its own any() reductions and slowest-
@@ -105,8 +114,7 @@ def _de_tile_multi(ps, power, limit):
     Used for the 4 normal-difference and 7 AO evaluations of in-kernel
     shading.  Returns the list of DE values (no escape tracking — the
     march already recorded esc_hit)."""
-    acos_fn = lambda v: trig.acos(jnp, v)
-    atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
+    step_fn = _step_fn(int_power)
     P_ = len(ps)
 
     def act_of(i, zx, zy, zz):
@@ -128,9 +136,9 @@ def _de_tile_multi(ps, power, limit):
             for k in range(P_):
                 zx, zy, zz, dr = s[1 + k]
                 act = act_of(i, zx, zy, zz)
-                zx, zy, zz, dr, _ = bm.de_step(
-                    jnp, zx, zy, zz, dr, ps[k][0], ps[k][1], ps[k][2],
-                    power, act, acos_fn, atan2_fn)
+                zx, zy, zz, dr, _ = step_fn(
+                    zx, zy, zz, dr, ps[k][0], ps[k][1], ps[k][2],
+                    power, act)
                 out.append((zx, zy, zz, dr))
             return tuple(out)
 
@@ -151,7 +159,7 @@ def _de_tile_multi(ps, power, limit):
 
 def _make_kernel(width: int, height: int, map_height: int,
                  max_iter_cap: int, tile: Tuple[int, int],
-                 shade: bool = False):
+                 shade: bool = False, int_power=None):
     """``map_height``: full-image height for the camera mapping;
     ``height``: rows this call renders.  A row-band shard passes its global
     first row in B_ROW0 (same hooks as ops/escape.py) — gather-free
@@ -204,7 +212,8 @@ def _make_kernel(width: int, height: int, map_height: int,
             step, t, hit_f, done_f, d_hit, esc_hit = s
             act = done_f == 0.0
             d, esc = _de_tile(ro[0] + rdx * t, ro[1] + rdy * t,
-                              ro[2] + rdz * t, power, max_iter_cap, limit)
+                              ro[2] + rdz * t, power, max_iter_cap, limit,
+                              int_power)
             bad = ~jnp.isfinite(d)
             threshold = jnp.maximum(jnp.float32(1e-4), 1e-3 * t)
             hit_now = act & ~bad & (d < threshold)
@@ -247,7 +256,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             # normals by forward differences (mandelbulb.comp:113-123)
             d0, dxp, dyp, dzp = _de_tile_multi(
                 [(hx, hy, hz), (hx + eps, hy, hz), (hx, hy + eps, hz),
-                 (hx, hy, hz + eps)], power, limit)
+                 (hx, hy, hz + eps)], power, limit, int_power)
             nx = dxp - d0
             ny = dyp - d0
             nz = dzp - d0
@@ -265,7 +274,7 @@ def _make_kernel(width: int, height: int, map_height: int,
                 k += 0.02
             ds = _de_tile_multi(
                 [(hx + nx * kk, hy + ny * kk, hz + nz * kk) for kk in ks],
-                power, limit)
+                power, limit, int_power)
             ao = jnp.zeros((th, tw), jnp.float32)
             for dk in ds:
                 ao = ao + jnp.exp(-10.0 * dk)
@@ -279,13 +288,14 @@ def _make_kernel(width: int, height: int, map_height: int,
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
                                              "map_height", "max_iter_cap",
-                                             "tile", "interpret", "shade"))
+                                             "tile", "interpret", "shade",
+                                             "int_power"))
 def _march_call(params, *, width, height, map_height, max_iter_cap, tile,
-                interpret, shade=False):
+                interpret, shade=False, int_power=None):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, max_iter_cap, tile,
-                          shade)
+                          shade, int_power)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
                        for _ in range(8 if shade else 4))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
@@ -321,11 +331,15 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
     else:
         params_dev = jnp.asarray(params).at[0, B_ROW0].set(
             jnp.asarray(row0, jnp.float32))
+    # Static integer powers (2..16, the clamp range) take the trig-free DE
+    # step — the default scene (power 8, time 0) always does.
+    pw = float(power)
+    int_power = int(pw) if pw.is_integer() and 2.0 <= pw <= 16.0 else None
     outs = _march_call(
         params_dev, width=width, height=height,
         map_height=int(map_height if map_height is not None else height),
         max_iter_cap=int(max_iter), tile=tuple(tile),
-        interpret=bool(interpret), shade=bool(shade))
+        interpret=bool(interpret), shade=bool(shade), int_power=int_power)
     names = ["hit", "t", "d", "esc"] + (["nx", "ny", "nz", "ao"]
                                         if shade else [])
     return dict(zip(names, outs))

@@ -116,6 +116,71 @@ def de_step(xp, zx, zy, zz, dr, px, py, pz, power, active,
     return zx, zy, zz, dr, r
 
 
+def _cpow_int(xp, cr, ci, p: int):
+    """(cr + i·ci)^p for a static integer p >= 1, square-and-multiply
+    (statically unrolled — p is a Python int)."""
+    rr = ri = None
+    br, bi = cr, ci
+    while p:
+        if p & 1:
+            if rr is None:
+                rr, ri = br, bi
+            else:
+                rr, ri = rr * br - ri * bi, rr * bi + ri * br
+        p >>= 1
+        if p:
+            # (a-b)(a+b) avoids the a²-b² cancellation near |a| == |b|
+            br, bi = (br - bi) * (br + bi), 2.0 * br * bi
+    return rr, ri
+
+
+def _rpow_int(xp, r, r2, k: int):
+    """r^k from r and r² with a static square-multiply chain."""
+    if k == 1:
+        return r
+    if k == 2:
+        return r2
+    h = _rpow_int(xp, r, r2, k // 2)
+    h = h * h
+    return h * r if k & 1 else h
+
+
+def de_step_int(xp, zx, zy, zz, dr, px, py, pz, p: int, active):
+    """One DE iteration for a static integer power — identical math to
+    de_step but trig-free: in spherical coords the triplex power is
+    r^p·(sin pθ cos pφ, sin pφ sin pθ, cos pθ), and with u = zz + i·m
+    (|u| = r, arg u = π/2 - ... — precisely u^p = r^p·e^{ipθ} since
+    cos θ = zz/r, sin θ = m/r) and ŵ = (zx + i·zy)/m the unit horizontal
+    direction, every trig term is a static chain of complex squarings.
+    On TPU this replaces ~10 software-polynomial transcendentals per
+    iteration (acos/atan2/2×pow/4×sincos) with ~3 rsqrt/div ops.
+
+    The animated camera (time != 0) makes the dynamic power non-integer
+    (mandelbulb.comp:198) — callers fall back to de_step there."""
+    m2 = zx * zx + zy * zy
+    r2 = m2 + zz * zz
+    r = xp.sqrt(r2)
+    # unit e^{iφ}; φ = 0 on the axis m = 0 (atan2(0,0) convention)
+    zero_m = m2 <= 0.0
+    inv_m = 1.0 / xp.sqrt(xp.where(zero_m, xp.ones_like(m2), m2))
+    cph = xp.where(zero_m, xp.ones_like(zx), zx * inv_m)
+    sph = xp.where(zero_m, xp.zeros_like(zy), zy * inv_m)
+    m = xp.where(zero_m, xp.zeros_like(m2), m2 * inv_m)
+    # u^p = (r^p cos pθ, r^p sin pθ);  (cos pφ, sin pφ) from the unit ŵ
+    upr, upi = _cpow_int(xp, zz, m, p)
+    cpp, spp = _cpow_int(xp, cph, sph, p)
+    r_pow = _rpow_int(xp, r, r2, p - 1)
+    ndr = r_pow * float(p) * dr + 1.0
+    nzx = upi * cpp + px
+    nzy = spp * upi + py
+    nzz = upr + pz
+    zx = xp.where(active, nzx, zx)
+    zy = xp.where(active, nzy, zy)
+    zz = xp.where(active, nzz, zz)
+    dr = xp.where(active, ndr, dr)
+    return zx, zy, zz, dr, r
+
+
 def de_finish(xp, r, dr):
     """DE return value (mandelbulb.comp:106-107)."""
     de = 0.5 * xp.log(xp.maximum(r, 1e-12)) * r / xp.maximum(dr, 1e-12)

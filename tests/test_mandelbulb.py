@@ -95,3 +95,52 @@ def test_trig_approximations():
     assert e.max() < 5e-6
     xc = np.linspace(-1, 1, 20001).astype(np.float32)
     assert np.abs(trig.acos(np, xc) - np.arccos(xc)).max() < 5e-6
+
+
+def test_de_step_int_matches_trig_step():
+    # The trig-free integer-power step (complex binary exponentiation) is
+    # the same function as the spherical-coords step; vs an f64 ground
+    # truth it is strictly MORE accurate than the f32 trig path.
+    rng = np.random.default_rng(7)
+    N = 4096
+    zx, zy, zz, px, py, pz = (
+        rng.uniform(-1.5, 1.5, N).astype(np.float32) for _ in range(6))
+    dr = rng.uniform(1, 100, N).astype(np.float32)
+    act = np.ones(N, bool)
+    for p in (2, 3, 7, 8, 16):
+        t64 = bm.de_step(np, *(v.astype(np.float64) for v in
+                               (zx, zy, zz, dr, px, py, pz)),
+                         float(p), act)
+        trig = bm.de_step(np, zx, zy, zz, dr, px, py, pz, np.float32(p), act)
+        fast = bm.de_step_int(np, zx, zy, zz, dr, px, py, pz, p, act)
+        for k in range(4):
+            sc = np.maximum(np.abs(t64[k]), 1.0)
+            e_trig = (np.abs(trig[k] - t64[k]) / sc).max()
+            e_fast = (np.abs(fast[k] - t64[k]) / sc).max()
+            assert e_fast <= max(e_trig * 1.5, 1e-6), \
+                f"p={p} comp{k}: int {e_fast:.2e} vs trig {e_trig:.2e}"
+
+
+def test_de_step_int_axis_degeneracy():
+    # m = 0 (on the z axis): φ defaults to 0 like atan2(0, 0)
+    z0 = np.zeros(3, np.float32)
+    zz = np.array([0.5, -0.5, 1.5], np.float32)
+    one = np.ones(3, np.float32)
+    a = bm.de_step(np, z0, z0, zz, one, z0, z0, zz, np.float32(8.0),
+                   np.ones(3, bool))
+    b = bm.de_step_int(np, z0, z0, zz, one, z0, z0, zz, 8,
+                       np.ones(3, bool))
+    for va, vb in zip(a, b):
+        np.testing.assert_allclose(vb, va, atol=1e-5)
+
+
+def test_noninteger_power_uses_trig_path():
+    # time != 0 makes the dynamic power non-integer → the kernel falls
+    # back to the ops/trig polynomial step and still matches the golden
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=16,
+              time=1.0)
+    _, dyn_power = bm.camera_setup(mandelbulb._bulb_params(s))
+    assert not float(dyn_power).is_integer()
+    a = mandelbulb.render_numpy(s, 32, 18)
+    b = np.asarray(mandelbulb.render(s, 32, 18, pallas_march=True))
+    assert np.abs(a - b).mean() < 0.01
