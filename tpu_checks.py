@@ -26,6 +26,9 @@ PHASES = {
         ("rebase_matches_exact_oracle or scaled_delta_matches or "
          "deep_julia_matches or deep_ship_matches or "
          "deep_phoenix_matches")],
+    "mandelbulb": [
+        "tests/test_mandelbulb.py", "-k",
+        "matches_numpy or de_step_int or noninteger or dispatch"],
 }
 
 
