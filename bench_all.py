@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -227,15 +228,20 @@ def main():
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
     if skip:
-        # partial re-runs keep the skipped configs' previous records
+        # partial re-runs keep the skipped configs' previous records; abort
+        # rather than silently rewrite bench_all.json without them
         try:
             with open("bench_all.json") as f:
                 prev = json.load(f)
-            results.update({k: v for k, v in prev.items()
-                            if k.startswith("config")
-                            and int(k[6:]) in skip})
-        except (OSError, ValueError):
-            pass
+        except FileNotFoundError:
+            prev = {}
+        except (OSError, ValueError) as e:
+            sys.exit(f"bench_all.json unreadable ({e}); refusing to "
+                     f"overwrite it from a --skip partial run")
+        for k, v in prev.items():
+            if k.startswith("config") and k[6:].isdigit() \
+                    and int(k[6:]) in skip:
+                results[k] = v
     benches = {
         1: bench_mandelbrot_1080p,
         2: bench_julia_sweep,

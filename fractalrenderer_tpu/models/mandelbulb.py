@@ -266,9 +266,9 @@ def render(scene: Scene, width: int, height: int,
     image-global loop sync).  kernel_shading keeps normals/AO inside the
     march kernel (hit-masked fused multi-point DE).  Integer powers run a
     trig-free DE step (complex binary exponentiation, bulb_math.de_step_int)
-    — 0.086 s at 1080p on TPU v5e vs 0.98 s for the polynomial-trig step
-    (11x; measured warm, kernel-shaded); non-integer dynamic powers
-    (time != 0) keep the ~2e-6 ops/trig approximations."""
+    — 0.087 s at 1080p on TPU v5e vs 0.227 s for the polynomial-trig step
+    (2.6x, both warm/kernel-shaded/scalar-fetch timed); non-integer dynamic
+    powers (time != 0) keep the ~2e-6 ops/trig approximations."""
     return _compiled(width, height, _bulb_params(scene),
                      bool(pallas_march), bool(kernel_shading))()
 

@@ -293,8 +293,9 @@ def _make_kernel(width: int, height: int, map_height: int,
         # update 0 of the plain path (δ_1 = δc).
         n0 = params_ref[0, Q_NSKIP].astype(jnp.int32)
         if rebase:
-            # pass-local starting orbit index (1 first pass, 0 after);
-            # series skip is disabled by the host in rebase mode
+            # pass-local starting orbit index: the first pass starts at the
+            # series-skip index (the caller feeds Q_NSKIP into Q_M0),
+            # rebased lanes restart at 0 on later passes
             n0 = params_ref[0, Q_M0].astype(jnp.int32)
         ar, ai = params_ref[0, Q_AR], params_ref[0, Q_AI]
         br, bi = params_ref[0, Q_BR], params_ref[0, Q_BI]

@@ -25,7 +25,7 @@ PHASES = {
         "tests/test_deepzoom.py", "-k",
         ("rebase_matches_exact_oracle or scaled_delta_matches or "
          "deep_julia_matches or deep_ship_matches or "
-         "deep_phoenix_matches")],
+         "deep_phoenix_matches or series_skip_scaled")],
     "mandelbulb": [
         "tests/test_mandelbulb.py", "-k",
         "matches_numpy or de_step_int or noninteger or dispatch"],
