@@ -146,10 +146,20 @@ def bench_deep_zoom():
     t0 = time.perf_counter()
     n, zx, zy, glitch, info = deep_zoom.render_fields(s, 1920, 1080)
     dt = time.perf_counter() - t0
+    # opt-in series skip (counts identical — the skip is exact); the main
+    # number keeps the faithful fractal_state.h default (series off)
+    import dataclasses
+    s2 = dataclasses.replace(s, use_series_approximation=True)
+    deep_zoom.render_fields(s2, 1920, 1080)  # warm
+    t0 = time.perf_counter()
+    *_, info2 = deep_zoom.render_fields(s2, 1920, 1080)
+    dt2 = time.perf_counter() - t0
     return {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
             "cold_seconds_incl_compile": round(cold, 1),
             "algorithm": info.get("algorithm"),
             "rebase_passes": info.get("rebase_passes"),
+            "seconds_with_series_skip": round(dt2, 1),
+            "series_skip_iterations": info2.get("series_skip"),
             **{k: info[k] for k in ("references_used",
                                     "glitched_pixels_initial",
                                     "glitched_pixels_remaining")}}

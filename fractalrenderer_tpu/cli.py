@@ -79,6 +79,9 @@ def _add_scene_args(p: argparse.ArgumentParser):
     p.add_argument("--hp-center-y", default=None)
     p.add_argument("--hp-zoom", default=None)
     p.add_argument("--perturbation", action="store_true", default=None)
+    p.add_argument("--series", action="store_true", default=None,
+                   help="series-approximation iteration skip (deep zoom; "
+                        "exact — counts are unchanged)")
 
 
 _ARG_TO_FIELD = {
@@ -100,6 +103,7 @@ _ARG_TO_FIELD = {
     "deep_julia": "deep_zoom_julia",
     "deep_ship": "deep_zoom_ship",
     "deep_phoenix": "deep_zoom_phoenix",
+    "series": "use_series_approximation",
 }
 
 

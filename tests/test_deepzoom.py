@@ -1275,3 +1275,28 @@ def test_series_skip_scaled_scene_level():
     assert i1["series_skip"] > 100 and i0["series_skip"] == 0
     assert i1["glitched_pixels_remaining"] == 0
     np.testing.assert_array_equal(n1, n0)
+
+
+def test_series_skip_scaled_sharded_equality():
+    # The floatexp series coefficients flow through the row-band sharded
+    # wrapper's _build_only param path; sharded output must equal
+    # single-device exactly.
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.series import compute_series_skip_fx
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+    from fractalrenderer_tpu.parallel.tiled import perturbation_fields_sharded
+
+    W, H, MI = 16, 16, 300
+    orb = orbit.compute_orbit("0", "1", 250, MI + 1)
+    dc_fr = (Fraction("1e-40") * 4
+             * Fraction(math.hypot(0.5 * W / H, 0.5)) / H)
+    sfx = compute_series_skip_fx(orb, dc_fr)
+    assert sfx.n_skip > 1
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(1.0, 0.0),
+              max_iter=MI, scaled_delta=True, zoom_frac="1e-40",
+              float_continuation=False, rebase=True, series=sfx)
+    single = perturbation_fields(orb, W, H, **kw)
+    sharded = perturbation_fields_sharded(orb, W, H, **kw)
+    np.testing.assert_array_equal(sharded["n"], np.asarray(single["n"]))
+    assert not (sharded["want"] > 0.5).any()
