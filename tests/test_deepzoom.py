@@ -1300,3 +1300,27 @@ def test_series_skip_scaled_sharded_equality():
     sharded = perturbation_fields_sharded(orb, W, H, **kw)
     np.testing.assert_array_equal(sharded["n"], np.asarray(single["n"]))
     assert not (sharded["want"] > 0.5).any()
+
+
+@pytest.mark.parametrize("zoom,expect_mode", [
+    ("2e-14", "DOUBLE"), ("1e-14", "QUAD"), ("9e-15", "QUAD"),
+    ("2e-30", "QUAD"), ("1e-30", "ARBITRARY"), ("9e-31", "ARBITRARY")])
+def test_precision_tier_boundaries_render_exact(zoom, expect_mode):
+    # Renders straddling the DOUBLE/QUAD and QUAD/ARBITRARY thresholds
+    # (deep_zoom_system.cpp:226-249) must stay oracle-exact on BOTH sides
+    # of each switch — the tier hand-off is where representation bugs live.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    W, H, MI = 8, 6, 250
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="0",
+              hp_center_y="1", hp_zoom=zoom, max_iterations=MI,
+              use_perturbation=True)
+    n, zx, zy, g, info = deep_zoom.render_fields(s, W, H)
+    assert info["precision_mode"] == expect_mode
+    assert info["glitched_pixels_remaining"] == 0
+    bits = max(info["precision_bits"], 160)
+    nref = _hp_oracle_counts("0", "1", zoom, W, H, MI, bits, bail=4.0)
+    assert len(np.unique(nref)) > 2
+    exact = (np.asarray(n) == nref).mean()
+    assert exact >= 0.9, f"{zoom}: only {exact:.2%}\n{np.asarray(n)}\n{nref}"
