@@ -47,8 +47,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
             u64p = ctypes.POINTER(ctypes.c_uint64)
             f64p = ctypes.POINTER(ctypes.c_double)
-            lib.orbit_compute_kind.restype = ctypes.c_long
-            lib.orbit_compute_kind.argtypes = [
+            lib.orbit_compute_kind2.restype = ctypes.c_long
+            lib.orbit_compute_kind2.argtypes = [
+                u64p, ctypes.c_int, u64p, ctypes.c_int,
                 u64p, ctypes.c_int, u64p, ctypes.c_int,
                 u64p, ctypes.c_int, u64p, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
@@ -174,9 +175,9 @@ def compute_orbit(cx: Union[str, float, HPFloat],
     computed in fixed point so tiny drifts near a periodic start survive
     the f64 conversion (deep-Julia kernels reconstruct Z = Z0 + D).
     ``kind``: 0 = z^2+c; 1 = Burning Ship ((|x|+i|y|)^2 + c);
-    2 = Phoenix (z^2 + c + pp*z_n + rr*z_{n-1}; Python engine only)."""
+    2 = Phoenix (z^2 + c + pp*z_n + rr*z_{n-1}, carried z_{n-1})."""
     precision_bits = max(64, int(precision_bits))
-    lib = None if (force_python or kind == 2) else _load_native()
+    lib = None if force_python else _load_native()
     if lib is None:
         return compute_orbit_python(cx, cy, precision_bits, max_iter,
                                     escape_mag_sq, z0x=z0x, z0y=z0y,
@@ -191,13 +192,19 @@ def compute_orbit(cx: Union[str, float, HPFloat],
                           n_limbs)
     zy_l, szy = _to_limbs(z0y if z0y is not None else 0.0, frac_bits,
                           n_limbs)
+    # The one exact float→fixed conversion for the Phoenix coefficients
+    # happens here (Fraction-based, same as the Python engine's to_man),
+    # so both engines iterate identical fixed-point values.
+    pp_l, spp = _to_limbs(float(pp), frac_bits, n_limbs)
+    rr_l, srr = _to_limbs(float(rr), frac_bits, n_limbs)
     out_re = np.empty(max_iter, np.float64)
     out_im = np.empty(max_iter, np.float64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     f64p = ctypes.POINTER(ctypes.c_double)
-    n = lib.orbit_compute_kind(
+    n = lib.orbit_compute_kind2(
         cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
         zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,
+        pp_l.ctypes.data_as(u64p), spp, rr_l.ctypes.data_as(u64p), srr,
         n_limbs, frac_bits, max_iter, escape_mag_sq,
         out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
         1 if emit_rel else 0, int(kind))

@@ -173,15 +173,21 @@ extern "C" {
 // periodic start keep full relative precision in the f64 outputs (the
 // julia perturbation kernel reconstructs Z = Z0 + D in double-double).
 // fractal_kind: 0 = z^2 + c (Mandelbrot/Julia); 1 = Burning Ship
-// ((|x|+i|y|)^2 + c, i.e. x' = x^2 - y^2 + cx, y' = 2|x*y| + cy).
-long orbit_compute_kind(const u64* cx_limbs, int sign_x,
-                        const u64* cy_limbs, int sign_y,
-                        const u64* z0x_limbs, int sign_z0x,
-                        const u64* z0y_limbs, int sign_z0y,
-                        int n_limbs, int frac_bits,
-                        long max_iter, double escape_mag_sq,
-                        double* out_re, double* out_im, int emit_rel,
-                        int fractal_kind) {
+// ((|x|+i|y|)^2 + c, i.e. x' = x^2 - y^2 + cx, y' = 2|x*y| + cy);
+// 2 = Phoenix (z^2 + c + p*z_n + r*z_{n-1}, carried z_{n-1} starts at 0).
+// p/r arrive as fixed-point limbs (pp_limbs/rr_limbs; ignored for kinds
+// 0/1, may be null there) so the host does the one exact float→fixed
+// conversion and both engines share it bit-for-bit.
+long orbit_compute_kind2(const u64* cx_limbs, int sign_x,
+                         const u64* cy_limbs, int sign_y,
+                         const u64* z0x_limbs, int sign_z0x,
+                         const u64* z0y_limbs, int sign_z0y,
+                         const u64* pp_limbs, int sign_pp,
+                         const u64* rr_limbs, int sign_rr,
+                         int n_limbs, int frac_bits,
+                         long max_iter, double escape_mag_sq,
+                         double* out_re, double* out_im, int emit_rel,
+                         int fractal_kind) {
     Big cx = big_from(cx_limbs, sign_x, n_limbs);
     Big cy = big_from(cy_limbs, sign_y, n_limbs);
     Big zr = big_from(z0x_limbs, sign_z0x, n_limbs);
@@ -189,6 +195,14 @@ long orbit_compute_kind(const u64* cx_limbs, int sign_x,
     Big z0r = zr, z0i = zi;
     z0r.sign = -z0r.sign;
     z0i.sign = -z0i.sign;
+    Big pp, rr, przr, przi;
+    bool phoenix = fractal_kind == 2;
+    if (phoenix) {
+        pp = big_from(pp_limbs, sign_pp, n_limbs);
+        rr = big_from(rr_limbs, sign_rr, n_limbs);
+        przr = Big(1);  // z_{n-1} = 0
+        przi = Big(1);
+    }
     Big t1, t2, t3, nr, ni;
 
     long stored = 0;
@@ -229,10 +243,42 @@ long orbit_compute_kind(const u64* cx_limbs, int sign_x,
         }
         add_signed(t1, cy, ni);             // + cy
 
+        if (phoenix) {
+            // + p*z_n + r*z_{n-1}; mul_shift truncates toward zero
+            // exactly like the Python fallback's tm()
+            mul_shift(pp, zr, frac_bits, t1);
+            add_signed(nr, t1, t2);
+            mul_shift(rr, przr, frac_bits, t1);
+            add_signed(t2, t1, nr);
+            mul_shift(pp, zi, frac_bits, t1);
+            add_signed(ni, t1, t2);
+            mul_shift(rr, przi, frac_bits, t1);
+            add_signed(t2, t1, ni);
+            przr = zr;
+            przi = zi;
+        }
+
         zr = nr;
         zi = ni;
     }
     return stored;
+}
+
+// Backward-compatible entry without Phoenix coefficients (kinds 0/1).
+long orbit_compute_kind(const u64* cx_limbs, int sign_x,
+                        const u64* cy_limbs, int sign_y,
+                        const u64* z0x_limbs, int sign_z0x,
+                        const u64* z0y_limbs, int sign_z0y,
+                        int n_limbs, int frac_bits,
+                        long max_iter, double escape_mag_sq,
+                        double* out_re, double* out_im, int emit_rel,
+                        int fractal_kind) {
+    return orbit_compute_kind2(cx_limbs, sign_x, cy_limbs, sign_y,
+                               z0x_limbs, sign_z0x, z0y_limbs, sign_z0y,
+                               nullptr, 0, nullptr, 0,
+                               n_limbs, frac_bits, max_iter, escape_mag_sq,
+                               out_re, out_im, emit_rel,
+                               fractal_kind == 2 ? 0 : fractal_kind);
 }
 
 // Backward-compatible entry: the Mandelbrot critical orbit (z0 = 0).

@@ -185,6 +185,23 @@ def test_native_orbit_matches_python():
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
 
+def test_native_phoenix_orbit_matches_python():
+    # kind=2 (phoenix two-term recurrence) runs natively; both engines must
+    # be bit-identical — including the carried z_{n-1} state and the exact
+    # fixed-point p/r coefficients (converted once, host-side).
+    if orbit._load_native() is None:
+        pytest.skip("native orbit lib unavailable")
+    for cx, cy, pp, rr, bits, mi in [
+            ("0.5334632772339566", "0.05", 0.0, -0.5, 128, 3000),
+            ("-0.1", "0.7", 0.5667, -0.5, 192, 1000),
+            ("0.05", "0.3", 0.5667, -0.25, 512, 500)]:
+        a = orbit.compute_orbit(cx, cy, bits, mi, kind=2, pp=pp, rr=rr)
+        b = orbit.compute_orbit_python(cx, cy, bits, mi, kind=2,
+                                       pp=pp, rr=rr)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
+
 def test_orbit_high_precision_string():
     # A center needing > double precision: 65-digit string
     cx = "-0.743643887037151001882355212130123456789012345678901234567890123"
