@@ -4,10 +4,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Target: >= 1 Gpixel/s/chip (BASELINE.md) → vs_baseline = Mpix/s / 1000.
 
-Timing method: the device link (axon tunnel) makes per-call host timing
-unreliable, so K frames are rendered inside one jitted device-side loop
-(distinct zooms, summed output to defeat CSE) and the amortized per-frame
-time is (T(K) - T(1)) measured at the single fetch that forces completion.
+Timing method: K frames are rendered inside one jitted device-side loop
+(distinct zooms, summed output to defeat CSE) and per-frame time comes
+from a jax.profiler device trace ('XLA Modules' lane = on-device program
+wall-clock, immune to the tunneled link's host-timing variance), falling
+back to best-of-3 amortized (T(K) - T(1)) wall-clock deltas when tracing
+is unavailable.
 """
 from __future__ import annotations
 
@@ -48,10 +50,22 @@ def main() -> None:
 
     K = 64
     run(1)          # compile + warm
-    # The tunneled device link adds large, variable fetch latency; measure
-    # several rounds and keep the best (t_K - t_1) estimate.
-    per_frame = min(
-        max((run(K) - run(1)) / (K - 1), 1e-9) for _ in range(3))
+    # Preferred timing: jax.profiler device trace — the 'XLA Modules' lane
+    # records on-device program wall-clock, immune to the tunneled link's
+    # ±2x host-timing variance.  Falls back to best-of-3 amortized
+    # wall-clock deltas if tracing is unavailable.
+    method = "profiler_trace"
+    try:
+        from fractalrenderer_tpu.utils.diag import measure_device_seconds
+
+        per_frame = min(
+            measure_device_seconds(lambda: run(K)) / K for _ in range(2))
+        if per_frame <= 0:
+            raise RuntimeError("empty device trace")
+    except Exception:
+        method = "amortized_wall"
+        per_frame = min(
+            max((run(K) - run(1)) / (K - 1), 1e-9) for _ in range(3))
     mpix_s = W * H / per_frame / 1e6
 
     # iterations/sec (BASELINE.json's second metric): actual escape-loop
@@ -72,6 +86,7 @@ def main() -> None:
         "vs_baseline": round(mpix_s / 1000.0, 3),
         "iters_per_sec": round(iters_s, 0),
         "mean_iters_per_pixel": round(mean_iters, 2),
+        "timing_method": method,
     }))
 
 

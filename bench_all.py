@@ -37,6 +37,37 @@ def _device_loop_time(make_body, K, shape):
     return time.perf_counter() - t0
 
 
+def _traced_seconds(run, rounds=2):
+    """Device-side seconds for run() via a jax.profiler trace ('XLA
+    Modules' lane — immune to the tunneled link's host-timing variance);
+    None when tracing is unavailable."""
+    try:
+        from fractalrenderer_tpu.utils.diag import measure_device_seconds
+
+        s = min(measure_device_seconds(run) for _ in range(rounds))
+        return s if s > 0 else None
+    except Exception:
+        return None
+
+
+def _per_iter_seconds(make_body, K, shape):
+    """Per-iteration device time of a K-round fori_loop render: profiler
+    trace first, amortized (T(K)-T(1))/(K-1) wall-clock fallback."""
+    @jax.jit
+    def f():
+        def body(k, acc):
+            return acc + make_body(k)
+        return jax.lax.fori_loop(0, K, body, jnp.zeros(shape, jnp.float32))
+
+    float(f().ravel()[0])  # compile + warm
+    secs = _traced_seconds(lambda: float(f().ravel()[0]))
+    if secs is not None:
+        return secs / K, "profiler_trace"
+    t1 = min(_device_loop_time(make_body, 1, shape) for _ in range(2))
+    tK = min(_device_loop_time(make_body, K, shape) for _ in range(2))
+    return max((tK - t1) / (K - 1), 1e-9), "amortized_wall"
+
+
 def bench_mandelbrot_1080p():
     from fractalrenderer_tpu.models import common
     from fractalrenderer_tpu.scene import Scene
@@ -52,11 +83,10 @@ def bench_mandelbrot_1080p():
         d["zoom"] = base["zoom"] + k.astype(jnp.float32) * 1e-6
         return common._render_impl(cfg, d)
 
-    t1 = min(_device_loop_time(body, 1, (H, W, 3)) for _ in range(2))
-    t64 = min(_device_loop_time(body, 64, (H, W, 3)) for _ in range(2))
-    per = (t64 - t1) / 63
+    per, method = _per_iter_seconds(body, 64, (H, W, 3))
     return {"config": "mandelbrot_1080p_256iter", "ms_per_frame":
-            round(per * 1e3, 3), "mpix_s": round(W * H / per / 1e6, 1)}
+            round(per * 1e3, 3), "mpix_s": round(W * H / per / 1e6, 1),
+            "timing_method": method}
 
 
 def bench_julia_sweep():
@@ -79,12 +109,11 @@ def bench_julia_sweep():
         return jax.lax.fori_loop(0, B, frame,
                                  jnp.zeros((H, W, 3), jnp.float32))
 
-    t1 = _device_loop_time(body, 1, (H, W, 3))
-    t4 = _device_loop_time(body, 4, (H, W, 3))
-    per_batch = (t4 - t1) / 3
+    per_batch, method = _per_iter_seconds(body, 4, (H, W, 3))
     return {"config": "julia_c_sweep_16x1080p",
             "ms_per_batch": round(per_batch * 1e3, 2),
-            "mpix_s": round(B * W * H / per_batch / 1e6, 1)}
+            "mpix_s": round(B * W * H / per_batch / 1e6, 1),
+            "timing_method": method}
 
 
 def bench_animation(frames=300):
@@ -124,12 +153,17 @@ def bench_animation(frames=300):
 
     out = f(batch)
     float(out[0, 0, 0])  # warm + fetch
-    out = f(batch)
-    t0 = time.perf_counter()
-    float(out[0, 0, 0])
-    dt = time.perf_counter() - t0
+    dt = _traced_seconds(lambda: float(f(batch)[0, 0, 0]))
+    method = "profiler_trace"
+    if dt is None:
+        method = "amortized_wall"
+        out = f(batch)
+        t0 = time.perf_counter()
+        float(out[0, 0, 0])
+        dt = time.perf_counter() - t0
     return {"config": f"zoom_animation_{frames}f_1080p",
-            "seconds": round(dt, 2), "fps": round(frames / dt, 1)}
+            "seconds": round(dt, 2), "fps": round(frames / dt, 1),
+            "timing_method": method}
 
 
 def bench_deep_zoom():
@@ -195,15 +229,21 @@ def bench_mandelbulb():
     img = mandelbulb.render(s, W, H)
     float(img[0, 0, 0])  # compile + warm (scalar fetch forces completion;
     # np.asarray would time the tunneled 25 MB image transfer instead)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        img = mandelbulb.render(s, W, H)
-        float(img[0, 0, 0])
-        best = min(best, time.perf_counter() - t0)
+    best = _traced_seconds(
+        lambda: float(mandelbulb.render(s, W, H)[0, 0, 0]), rounds=3)
+    method = "profiler_trace"
+    if best is None:
+        method = "amortized_wall"
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            img = mandelbulb.render(s, W, H)
+            float(img[0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
     return {"config": "mandelbulb_1080p_kernel_shaded",
             "seconds": round(best, 3),
-            "mpix_s": round(W * H / best / 1e6, 2)}
+            "mpix_s": round(W * H / best / 1e6, 2),
+            "timing_method": method}
 
 
 def bench_scaled_deep_zoom():

@@ -103,3 +103,68 @@ def trace(log_dir: Optional[str] = None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_seconds_from_trace(log_dir: str,
+                              lane: str = "XLA Modules") -> float:
+    """Sum device-side execution seconds recorded in a jax.profiler trace.
+
+    Reads the newest ``*.trace.json.gz`` under ``log_dir`` and totals the
+    complete ('X') events on the requested device lane ('XLA Modules' =
+    one event per executed program, so the total is wall-clock ON DEVICE
+    and immune to the host link; 'XLA Ops' gives the per-op breakdown).
+    This is the link-independent timing path the benches prefer — the
+    tunneled device link adds ±2x variance to any host-side clock.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = glob.glob(os.path.join(
+        log_dir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        events = json.load(f)["traceEvents"]
+    device_pids = set()
+    lane_tids = set()
+    cpu_exec_tids = set()
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" and \
+                e["args"]["name"].startswith("/device:"):
+            device_pids.add(e["pid"])
+        elif e.get("name") == "thread_name":
+            if e["args"]["name"] == lane:
+                lane_tids.add((e["pid"], e["tid"]))
+            elif e["args"]["name"].startswith("tf_XLAPjRtCpuClient"):
+                # the CPU backend has no /device: track — execution shows
+                # on the PjRt CPU client threads of the host process
+                cpu_exec_tids.add((e["pid"], e["tid"]))
+    total_us = sum(
+        e.get("dur", 0) for e in events
+        if e.get("ph") == "X" and e.get("pid") in device_pids
+        and (e["pid"], e.get("tid")) in lane_tids)
+    if total_us == 0 and not device_pids:
+        total_us = sum(
+            e.get("dur", 0) for e in events
+            if e.get("ph") == "X"
+            and (e.get("pid"), e.get("tid")) in cpu_exec_tids)
+    return total_us / 1e6
+
+
+def measure_device_seconds(run, log_dir: Optional[str] = None) -> float:
+    """Execute ``run()`` (which must block until its device work completes,
+    e.g. end with a scalar fetch) under a profiler trace and return the
+    device-side seconds it spent.  Traces into a temp dir by default."""
+    import tempfile
+
+    ctx = (contextlib.nullcontext(log_dir) if log_dir is not None
+           else tempfile.TemporaryDirectory())
+    with ctx as d:
+        with trace(d):
+            run()
+        return device_seconds_from_trace(d)

@@ -149,6 +149,37 @@ def test_diag_selfcheck_and_validate():
     assert "center=" in txt and "iterations=256" in txt
 
 
+def test_device_seconds_from_trace():
+    # Parse the committed config-1 profiler trace: 8 program executions of
+    # ~870.85 us each on the 'XLA Modules' device lane.
+    import os
+
+    from fractalrenderer_tpu.utils.diag import device_seconds_from_trace
+    trace_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "traces", "config1")
+    if not os.path.isdir(trace_dir):
+        pytest.skip("trace artifact missing")
+    total = device_seconds_from_trace(trace_dir)
+    assert abs(total - 8 * 870.85e-6) < 1e-5
+    ops = device_seconds_from_trace(trace_dir, lane="XLA Ops")
+    assert 0 < ops <= total + 1e-6
+
+
+def test_measure_device_seconds_cpu():
+    # The CPU backend also records a device lane ('/device:CPU:0'), so the
+    # trace-based timer works in the CI environment end-to-end.
+    import jax
+    import jax.numpy as jnp
+
+    from fractalrenderer_tpu.utils.diag import measure_device_seconds
+
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    x = jnp.arange(1 << 16, dtype=jnp.float32)
+    float(f(x))  # compile outside the trace
+    secs = measure_device_seconds(lambda: float(f(x)))
+    assert secs > 0
+
+
 def test_viewer_commands(tmp_path):
     from fractalrenderer_tpu.viewer import Viewer, ansi_render
     from fractalrenderer_tpu.scene import Scene, FractalType
