@@ -386,7 +386,12 @@ def escape_fields(family: str, width: int, height: int, *,
     if interpret is None:
         interpret = default_interpret()
     if tile is None:
-        tile = pick_tile(height, width)
+        # Mandelbrot's analytic interior skip makes in-tile divergence
+        # cheap, so eliminating the padded partial grid row wins there
+        # (see pick_tile); dust-like families keep the divergence-tuned
+        # base tile.
+        tile = pick_tile(height, width,
+                         prefer_divisor=(family == "mandelbrot"))
     if iter_limit is None:
         iter_limit = max_iter
 
