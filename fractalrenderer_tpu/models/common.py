@@ -147,6 +147,42 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
                      and not cfg.orbit_trap_enabled
                      and cfg.interior_style != 2)
 
+    # In-kernel fused coloring: with a single AA sample and no trap/stripe
+    # consumers, the kernel colors its VMEM tile and emits final sRGB
+    # planes — the n/zx/zy fields never round-trip HBM (~25% frame-time
+    # tax at 1080p/256).  Identical per-channel math (planar colorers).
+    fused = (len(offsets) == 1
+             and (cfg.family == "julia"
+                  or (cfg.family == "mandelbrot"
+                      # stripes/traps/trap-glow read z, the trap field, or
+                      # arctan2 (unsupported in Mosaic) at coloring time
+                      and not cfg.stripe_enabled
+                      and not cfg.orbit_trap_enabled
+                      and cfg.interior_style != 2)))
+    if fused:
+        def fn(dyn, row0):
+            brightness = dyn["brightness"]
+            saturation = dyn["saturation"]
+            contrast = dyn["contrast"]
+            f = escape_fields(
+                cfg.family, cfg.width, band_h,
+                center_x=dyn["center_x"], center_y=dyn["center_y"],
+                zoom=dyn["zoom"], max_iter=cfg.max_iter,
+                bailout=dyn["bailout"], offset=offsets[0],
+                julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
+                use_julia=cfg.use_julia,
+                iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
+                row0=row0, map_height=full_h, interior_skip=interior_skip,
+                fused_color=(cfg.palette_mode, cfg.interior_style,
+                             cfg.clamp_mins),
+                color_offset=dyn["color_offset"],
+                color_scale=dyn["color_scale"],
+                brightness=brightness, saturation=saturation,
+                contrast=contrast, interpret=cfg.interpret)
+            return jnp.stack([f["r"], f["g"], f["b"]], axis=-1)
+
+        return fn
+
     def fn(dyn, row0):
         p = _color_params(cfg, dyn)
         acc = jnp.zeros((band_h, cfg.width, 3), jnp.float32)

@@ -17,6 +17,8 @@ Sources:
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from dataclasses import dataclass
 
 from . import palettes as pal
@@ -63,6 +65,17 @@ def smooth_nu_bailout(xp, n, zx, zy, max_iter, bailout):
 # Post-processing chain
 # ---------------------------------------------------------------------------
 
+def enhance_color_planar(xp, r, g, b, brightness, saturation, contrast):
+    """Planar enhance (see enhance_color); channel math identical."""
+    out = []
+    rgb = [(ch * brightness - 0.5) * contrast + 0.5 for ch in (r, g, b)]
+    gray = rgb[0] * 0.299 + rgb[1] * 0.587 + rgb[2] * 0.114
+    for ch in rgb:
+        out.append(xp.clip(gray * (1.0 - saturation) + ch * saturation,
+                           0.0, 1.0))
+    return tuple(out)
+
+
 def enhance_color(xp, color, brightness, saturation, contrast):
     """mandelbrot.comp:48-54 — brightness, then contrast, then saturation."""
     color = color * brightness
@@ -74,7 +87,7 @@ def enhance_color(xp, color, brightness, saturation, contrast):
 
 
 def aces_tonemap(xp, color):
-    """mandelbrot.comp:38-45."""
+    """mandelbrot.comp:38-45.  Works on stacked colors and single planes."""
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
     return xp.clip((color * (a * color + b)) / (color * (c * color + d) + e),
                    0.0, 1.0)
@@ -82,6 +95,20 @@ def aces_tonemap(xp, color):
 
 def gamma_correct(xp, color, gamma: float = 2.2):
     return xp.power(xp.maximum(color, 0.0), _f32(xp, 1.0 / gamma))
+
+
+def post_chain_planar(xp, r, g, b, brightness, saturation, contrast,
+                      clamp_mins: bool = False):
+    """Planar enhance → ACES → gamma with possibly-traced enhance scalars.
+    ``clamp_mins`` applies the julia/burning-ship floors via xp.maximum so
+    traced values stay traced (models/common.py does the same)."""
+    if clamp_mins:
+        brightness = xp.maximum(_f32(xp, brightness), 0.1)
+        saturation = xp.maximum(_f32(xp, saturation), 0.0)
+        contrast = xp.maximum(_f32(xp, contrast), 0.1)
+    r, g, b = enhance_color_planar(xp, r, g, b, brightness, saturation,
+                                   contrast)
+    return tuple(gamma_correct(xp, aces_tonemap(xp, ch)) for ch in (r, g, b))
 
 
 def post_chain(xp, color, brightness, saturation, contrast,
@@ -117,8 +144,61 @@ class ColorParams:
     phoenix_stripe_control: float = 0.0
 
 
+def color_mandelbrot_planar(xp, n, zx, zy, min_trap, p: ColorParams):
+    """Planar mandelbrot.comp:172-207 — returns (r, g, b) planes.
+
+    The planar form lets the Pallas escape kernel fuse coloring in VMEM
+    (a trailing size-3 axis would pad TPU lanes 3→128); stacking it is
+    bit-identical to the old stacked implementation.  ``palette_mode``
+    must be a static int on this path.
+    """
+    max_iter = _f32(xp, p.max_iterations)
+    nu = smooth_nu_loglog(xp, n, zx, zy, max_iter)
+    t = xp.clip(nu / max_iter * p.color_scale, 0.0, 1.0)
+    rgb = list(pal.palette_color_planar(xp, t + p.color_offset,
+                                        p.palette_mode, "classic"))
+
+    interior = n.astype(xp.float32) >= max_iter
+    if p.interior_style == 1:
+        interior_rgb = [xp.zeros_like(c) for c in rgb]
+    elif p.interior_style == 2:
+        r2 = xp.maximum(_f32(xp, p.orbit_trap_radius), 1e-6)
+        trap_factor = xp.exp(-min_trap * 6.0 / r2)
+        interior_rgb = list(pal.palette_color_planar(
+            xp, p.color_offset + trap_factor * 0.3, p.palette_mode,
+            "classic"))
+    else:
+        interior_rgb = None  # style 0 falls through to the exterior path
+
+    if p.orbit_trap_enabled:
+        r = xp.maximum(_f32(xp, p.orbit_trap_radius), 1e-6)
+        trap_factor = xp.exp(-min_trap * 4.0 / r)
+        w = xp.clip(trap_factor * 0.8, 0.0, 1.0)
+        for ch, tc in enumerate((1.0, 0.8, 0.4)):
+            rgb[ch] = rgb[ch] * (1.0 - w) + _f32(xp, tc) * w
+
+    if p.stripe_enabled:
+        angle = xp.arctan2(zy, zx)
+        stripes = 0.5 + 0.5 * xp.sin(angle * p.stripe_density + nu * 0.3)
+        m = _mix_scalar(0.7, 1.3, stripes)
+        rgb = [c * m for c in rgb]
+
+    if interior_rgb is not None:
+        rgb = [xp.where(interior, ic, c) for ic, c in zip(interior_rgb, rgb)]
+    return tuple(c.astype(xp.float32) for c in rgb)
+
+
 def color_mandelbrot(xp, n, zx, zy, min_trap, p: ColorParams):
     """mandelbrot.comp:172-207."""
+    if not isinstance(p.palette_mode, (int, np.integer)):
+        # traced palette mode (interactive sweeps): lax.switch over the
+        # stacked palette table; otherwise share the planar path
+        return _color_mandelbrot_traced(xp, n, zx, zy, min_trap, p)
+    return xp.stack(color_mandelbrot_planar(xp, n, zx, zy, min_trap, p),
+                    axis=-1).astype(xp.float32)
+
+
+def _color_mandelbrot_traced(xp, n, zx, zy, min_trap, p: ColorParams):
     max_iter = _f32(xp, p.max_iterations)
     nu = smooth_nu_loglog(xp, n, zx, zy, max_iter)
     t = xp.clip(nu / max_iter * p.color_scale, 0.0, 1.0)
@@ -152,14 +232,28 @@ def color_mandelbrot(xp, n, zx, zy, min_trap, p: ColorParams):
     return color.astype(xp.float32)
 
 
-def color_julia(xp, n, zx, zy, p: ColorParams):
-    """julia.comp:238-249 — interior is black; t = offset + smooth/max * scale."""
+def color_julia_planar(xp, n, zx, zy, p: ColorParams):
+    """Planar julia.comp:238-249 (static palette mode)."""
     max_iter = _f32(xp, p.max_iterations)
     smooth = smooth_nu_bailout(xp, n, zx, zy, max_iter, p.bailout)
     t = p.color_offset + (smooth / max_iter) * p.color_scale
-    color = pal.palette_color(xp, t, p.palette_mode, "enhanced")
-    interior = (n.astype(xp.float32) >= max_iter)[..., None]
-    return xp.where(interior, xp.zeros_like(color), color).astype(xp.float32)
+    rgb = pal.palette_color_planar(xp, t, p.palette_mode, "enhanced")
+    interior = n.astype(xp.float32) >= max_iter
+    return tuple(xp.where(interior, xp.zeros_like(c), c).astype(xp.float32)
+                 for c in rgb)
+
+
+def color_julia(xp, n, zx, zy, p: ColorParams):
+    """julia.comp:238-249 — interior is black; t = offset + smooth/max * scale."""
+    if not isinstance(p.palette_mode, (int, np.integer)):
+        max_iter = _f32(xp, p.max_iterations)
+        smooth = smooth_nu_bailout(xp, n, zx, zy, max_iter, p.bailout)
+        t = p.color_offset + (smooth / max_iter) * p.color_scale
+        color = pal.palette_color(xp, t, p.palette_mode, "enhanced")
+        interior = (n.astype(xp.float32) >= max_iter)[..., None]
+        return xp.where(interior, xp.zeros_like(color), color).astype(xp.float32)
+    return xp.stack(color_julia_planar(xp, n, zx, zy, p),
+                    axis=-1).astype(xp.float32)
 
 
 def color_burning_ship(xp, n, zx, zy, min_trap, stripe_acc, p: ColorParams):

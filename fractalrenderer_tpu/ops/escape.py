@@ -42,7 +42,9 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
 P_CX, P_CY, P_ZOOM, P_OFFX, P_OFFY, P_BAIL2, P_LIMIT = range(7)
 P_A0, P_A1, P_A2, P_A3 = 7, 8, 9, 10
 P_ROW0 = 11  # global row of this shard's first output row (multi-chip)
-NPARAMS = 12
+# fused-coloring dynamic params (only read when fused_color is set)
+P_COFF, P_CSCALE, P_BRIGHT, P_SAT, P_CONTRAST, P_BAILOUT = range(12, 18)
+NPARAMS = 18
 
 FAMILIES = ("mandelbrot", "julia", "burning_ship", "phoenix")
 
@@ -149,7 +151,8 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
                  max_iter_cap: int,
                  track_trap: bool, track_stripe: bool, use_julia: bool,
                  tile: Tuple[int, int], chunk: int,
-                 interior_skip: bool = False, track_deriv: bool = False):
+                 interior_skip: bool = False, track_deriv: bool = False,
+                 fused_color=None):
     """``height`` is the local output extent (a row band when sharded);
     ``map_height`` is the full image height used by the pixel→plane mapping
     and bounds; params[P_ROW0] carries the band's global first row."""
@@ -296,6 +299,36 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
             zx_out = jnp.where(skip, jnp.float32(0.0), zx_out)
             zy_out = jnp.where(skip, jnp.float32(0.0), zy_out)
 
+        if fused_color is not None:
+            # In-kernel coloring + post chain (AA==1, no trap/stripe paths):
+            # the planar colorers run the exact per-channel math of the XLA
+            # path on the VMEM-resident tile, so the n/zx/zy fields never
+            # round-trip HBM — the kernel writes final sRGB planes.
+            from . import coloring as _col
+
+            palette_mode, interior_style, clamp_mins = fused_color
+            cp = _col.ColorParams(
+                max_iterations=params_ref[0, P_LIMIT],
+                bailout=params_ref[0, P_BAILOUT],
+                palette_mode=palette_mode,
+                color_offset=params_ref[0, P_COFF],
+                color_scale=params_ref[0, P_CSCALE],
+                interior_style=interior_style)
+            if family == "mandelbrot":
+                r, g, b = _col.color_mandelbrot_planar(
+                    jnp, n, zx_out, zy_out,
+                    jnp.full((th, tw), 1e20, jnp.float32), cp)
+            else:  # julia
+                r, g, b = _col.color_julia_planar(jnp, n, zx_out, zy_out, cp)
+            r, g, b = _col.post_chain_planar(
+                jnp, r, g, b, params_ref[0, P_BRIGHT], params_ref[0, P_SAT],
+                params_ref[0, P_CONTRAST], clamp_mins=clamp_mins)
+            it = iter(out_refs)
+            next(it)[:, :] = r
+            next(it)[:, :] = g
+            next(it)[:, :] = b
+            return
+
         it = iter(out_refs)
         next(it)[:, :] = n
         next(it)[:, :] = zx_out
@@ -316,23 +349,29 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
     static_argnames=("family", "width", "height", "map_height",
                      "max_iter_cap",
                      "track_trap", "track_stripe", "use_julia", "tile",
-                     "chunk", "interpret", "interior_skip", "track_deriv"))
+                     "chunk", "interpret", "interior_skip", "track_deriv",
+                     "fused_color"))
 def _escape_call(params, *, family: str, width: int, height: int,
                  map_height: int,
                  max_iter_cap: int, track_trap: bool, track_stripe: bool,
                  use_julia: bool, tile: Tuple[int, int], chunk: int,
-                 interpret: bool, interior_skip: bool, track_deriv: bool):
+                 interpret: bool, interior_skip: bool, track_deriv: bool,
+                 fused_color=None):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(family, width, height, map_height, max_iter_cap,
                           track_trap, track_stripe, use_julia, tile, chunk,
-                          interior_skip, track_deriv)
+                          interior_skip, track_deriv, fused_color)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((height, width), jnp.int32),   # n
-        jax.ShapeDtypeStruct((height, width), jnp.float32),  # zx
-        jax.ShapeDtypeStruct((height, width), jnp.float32),  # zy
-    ]
+    if fused_color is not None:
+        out_shapes = [jax.ShapeDtypeStruct((height, width), jnp.float32)
+                      for _ in range(3)]  # r, g, b
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((height, width), jnp.int32),   # n
+            jax.ShapeDtypeStruct((height, width), jnp.float32),  # zx
+            jax.ShapeDtypeStruct((height, width), jnp.float32),  # zy
+        ]
     if track_trap:
         out_shapes.append(jax.ShapeDtypeStruct((height, width), jnp.float32))
     if track_stripe:
@@ -372,6 +411,8 @@ def escape_fields(family: str, width: int, height: int, *,
                   iter_limit=None, tile=None, chunk: int = 16,
                   row0=0.0, map_height: Optional[int] = None,
                   interior_skip: bool = False, track_deriv: bool = False,
+                  fused_color=None, color_offset=0.0, color_scale=1.0,
+                  brightness=1.0, saturation=1.2, contrast=1.1,
                   interpret=None) -> Dict[str, jax.Array]:
     """Compute escape-time fields for one AA sample.
 
@@ -380,7 +421,18 @@ def escape_fields(family: str, width: int, height: int, *,
     counts without recompiling.  For multi-chip row-band sharding pass the
     band's global first row as ``row0`` (traced) and the full image height
     as ``map_height``; the output still covers ``height`` local rows.
+
+    ``fused_color``: a static ``(palette_mode, interior_style, clamp_mins)``
+    tuple enabling in-kernel coloring + post chain (mandelbrot/julia only,
+    AA==1, no trap/stripe/deriv tracking) — the kernel then returns final
+    sRGB planes {"r","g","b"} instead of fields, and the n/zx/zy arrays
+    never round-trip HBM.  ``color_offset``/``color_scale`` and the enhance
+    scalars feed that path (traced).
     """
+    if fused_color is not None:
+        assert family in ("mandelbrot", "julia") and not track_trap             and not track_stripe and not track_deriv,             "fused coloring supports plain mandelbrot/julia renders only"
+        fused_color = (int(fused_color[0]), int(fused_color[1]),
+                       bool(fused_color[2]))
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r}")
     if interpret is None:
@@ -417,6 +469,9 @@ def escape_fields(family: str, width: int, height: int, *,
         jnp.maximum(jnp.asarray(iter_limit, jnp.float32), 1.0),
         jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
         jnp.float32(a[3]), jnp.asarray(row0, jnp.float32),
+        jnp.float32(color_offset), jnp.float32(color_scale),
+        jnp.float32(brightness), jnp.float32(saturation),
+        jnp.float32(contrast), jnp.float32(bailout),
     ]).reshape(1, NPARAMS)
 
     outs = _escape_call(
@@ -426,8 +481,11 @@ def escape_fields(family: str, width: int, height: int, *,
         track_stripe=track_stripe, use_julia=use_julia,
         tile=tuple(tile), chunk=chunk, interpret=bool(interpret),
         interior_skip=bool(interior_skip and family == "mandelbrot"),
-        track_deriv=bool(track_deriv and family == "mandelbrot"))
+        track_deriv=bool(track_deriv and family == "mandelbrot"),
+        fused_color=fused_color)
 
+    if fused_color is not None:
+        return dict(zip(("r", "g", "b"), outs))
     names = ["n", "zx", "zy"]
     if track_trap:
         names.append("trap")

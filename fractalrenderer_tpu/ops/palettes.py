@@ -51,83 +51,123 @@ def _smoothstep(xp, t):
     return t * t * (3.0 - 2.0 * t)
 
 
-def _piecewise5(xp, t, cols: Sequence[Tuple[float, float, float]],
-                bounds: Sequence[float]):
-    """5-stop gradient: segment i spans [bounds[i], bounds[i+1]) mixing
-    cols[i]→cols[i+1]; t >= bounds[-1] returns cols[-1]."""
-    c = [_vec3(xp, *col) for col in cols]
-    out = xp.broadcast_to(c[-1], t.shape + (3,))
+def _piecewise5_planar(xp, t, cols: Sequence[Tuple[float, float, float]],
+                       bounds: Sequence[float]):
+    """Planar 5-stop gradient: returns (r, g, b) planes shaped like ``t``.
+
+    Channel math is identical to the stacked form (scalar stop constants,
+    same mix/select order), so stack(planar) is bit-identical to the old
+    vec3 formulation — the planar form exists so Pallas kernels can fuse
+    coloring without materializing a trailing size-3 axis (which would pad
+    TPU lanes 3→128)."""
+    out = [xp.full(t.shape, _f32(xp, cols[-1][ch]), dtype=xp.float32)
+           for ch in range(3)]
     # Build from the last segment backwards so earlier segments win.
     for i in reversed(range(len(bounds) - 1)):
         lo, hi = bounds[i], bounds[i + 1]
         f = (t - lo) / (hi - lo)
-        seg = _mix(c[i], c[i + 1], f)
-        out = xp.where((t < hi)[..., None], seg, out)
-    return out.astype(xp.float32)
+        sel = t < hi
+        for ch in range(3):
+            seg = _f32(xp, cols[i][ch]) * (1.0 - f) \
+                + _f32(xp, cols[i + 1][ch]) * f
+            out[ch] = xp.where(sel, seg, out[ch])
+    return tuple(o.astype(xp.float32) for o in out)
+
+
+def _piecewise5(xp, t, cols: Sequence[Tuple[float, float, float]],
+                bounds: Sequence[float]):
+    """5-stop gradient: segment i spans [bounds[i], bounds[i+1]) mixing
+    cols[i]→cols[i+1]; t >= bounds[-1] returns cols[-1]."""
+    return xp.stack(_piecewise5_planar(xp, t, cols, bounds),
+                    axis=-1).astype(xp.float32)
 
 
 # ---------------------------------------------------------------------------
 # classic family (mandelbrot.comp)
 # ---------------------------------------------------------------------------
 
-def classic_fire(xp, t):
+# Gradient specs shared by the stacked and planar evaluators:
+# (pre-transform key, stops, bounds).  Pre-transforms: a (kind, value)
+# tag interpreted by _pre (pow / smoothstep / fract / fract-then-pow).
+_CLASSIC_SPECS = (
     # mandelbrot.comp:60-72
-    t = xp.power(t, _f32(xp, 0.7))
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.0, 0.1), (0.8, 0.0, 0.0), (1.0, 0.3, 0.0),
-         (1.0, 0.9, 0.0), (1.0, 1.0, 0.95)],
-        [0.0, 0.2, 0.4, 0.6, 0.8],
-    )
+    (("pow", 0.7),
+     [(0.0, 0.0, 0.1), (0.8, 0.0, 0.0), (1.0, 0.3, 0.0),
+      (1.0, 0.9, 0.0), (1.0, 1.0, 0.95)],
+     [0.0, 0.2, 0.4, 0.6, 0.8]),
+    # mandelbrot.comp:74-85
+    (("smoothstep", None),
+     [(0.0, 0.0, 0.05), (0.0, 0.1, 0.4), (0.0, 0.5, 1.0),
+      (0.3, 0.8, 1.0), (0.8, 1.0, 1.0)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # mandelbrot.comp:87-89 — grayscale, no gradient
+    (("gray", None), None, None),
+    # mandelbrot.comp:91-102
+    (("fract", None),
+     [(0.02, 0.00, 0.05), (0.15, 0.00, 0.25), (0.00, 0.40, 0.60),
+      (0.00, 0.90, 1.00), (0.90, 0.95, 1.00)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # mandelbrot.comp:104-115
+    (("fract_pow", 0.9),
+     [(0.1, 0.0, 0.1), (0.5, 0.0, 0.2), (0.9, 0.3, 0.0),
+      (1.0, 0.8, 0.3), (1.0, 1.0, 0.9)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # mandelbrot.comp:117-128
+    (("fract_pow", 0.85),
+     [(0.0, 0.05, 0.08), (0.0, 0.3, 0.5), (0.0, 0.7, 0.9),
+      (0.2, 0.9, 1.0), (0.9, 1.0, 1.0)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+)
+
+
+def _pre(xp, t, tag):
+    kind, val = tag
+    if kind == "pow":
+        return xp.power(t, _f32(xp, val))
+    if kind == "smoothstep":
+        return _smoothstep(xp, t)
+    if kind == "fract":
+        return _fract(xp, t)
+    if kind == "fract_pow":
+        return xp.power(_fract(xp, t), _f32(xp, val))
+    return t  # "gray" / identity
+
+
+def _spec_planar(xp, t, spec):
+    tag, cols, bounds = spec
+    t = _pre(xp, t, tag)
+    if cols is None:  # grayscale
+        t = t.astype(xp.float32)
+        return t, t, t
+    return _piecewise5_planar(xp, t, cols, bounds)
+
+
+def _spec_color(xp, t, spec):
+    return xp.stack(_spec_planar(xp, t, spec), axis=-1).astype(xp.float32)
+
+
+def classic_fire(xp, t):
+    return _spec_color(xp, t, _CLASSIC_SPECS[0])
 
 
 def classic_electric(xp, t):
-    # mandelbrot.comp:74-85
-    t = _smoothstep(xp, t)
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.0, 0.05), (0.0, 0.1, 0.4), (0.0, 0.5, 1.0),
-         (0.3, 0.8, 1.0), (0.8, 1.0, 1.0)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _CLASSIC_SPECS[1])
 
 
 def classic_grayscale(xp, t):
-    # mandelbrot.comp:87-89
-    return xp.broadcast_to(t[..., None], t.shape + (3,)).astype(xp.float32)
+    return _spec_color(xp, t, _CLASSIC_SPECS[2])
 
 
 def classic_nebula(xp, t):
-    # mandelbrot.comp:91-102
-    t = _fract(xp, t)
-    return _piecewise5(
-        xp, t,
-        [(0.02, 0.00, 0.05), (0.15, 0.00, 0.25), (0.00, 0.40, 0.60),
-         (0.00, 0.90, 1.00), (0.90, 0.95, 1.00)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _CLASSIC_SPECS[3])
 
 
 def classic_solar(xp, t):
-    # mandelbrot.comp:104-115
-    t = xp.power(_fract(xp, t), _f32(xp, 0.9))
-    return _piecewise5(
-        xp, t,
-        [(0.1, 0.0, 0.1), (0.5, 0.0, 0.2), (0.9, 0.3, 0.0),
-         (1.0, 0.8, 0.3), (1.0, 1.0, 0.9)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _CLASSIC_SPECS[4])
 
 
 def classic_ocean(xp, t):
-    # mandelbrot.comp:117-128
-    t = xp.power(_fract(xp, t), _f32(xp, 0.85))
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.05, 0.08), (0.0, 0.3, 0.5), (0.0, 0.7, 0.9),
-         (0.2, 0.9, 1.0), (0.9, 1.0, 1.0)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _CLASSIC_SPECS[5])
 
 
 CLASSIC_PALETTES = (classic_fire, classic_electric, classic_grayscale,
@@ -139,98 +179,92 @@ CLASSIC_NAMES = ("fire", "electric", "grayscale", "nebula", "solar", "ocean")
 # enhanced family (julia.comp / burning_ship.comp)
 # ---------------------------------------------------------------------------
 
+_ENHANCED_SPECS = (
+    # julia.comp:20-34 — ultra_fire
+    (("pow", 0.7),
+     [(0.0, 0.0, 0.1), (0.8, 0.0, 0.0), (1.0, 0.3, 0.0),
+      (1.0, 0.9, 0.0), (1.0, 1.0, 0.95)],
+     [0.0, 0.2, 0.4, 0.6, 0.8]),
+    # julia.comp:37-50 — electric (same as classic)
+    _CLASSIC_SPECS[1],
+    # julia.comp:53-66 — ocean
+    (("smoothstep", None),
+     [(0.0, 0.0, 0.1), (0.0, 0.1, 0.3), (0.0, 0.4, 0.7),
+      (0.0, 0.7, 1.0), (0.5, 1.0, 1.0)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # julia.comp:69-81 — sunset
+    (("id", None),
+     [(0.1, 0.0, 0.2), (0.5, 0.1, 0.3), (1.0, 0.3, 0.2),
+      (1.0, 0.7, 0.3), (1.0, 0.95, 0.7)],
+     [0.0, 0.2, 0.4, 0.6, 0.8]),
+    # julia.comp:84-97 — cosmic, non-uniform breakpoints
+    (("pow", 0.8),
+     [(0.0, 0.0, 0.0), (0.2, 0.0, 0.4), (0.4, 0.0, 0.6),
+      (0.8, 0.3, 0.9), (1.0, 0.7, 1.0)],
+     [0.0, 0.3, 0.5, 0.7, 1.0]),
+    # julia.comp:100-113 — gold
+    (("smoothstep", None),
+     [(0.1, 0.05, 0.0), (0.4, 0.2, 0.0), (0.8, 0.5, 0.1),
+      (1.0, 0.8, 0.3), (1.0, 1.0, 0.9)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # julia.comp:116-127 — vaporwave
+    (("id", None),
+     [(0.1, 0.0, 0.2), (0.5, 0.0, 0.5), (1.0, 0.0, 0.8),
+      (0.0, 0.8, 1.0), (1.0, 0.5, 1.0)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # julia.comp:130-141 — forest
+    (("id", None),
+     [(0.0, 0.05, 0.0), (0.0, 0.2, 0.1), (0.1, 0.5, 0.2),
+      (0.3, 0.8, 0.4), (0.8, 1.0, 0.6)],
+     [0.0, 0.25, 0.5, 0.75, 1.0]),
+    # julia.comp:144-157 — lava, segment spans 0.2/0.2/0.3/0.3
+    (("pow", 0.6),
+     [(0.1, 0.0, 0.0), (0.6, 0.0, 0.0), (1.0, 0.2, 0.0),
+      (1.0, 0.6, 0.0), (1.0, 1.0, 0.5)],
+     [0.0, 0.2, 0.4, 0.7, 1.0]),
+    # julia.comp:160-162 — grayscale
+    _CLASSIC_SPECS[2],
+)
+
+
 def enhanced_ultra_fire(xp, t):
-    # julia.comp:20-34
-    t = xp.power(t, _f32(xp, 0.7))
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.0, 0.1), (0.8, 0.0, 0.0), (1.0, 0.3, 0.0),
-         (1.0, 0.9, 0.0), (1.0, 1.0, 0.95)],
-        [0.0, 0.2, 0.4, 0.6, 0.8],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[0])
 
 
 def enhanced_electric(xp, t):
-    # julia.comp:37-50
-    return classic_electric(xp, t)
+    return _spec_color(xp, t, _ENHANCED_SPECS[1])
 
 
 def enhanced_ocean(xp, t):
-    # julia.comp:53-66
-    t = _smoothstep(xp, t)
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.0, 0.1), (0.0, 0.1, 0.3), (0.0, 0.4, 0.7),
-         (0.0, 0.7, 1.0), (0.5, 1.0, 1.0)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[2])
 
 
 def enhanced_sunset(xp, t):
-    # julia.comp:69-81
-    return _piecewise5(
-        xp, t,
-        [(0.1, 0.0, 0.2), (0.5, 0.1, 0.3), (1.0, 0.3, 0.2),
-         (1.0, 0.7, 0.3), (1.0, 0.95, 0.7)],
-        [0.0, 0.2, 0.4, 0.6, 0.8],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[3])
 
 
 def enhanced_cosmic(xp, t):
-    # julia.comp:84-97 — non-uniform breakpoints
-    t = xp.power(t, _f32(xp, 0.8))
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.0, 0.0), (0.2, 0.0, 0.4), (0.4, 0.0, 0.6),
-         (0.8, 0.3, 0.9), (1.0, 0.7, 1.0)],
-        [0.0, 0.3, 0.5, 0.7, 1.0],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[4])
 
 
 def enhanced_gold(xp, t):
-    # julia.comp:100-113
-    t = _smoothstep(xp, t)
-    return _piecewise5(
-        xp, t,
-        [(0.1, 0.05, 0.0), (0.4, 0.2, 0.0), (0.8, 0.5, 0.1),
-         (1.0, 0.8, 0.3), (1.0, 1.0, 0.9)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[5])
 
 
 def enhanced_vaporwave(xp, t):
-    # julia.comp:116-127
-    return _piecewise5(
-        xp, t,
-        [(0.1, 0.0, 0.2), (0.5, 0.0, 0.5), (1.0, 0.0, 0.8),
-         (0.0, 0.8, 1.0), (1.0, 0.5, 1.0)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[6])
 
 
 def enhanced_forest(xp, t):
-    # julia.comp:130-141
-    return _piecewise5(
-        xp, t,
-        [(0.0, 0.05, 0.0), (0.0, 0.2, 0.1), (0.1, 0.5, 0.2),
-         (0.3, 0.8, 0.4), (0.8, 1.0, 0.6)],
-        [0.0, 0.25, 0.5, 0.75, 1.0],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[7])
 
 
 def enhanced_lava(xp, t):
-    # julia.comp:144-157 — segment spans 0.2/0.2/0.3/0.3
-    t = xp.power(t, _f32(xp, 0.6))
-    return _piecewise5(
-        xp, t,
-        [(0.1, 0.0, 0.0), (0.6, 0.0, 0.0), (1.0, 0.2, 0.0),
-         (1.0, 0.6, 0.0), (1.0, 1.0, 0.5)],
-        [0.0, 0.2, 0.4, 0.7, 1.0],
-    )
+    return _spec_color(xp, t, _ENHANCED_SPECS[8])
 
 
 def enhanced_grayscale(xp, t):
-    return classic_grayscale(xp, t)
+    return _spec_color(xp, t, _ENHANCED_SPECS[9])
 
 
 ENHANCED_PALETTES = (enhanced_ultra_fire, enhanced_electric, enhanced_ocean,
@@ -379,6 +413,17 @@ def palette_color(xp, t, mode, family: str = "classic"):
 
     idx = xp.clip(mode, 0, len(table) - 1).astype(xp.int32)
     return jax.lax.switch(idx, [lambda tt, f=f: f(xp, tt) for f in table], tf)
+
+
+def palette_color_planar(xp, t, mode: int, family: str = "classic"):
+    """Planar get_palette_color for a STATIC mode: fract(t), then the
+    palette's planar gradient — returns (r, g, b) planes.  stack(planar)
+    is bit-identical to palette_color; Pallas kernels use this form to
+    fuse coloring without a trailing size-3 axis."""
+    specs = {"classic": _CLASSIC_SPECS, "enhanced": _ENHANCED_SPECS}[family]
+    idx = int(mode)
+    spec = specs[idx] if 0 <= idx < len(specs) else specs[0]
+    return _spec_planar(xp, _fract(xp, t), spec)
 
 
 def num_palettes(family: str) -> int:

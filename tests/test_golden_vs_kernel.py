@@ -289,3 +289,52 @@ def test_aa_offsets_formulas():
     assert offs[0] == pytest.approx(want0)
     assert len(offs) == 4
     assert mapping.aa_offsets_uv(1, 100) == ((0.0, 0.0),)
+
+
+@pytest.mark.parametrize("family,kw", [
+    ("mandelbrot", {}),
+    ("mandelbrot", dict(fused=(3, 1, False), color_offset=0.25,
+                        color_scale=2.0)),
+    ("julia", dict(fused=(4, 0, True), julia_c=(-0.7, 0.27015),
+                   use_julia=True, cx=0.0, cy=0.0, zoom=3.0)),
+])
+def test_fused_coloring_matches_unfused(family, kw):
+    # The in-kernel fused coloring path (planar colorers + post chain in
+    # VMEM) must reproduce the field-output + XLA coloring pipeline.
+    # Tolerance covers operator-fusion float differences only (<1e-5 —
+    # below one 16-bit quantization step, 1/65535).
+    import jax.numpy as jnp
+
+    from fractalrenderer_tpu.ops import coloring
+    from fractalrenderer_tpu.ops.escape import escape_fields
+
+    kw = dict(kw)
+    fused = kw.pop("fused", (0, 0, False))
+    base = dict(center_x=kw.pop("cx", -0.5), center_y=kw.pop("cy", 0.0),
+                zoom=kw.pop("zoom", 3.0), max_iter=96, bailout=4.0)
+    coff = kw.pop("color_offset", 0.0)
+    cscale = kw.pop("color_scale", 1.0)
+    bri, sat, con = 1.05, 1.2, 1.1
+    W, H = 96, 80
+
+    f = escape_fields(family, W, H, **base, **kw)
+    p = coloring.ColorParams(
+        max_iterations=float(base["max_iter"]), bailout=base["bailout"],
+        palette_mode=fused[0], color_offset=coff, color_scale=cscale,
+        interior_style=fused[1])
+    if family == "mandelbrot":
+        color = coloring.color_mandelbrot(
+            jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e20), p)
+    else:
+        color = coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p)
+    b2, s2, c2 = (max(bri, 0.1), max(sat, 0.0), max(con, 0.1)) \
+        if fused[2] else (bri, sat, con)
+    color = coloring.enhance_color(jnp, color, b2, s2, c2)
+    ref = np.asarray(coloring.gamma_correct(
+        jnp, coloring.aces_tonemap(jnp, color)))
+
+    g = escape_fields(family, W, H, fused_color=fused, color_offset=coff,
+                      color_scale=cscale, brightness=bri, saturation=sat,
+                      contrast=con, **base, **kw)
+    img = np.stack([np.asarray(g[c]) for c in "rgb"], axis=-1)
+    np.testing.assert_allclose(img, ref, rtol=0, atol=1e-5)
