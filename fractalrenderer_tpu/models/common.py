@@ -158,7 +158,10 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
                       # arctan2 (unsupported in Mosaic) at coloring time
                       and not cfg.stripe_enabled
                       and not cfg.orbit_trap_enabled
-                      and cfg.interior_style != 2)))
+                      and cfg.interior_style != 2)
+                  or (cfg.family == "burning_ship"
+                      # trap/stripe interior styles read the tracked fields
+                      and not track_trap and not track_stripe)))
     if fused:
         def fn(dyn, row0):
             brightness = dyn["brightness"]

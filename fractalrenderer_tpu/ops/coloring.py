@@ -256,8 +256,50 @@ def color_julia(xp, n, zx, zy, p: ColorParams):
                     axis=-1).astype(xp.float32)
 
 
+def color_burning_ship_planar(xp, n, zx, zy, min_trap, stripe_acc,
+                              p: ColorParams):
+    """Planar burning_ship.comp:250-308 (static palette mode)."""
+    max_iter = _f32(xp, p.max_iterations)
+    smooth = smooth_nu_bailout(xp, n, zx, zy, max_iter, p.bailout)
+    t = p.color_offset + (smooth / max_iter) * p.color_scale
+    rgb = list(pal.palette_color_planar(xp, t, p.palette_mode, "enhanced"))
+
+    if p.orbit_trap_enabled:
+        trap_influence = 1.0 - xp.clip(min_trap * 2.0, 0.0, 1.0)
+        trap_rgb = pal.palette_color_planar(xp, trap_influence,
+                                            p.palette_mode, "enhanced")
+        w = trap_influence * 0.3
+        rgb = [c * (1.0 - w) + tc * w for c, tc in zip(rgb, trap_rgb)]
+
+    # Interior styles (burning_ship.comp:259-292)
+    if p.interior_style == 1 and p.orbit_trap_enabled:
+        ti = 1.0 - xp.clip(min_trap * 5.0, 0.0, 1.0)
+        interior_rgb = [c * 0.5 for c in pal.palette_color_planar(
+            xp, ti, p.palette_mode, "enhanced")]
+    elif p.interior_style == 2 and p.stripe_enabled:
+        sv = stripe_acc / max_iter
+        ti = (sv + 1.0) * 0.5
+        interior_rgb = [c * 0.3 for c in pal.palette_color_planar(
+            xp, ti, p.palette_mode, "enhanced")]
+    elif p.interior_style == 3:
+        dist = xp.sqrt(zx * zx + zy * zy)
+        ti = xp.clip(dist * 0.5, 0.0, 1.0)
+        interior_rgb = [c * 0.4 for c in pal.palette_color_planar(
+            xp, ti, p.palette_mode, "enhanced")]
+    else:
+        interior_rgb = [xp.zeros_like(c) for c in rgb]
+
+    interior = n.astype(xp.float32) >= max_iter
+    return tuple(xp.where(interior, ic, c).astype(xp.float32)
+                 for ic, c in zip(interior_rgb, rgb))
+
+
 def color_burning_ship(xp, n, zx, zy, min_trap, stripe_acc, p: ColorParams):
     """burning_ship.comp:250-308 — 4 interior styles + orbit-trap blend."""
+    if isinstance(p.palette_mode, (int, np.integer)):
+        return xp.stack(
+            color_burning_ship_planar(xp, n, zx, zy, min_trap, stripe_acc,
+                                      p), axis=-1).astype(xp.float32)
     max_iter = _f32(xp, p.max_iterations)
     smooth = smooth_nu_bailout(xp, n, zx, zy, max_iter, p.bailout)
     t = p.color_offset + (smooth / max_iter) * p.color_scale

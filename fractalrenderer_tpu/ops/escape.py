@@ -318,6 +318,11 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
                 r, g, b = _col.color_mandelbrot_planar(
                     jnp, n, zx_out, zy_out,
                     jnp.full((th, tw), 1e20, jnp.float32), cp)
+            elif family == "burning_ship":
+                r, g, b = _col.color_burning_ship_planar(
+                    jnp, n, zx_out, zy_out,
+                    jnp.full((th, tw), 1e10, jnp.float32),
+                    jnp.zeros((th, tw), jnp.float32), cp)
             else:  # julia
                 r, g, b = _col.color_julia_planar(jnp, n, zx_out, zy_out, cp)
             r, g, b = _col.post_chain_planar(
@@ -430,7 +435,9 @@ def escape_fields(family: str, width: int, height: int, *,
     scalars feed that path (traced).
     """
     if fused_color is not None:
-        assert family in ("mandelbrot", "julia") and not track_trap             and not track_stripe and not track_deriv,             "fused coloring supports plain mandelbrot/julia renders only"
+        assert family in ("mandelbrot", "julia", "burning_ship") \
+            and not track_trap and not track_stripe and not track_deriv, \
+            "fused coloring needs a plain (no trap/stripe/deriv) render"
         fused_color = (int(fused_color[0]), int(fused_color[1]),
                        bool(fused_color[2]))
     if family not in FAMILIES:

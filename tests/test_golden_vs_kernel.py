@@ -297,6 +297,8 @@ def test_aa_offsets_formulas():
                         color_scale=2.0)),
     ("julia", dict(fused=(4, 0, True), julia_c=(-0.7, 0.27015),
                    use_julia=True, cx=0.0, cy=0.0, zoom=3.0)),
+    ("burning_ship", dict(fused=(5, 3, True), cx=-0.5, cy=-0.6, zoom=2.0,
+                          color_offset=0.1, color_scale=1.5)),
 ])
 def test_fused_coloring_matches_unfused(family, kw):
     # The in-kernel fused coloring path (planar colorers + post chain in
@@ -325,6 +327,10 @@ def test_fused_coloring_matches_unfused(family, kw):
     if family == "mandelbrot":
         color = coloring.color_mandelbrot(
             jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e20), p)
+    elif family == "burning_ship":
+        color = coloring.color_burning_ship(
+            jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e10),
+            jnp.zeros_like(f["zx"]), p)
     else:
         color = coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p)
     b2, s2, c2 = (max(bri, 0.1), max(sat, 0.0), max(con, 0.1)) \
