@@ -147,42 +147,61 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
                      and not cfg.orbit_trap_enabled
                      and cfg.interior_style != 2)
 
-    # In-kernel fused coloring: with a single AA sample and no trap/stripe
-    # consumers, the kernel colors its VMEM tile and emits final sRGB
-    # planes — the n/zx/zy fields never round-trip HBM (~25% frame-time
-    # tax at 1080p/256).  Identical per-channel math (planar colorers).
-    fused = (len(offsets) == 1
-             and (cfg.family == "julia"
-                  or (cfg.family == "mandelbrot"
-                      # stripes/traps/trap-glow read z, the trap field, or
-                      # arctan2 (unsupported in Mosaic) at coloring time
-                      and not cfg.stripe_enabled
-                      and not cfg.orbit_trap_enabled
-                      and cfg.interior_style != 2)
-                  or (cfg.family == "burning_ship"
-                      # trap/stripe interior styles read the tracked fields
-                      and not track_trap and not track_stripe)))
+    # In-kernel fused coloring: with no trap/stripe consumers, the kernel
+    # colors its VMEM tile and emits sRGB planes — the n/zx/zy fields never
+    # round-trip HBM (~25% frame-time tax at 1080p/256).  Identical
+    # per-channel math (planar colorers).  With one AA sample the kernel
+    # also applies the post chain; AA>1 emits pre-post-chain sample planes
+    # which are averaged here before the shared post chain (matching the
+    # unfused pipeline's sample-average-then-enhance order).
+    fused = (cfg.family == "julia"
+             or (cfg.family == "mandelbrot"
+                 # stripes/traps/trap-glow read z, the trap field, or
+                 # arctan2 (unsupported in Mosaic) at coloring time
+                 and not cfg.stripe_enabled
+                 and not cfg.orbit_trap_enabled
+                 and cfg.interior_style != 2)
+             or (cfg.family == "burning_ship"
+                 # trap/stripe interior styles read the tracked fields
+                 and not track_trap and not track_stripe))
     if fused:
+        with_post = len(offsets) == 1
+
         def fn(dyn, row0):
+            acc = jnp.zeros((band_h, cfg.width, 3), jnp.float32)
+            for off in offsets:
+                f = escape_fields(
+                    cfg.family, cfg.width, band_h,
+                    center_x=dyn["center_x"], center_y=dyn["center_y"],
+                    zoom=dyn["zoom"], max_iter=cfg.max_iter,
+                    bailout=dyn["bailout"], offset=off,
+                    julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
+                    use_julia=cfg.use_julia,
+                    iter_limit=dyn["iter_limit"], tile=cfg.tile,
+                    chunk=cfg.chunk, row0=row0, map_height=full_h,
+                    interior_skip=interior_skip,
+                    fused_color=(cfg.palette_mode, cfg.interior_style,
+                                 cfg.clamp_mins, with_post),
+                    color_offset=dyn["color_offset"],
+                    color_scale=dyn["color_scale"],
+                    brightness=dyn["brightness"],
+                    saturation=dyn["saturation"],
+                    contrast=dyn["contrast"], interpret=cfg.interpret)
+                acc = acc + jnp.stack([f["r"], f["g"], f["b"]], axis=-1)
+            if with_post:
+                return acc
+            color = acc / jnp.float32(len(offsets))
             brightness = dyn["brightness"]
             saturation = dyn["saturation"]
             contrast = dyn["contrast"]
-            f = escape_fields(
-                cfg.family, cfg.width, band_h,
-                center_x=dyn["center_x"], center_y=dyn["center_y"],
-                zoom=dyn["zoom"], max_iter=cfg.max_iter,
-                bailout=dyn["bailout"], offset=offsets[0],
-                julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
-                use_julia=cfg.use_julia,
-                iter_limit=dyn["iter_limit"], tile=cfg.tile, chunk=cfg.chunk,
-                row0=row0, map_height=full_h, interior_skip=interior_skip,
-                fused_color=(cfg.palette_mode, cfg.interior_style,
-                             cfg.clamp_mins),
-                color_offset=dyn["color_offset"],
-                color_scale=dyn["color_scale"],
-                brightness=brightness, saturation=saturation,
-                contrast=contrast, interpret=cfg.interpret)
-            return jnp.stack([f["r"], f["g"], f["b"]], axis=-1)
+            if cfg.clamp_mins:
+                brightness = jnp.maximum(brightness, 0.1)
+                saturation = jnp.maximum(saturation, 0.0)
+                contrast = jnp.maximum(contrast, 0.1)
+            color = coloring.enhance_color(jnp, color, brightness,
+                                           saturation, contrast)
+            color = coloring.aces_tonemap(jnp, color)
+            return coloring.gamma_correct(jnp, color)
 
         return fn
 

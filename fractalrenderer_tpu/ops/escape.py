@@ -300,13 +300,15 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
             zy_out = jnp.where(skip, jnp.float32(0.0), zy_out)
 
         if fused_color is not None:
-            # In-kernel coloring + post chain (AA==1, no trap/stripe paths):
-            # the planar colorers run the exact per-channel math of the XLA
-            # path on the VMEM-resident tile, so the n/zx/zy fields never
-            # round-trip HBM — the kernel writes final sRGB planes.
+            # In-kernel coloring (no trap/stripe paths): the planar colorers
+            # run the exact per-channel math of the XLA path on the VMEM-
+            # resident tile, so the n/zx/zy fields never round-trip HBM.
+            # with_post also applies enhance/ACES/gamma (single-AA-sample
+            # renders — the post chain follows the sample average, so AA>1
+            # emits pre-post-chain sample planes instead).
             from . import coloring as _col
 
-            palette_mode, interior_style, clamp_mins = fused_color
+            palette_mode, interior_style, clamp_mins, with_post = fused_color
             cp = _col.ColorParams(
                 max_iterations=params_ref[0, P_LIMIT],
                 bailout=params_ref[0, P_BAILOUT],
@@ -325,9 +327,11 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
                     jnp.zeros((th, tw), jnp.float32), cp)
             else:  # julia
                 r, g, b = _col.color_julia_planar(jnp, n, zx_out, zy_out, cp)
-            r, g, b = _col.post_chain_planar(
-                jnp, r, g, b, params_ref[0, P_BRIGHT], params_ref[0, P_SAT],
-                params_ref[0, P_CONTRAST], clamp_mins=clamp_mins)
+            if with_post:
+                r, g, b = _col.post_chain_planar(
+                    jnp, r, g, b, params_ref[0, P_BRIGHT],
+                    params_ref[0, P_SAT], params_ref[0, P_CONTRAST],
+                    clamp_mins=clamp_mins)
             it = iter(out_refs)
             next(it)[:, :] = r
             next(it)[:, :] = g
@@ -439,7 +443,9 @@ def escape_fields(family: str, width: int, height: int, *,
             and not track_trap and not track_stripe and not track_deriv, \
             "fused coloring needs a plain (no trap/stripe/deriv) render"
         fused_color = (int(fused_color[0]), int(fused_color[1]),
-                       bool(fused_color[2]))
+                       bool(fused_color[2]),
+                       bool(fused_color[3]) if len(fused_color) > 3
+                       else True)
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r}")
     if interpret is None:
