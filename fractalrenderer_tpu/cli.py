@@ -34,6 +34,10 @@ def _add_scene_args(p: argparse.ArgumentParser):
                    help="mandelbrot|julia|burning-ship|phoenix|mandelbulb|deep-zoom")
     p.add_argument("--scene", default=None, help="scene JSON file")
     p.add_argument("--preset", default=None, help="named location preset")
+    p.add_argument("--center", type=float, nargs=2, default=None,
+                   metavar=("X", "Y"),
+                   help="view center as one flag (same as --center-x/-y; "
+                        "also makes the bare '--center' prefix unambiguous)")
     p.add_argument("--center-x", type=float, default=None)
     p.add_argument("--center-y", type=float, default=None)
     p.add_argument("--zoom", type=float, default=None)
@@ -121,6 +125,8 @@ def scene_from_args(args) -> Scene:
                             fractal_type=FractalType.JULIA)
     if args.type:
         scene = scene.with_(fractal_type=FractalType.parse(args.type))
+    if getattr(args, "center", None) is not None:
+        args.center_x, args.center_y = args.center
     overrides = {}
     for arg, fld in _ARG_TO_FIELD.items():
         v = getattr(args, arg, None)

@@ -42,6 +42,16 @@ def test_render_scene_file_and_overrides(tmp_path):
     assert read_png(out).shape == (16, 32, 3)
 
 
+def test_center_pair_flag(tmp_path):
+    # --center X Y is a convenience alias for --center-x/--center-y (and
+    # keeps the bare '--center' prefix unambiguous for argparse).
+    out = tmp_path / "c.png"
+    cli.main(["render", "--type", "mandelbrot", "--center", "-0.7435",
+              "0.1318", "--zoom", "0.01", "--iters", "64", "--width", "32",
+              "--height", "24", "--out", str(out)])
+    assert out.exists()
+
+
 def test_scene_from_args_mapping():
     args = cli.build_parser().parse_args(
         ["render", "--type", "phoenix", "--phoenix-p", "0.2",
