@@ -126,7 +126,12 @@ def scene_from_args(args) -> Scene:
     if args.type:
         scene = scene.with_(fractal_type=FractalType.parse(args.type))
     if getattr(args, "center", None) is not None:
-        args.center_x, args.center_y = args.center
+        # fill only axes the user didn't set explicitly — an explicit
+        # --center-x/--center-y always wins over the pair flag
+        if args.center_x is None:
+            args.center_x = args.center[0]
+        if args.center_y is None:
+            args.center_y = args.center[1]
     overrides = {}
     for arg, fld in _ARG_TO_FIELD.items():
         v = getattr(args, arg, None)

@@ -154,13 +154,11 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
     # also applies the post chain; AA>1 emits pre-post-chain sample planes
     # which are averaged here before the shared post chain (matching the
     # unfused pipeline's sample-average-then-enhance order).
+    # mandelbrot eligibility == the interior-skip safety condition: both
+    # require that nothing reads interior z / the trap field / arctan2
+    # (unsupported in Mosaic) at coloring time.
     fused = (cfg.family == "julia"
-             or (cfg.family == "mandelbrot"
-                 # stripes/traps/trap-glow read z, the trap field, or
-                 # arctan2 (unsupported in Mosaic) at coloring time
-                 and not cfg.stripe_enabled
-                 and not cfg.orbit_trap_enabled
-                 and cfg.interior_style != 2)
+             or interior_skip
              or (cfg.family == "burning_ship"
                  # trap/stripe interior styles read the tracked fields
                  and not track_trap and not track_stripe))
@@ -190,18 +188,10 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
                 acc = acc + jnp.stack([f["r"], f["g"], f["b"]], axis=-1)
             if with_post:
                 return acc
-            color = acc / jnp.float32(len(offsets))
-            brightness = dyn["brightness"]
-            saturation = dyn["saturation"]
-            contrast = dyn["contrast"]
-            if cfg.clamp_mins:
-                brightness = jnp.maximum(brightness, 0.1)
-                saturation = jnp.maximum(saturation, 0.0)
-                contrast = jnp.maximum(contrast, 0.1)
-            color = coloring.enhance_color(jnp, color, brightness,
-                                           saturation, contrast)
-            color = coloring.aces_tonemap(jnp, color)
-            return coloring.gamma_correct(jnp, color)
+            return coloring.post_chain_traced(
+                jnp, acc / jnp.float32(len(offsets)), dyn["brightness"],
+                dyn["saturation"], dyn["contrast"],
+                clamp_mins=cfg.clamp_mins)
 
         return fn
 
@@ -241,19 +231,10 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
             else:
                 raise ValueError(cfg.family)
 
-        color = acc / jnp.float32(len(offsets))
-        brightness = dyn["brightness"]
-        saturation = dyn["saturation"]
-        contrast = dyn["contrast"]
-        if cfg.clamp_mins:
-            # julia.comp:319-322 — clamp floors (traced-safe)
-            brightness = jnp.maximum(brightness, 0.1)
-            saturation = jnp.maximum(saturation, 0.0)
-            contrast = jnp.maximum(contrast, 0.1)
-        color = coloring.enhance_color(jnp, color, brightness, saturation,
-                                       contrast)
-        color = coloring.aces_tonemap(jnp, color)
-        return coloring.gamma_correct(jnp, color)
+        # julia.comp:319-322 clamp floors live inside post_chain_traced
+        return coloring.post_chain_traced(
+            jnp, acc / jnp.float32(len(offsets)), dyn["brightness"],
+            dyn["saturation"], dyn["contrast"], clamp_mins=cfg.clamp_mins)
 
     return fn
 

@@ -97,6 +97,20 @@ def gamma_correct(xp, color, gamma: float = 2.2):
     return xp.power(xp.maximum(color, 0.0), _f32(xp, 1.0 / gamma))
 
 
+def post_chain_traced(xp, color, brightness, saturation, contrast,
+                      clamp_mins: bool = False):
+    """Stacked enhance → ACES → gamma accepting traced enhance scalars
+    (clamp floors via xp.maximum; post_chain's float() clamps are for the
+    static/golden path).  The single shared implementation behind both the
+    fused and unfused jitted pipelines."""
+    if clamp_mins:
+        brightness = xp.maximum(_f32(xp, brightness), 0.1)
+        saturation = xp.maximum(_f32(xp, saturation), 0.0)
+        contrast = xp.maximum(_f32(xp, contrast), 0.1)
+    color = enhance_color(xp, color, brightness, saturation, contrast)
+    return gamma_correct(xp, aces_tonemap(xp, color))
+
+
 def post_chain_planar(xp, r, g, b, brightness, saturation, contrast,
                       clamp_mins: bool = False):
     """Planar enhance → ACES → gamma with possibly-traced enhance scalars.

@@ -431,12 +431,16 @@ def escape_fields(family: str, width: int, height: int, *,
     band's global first row as ``row0`` (traced) and the full image height
     as ``map_height``; the output still covers ``height`` local rows.
 
-    ``fused_color``: a static ``(palette_mode, interior_style, clamp_mins)``
-    tuple enabling in-kernel coloring + post chain (mandelbrot/julia only,
-    AA==1, no trap/stripe/deriv tracking) — the kernel then returns final
-    sRGB planes {"r","g","b"} instead of fields, and the n/zx/zy arrays
-    never round-trip HBM.  ``color_offset``/``color_scale`` and the enhance
-    scalars feed that path (traced).
+    ``fused_color``: a static ``(palette_mode, interior_style, clamp_mins,
+    with_post)`` tuple enabling in-kernel coloring (mandelbrot, julia, and
+    burning ship; no trap/stripe/deriv tracking) — the kernel then returns
+    color planes {"r","g","b"} instead of fields, and the n/zx/zy arrays
+    never round-trip HBM.  ``with_post`` (default True if the tuple has 3
+    elements) additionally applies enhance/ACES/gamma in the kernel —
+    correct ONLY for single-AA-sample renders; multi-sample callers MUST
+    pass with_post=False and run the post chain after averaging the sample
+    planes.  ``color_offset``/``color_scale`` and the enhance scalars feed
+    this path (traced).
     """
     if fused_color is not None:
         assert family in ("mandelbrot", "julia", "burning_ship") \

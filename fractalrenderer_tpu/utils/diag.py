@@ -146,15 +146,25 @@ def device_seconds_from_trace(log_dir: str,
                 # the CPU backend has no /device: track — execution shows
                 # on the PjRt CPU client threads of the host process
                 cpu_exec_tids.add((e["pid"], e["tid"]))
-    total_us = sum(
-        e.get("dur", 0) for e in events
-        if e.get("ph") == "X" and e.get("pid") in device_pids
-        and (e["pid"], e.get("tid")) in lane_tids)
+    # Sum per device, then take the busiest device: chips of an SPMD
+    # program run concurrently, so elapsed device wall-clock is the max
+    # over chips, not the sum (summing would over-report N-chip runs Nx).
+    per_pid = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids \
+                and (e["pid"], e.get("tid")) in lane_tids:
+            per_pid[e["pid"]] = per_pid.get(e["pid"], 0) + e.get("dur", 0)
+    total_us = max(per_pid.values(), default=0)
     if total_us == 0 and not device_pids:
         total_us = sum(
             e.get("dur", 0) for e in events
             if e.get("ph") == "X"
             and (e.get("pid"), e.get("tid")) in cpu_exec_tids)
+    if total_us == 0:
+        raise ValueError(
+            f"trace under {log_dir} has no events on lane {lane!r} "
+            f"(and no CPU-client fallback events) — wrong lane name or "
+            f"nothing executed inside the trace")
     return total_us / 1e6
 
 

@@ -344,3 +344,18 @@ def test_fused_coloring_matches_unfused(family, kw):
                       contrast=con, **base, **kw)
     img = np.stack([np.asarray(g[c]) for c in "rgb"], axis=-1)
     np.testing.assert_allclose(img, ref, rtol=0, atol=1e-5)
+
+    # with_post=False (the AA>1 sample-plane mode): kernel output must be
+    # the pre-post-chain palette color
+    raw = coloring.color_mandelbrot(
+        jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e20), p)         if family == "mandelbrot" else (
+        coloring.color_burning_ship(
+            jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e10),
+            jnp.zeros_like(f["zx"]), p) if family == "burning_ship"
+        else coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p))
+    g2 = escape_fields(family, W, H, fused_color=fused + (False,),
+                       color_offset=coff, color_scale=cscale,
+                       brightness=bri, saturation=sat, contrast=con,
+                       **base, **kw)
+    img2 = np.stack([np.asarray(g2[c]) for c in "rgb"], axis=-1)
+    np.testing.assert_allclose(img2, np.asarray(raw), rtol=0, atol=1e-5)
