@@ -28,6 +28,19 @@ from .keyframes import Animation
 
 _FAMILY = common.family_map()
 
+_PNG_IEND = b"IEND\xaeB`\x82"
+
+
+def _frame_complete(path: str) -> bool:
+    """A frame PNG counts as done only when fully written (ends with the
+    IEND chunk) — a frame truncated by a crash/cancel is re-rendered."""
+    try:
+        with open(path, "rb") as f:
+            f.seek(-8, os.SEEK_END)
+            return f.read(8) == _PNG_IEND
+    except OSError:
+        return False
+
 
 class RenderStatus(enum.Enum):
     IDLE = 0
@@ -85,7 +98,12 @@ class AnimationRenderer:
     def start_render(self, animation: Animation, output_folder: str,
                      width: Optional[int] = None,
                      height: Optional[int] = None,
-                     bit_depth: int = 8) -> bool:
+                     bit_depth: int = 8, resume: bool = False) -> bool:
+        """``resume=True`` skips frames whose PNG already exists complete
+        in ``output_folder`` — checkpoint/resume for interrupted sequence
+        renders (the reference restarts from frame zero,
+        animation_renderer.cpp:75; our giant stills already resume via
+        their tile manifest)."""
         if len(animation.keyframes) < 2:  # animation_renderer.cpp:37-43
             if self.on_render_error:
                 self.on_render_error("Need at least 2 keyframes to render")
@@ -108,6 +126,10 @@ class AnimationRenderer:
             self.progress.status = RenderStatus.COMPLETE
             return True
         cap = max(s.max_iterations for s in scenes)
+        skip = set()
+        if resume:
+            skip = {f for f in range(total) if _frame_complete(
+                os.path.join(output_folder, f"frame_{f:06d}.png"))}
 
         # Mandelbulb / deep-zoom frames take the per-frame model path (3D
         # raymarch and perturbation don't fit the 2D batch pipeline).  A
@@ -142,6 +164,10 @@ class AnimationRenderer:
                 if self._cancel:
                     self.progress.status = RenderStatus.CANCELLED
                     return False
+                if f in skip:
+                    self.progress.current_frame = f
+                    self.progress.progress = (f + 1) / total
+                    continue
                 if sc.fractal_type == FractalType.MANDELBULB:
                     # the reference drives the bulb's animation clock from
                     # the frame time (vk_engine render_animation_frame
@@ -167,6 +193,8 @@ class AnimationRenderer:
         # once; palette switches / toggle changes start a new group.
         groups: List[_Group] = []
         for f, s in enumerate(scenes):
+            if f in skip:
+                continue
             cfg = _static_key(s, width, height, cap)
             dyn = common.scene_dyn_params(s)
             if not groups or groups[-1].cfg != cfg:
@@ -174,7 +202,7 @@ class AnimationRenderer:
             groups[-1].frame_indices.append(f)
             groups[-1].dyns.append(dyn)
 
-        done = 0
+        done = len(skip)
         for g in groups:
             fn = common.compiled_batch_render_fn(g.cfg)
             for i in range(0, len(g.dyns), self.batch_size):

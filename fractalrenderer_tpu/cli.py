@@ -264,7 +264,7 @@ def cmd_animate(args) -> int:
 
     r.on_frame_complete = on_frame
     ok = r.start_render(anim, args.out_dir, args.width, args.height,
-                        bit_depth=args.bit_depth)
+                        bit_depth=args.bit_depth, resume=args.resume)
     print()
     if not ok:
         print("render failed or cancelled", file=sys.stderr)
@@ -509,6 +509,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write the animation as a .franim file")
     p.add_argument("--bit-depth", type=int, default=8, choices=(8, 16))
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="skip frames already complete in --out-dir "
+                        "(resume an interrupted sequence render)")
     p.add_argument("--encode", action="store_true")
     p.add_argument("--video-out", default=None)
     p.add_argument("--codec", default="h264",

@@ -407,3 +407,40 @@ def test_deep_zoom_animation_shares_reference_orbit(tmp_path):
         deep_zoom.orbit_mod.compute_orbit = orig
     assert len(calls) <= 2, f"{len(calls)} orbit computations"
     assert len(os.listdir(tmp_path / "dz")) == a.total_frames
+
+
+def test_animation_resume_skips_complete_frames(tmp_path):
+    # Interrupted sequence renders resume: complete frames are skipped,
+    # missing AND truncated ones re-render (the reference restarts from
+    # frame zero, animation_renderer.cpp:75).
+    import os
+
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+    from fractalrenderer_tpu.anim.keyframes import Animation, Keyframe
+    from fractalrenderer_tpu.scene import Scene
+
+    a = Animation(duration=4.0, target_fps=1, export_width=32,
+                  export_height=16)
+    a.keyframes.append(Keyframe(0.0, Scene(max_iterations=16, zoom=2.0)))
+    a.keyframes.append(Keyframe(4.0, Scene(max_iterations=16, zoom=0.5)))
+    out = str(tmp_path / "frames")
+    r = AnimationRenderer(batch_size=2)
+    assert r.start_render(a, out)
+    total = a.total_frames
+    paths = [os.path.join(out, f"frame_{f:06d}.png") for f in range(total)]
+    originals = [open(q, "rb").read() for q in paths]
+
+    # corrupt frame 1 (truncate) and delete frame 2
+    with open(paths[1], "wb") as f:
+        f.write(originals[1][:20])
+    os.remove(paths[2])
+    mtime0 = os.path.getmtime(paths[0])
+
+    rendered = []
+    r2 = AnimationRenderer(batch_size=2)
+    r2.on_frame_complete = lambda f, t: rendered.append(f)
+    assert r2.start_render(a, out, resume=True)
+    assert set(rendered) == {1, 2}  # only the broken frames re-rendered
+    assert os.path.getmtime(paths[0]) == mtime0  # untouched
+    for q, orig in zip(paths, originals):
+        assert open(q, "rb").read() == orig  # bit-identical results
