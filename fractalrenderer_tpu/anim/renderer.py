@@ -68,6 +68,7 @@ class _Group:
     cfg: common.StaticCfg
     frame_indices: List[int] = field(default_factory=list)
     dyns: List[dict] = field(default_factory=list)
+    scenes: List[Scene] = field(default_factory=list)
 
 
 def _static_key(scene: Scene, width: int, height: int, cap: int):
@@ -80,8 +81,13 @@ class AnimationRenderer:
     """Drives interpolate → batched render → PNG sequence (and optionally
     video encode).  Not thread-safe; poll ``progress`` from callbacks."""
 
-    def __init__(self, batch_size: int = 8):
+    def __init__(self, batch_size: int = 8, mesh=None):
+        """``mesh``: a jax.sharding Mesh with ('frames', 'rows') axes (see
+        parallel.make_render_mesh) — 2D-family frame batches then render
+        data-parallel across chips via render_frames_sharded instead of
+        sequentially on one device."""
         self.batch_size = batch_size
+        self.mesh = mesh
         self.progress = RenderProgress()
         self._cancel = False
         self.on_frame_complete: Optional[Callable[[int, int], None]] = None
@@ -201,22 +207,31 @@ class AnimationRenderer:
                 groups.append(_Group(cfg))
             groups[-1].frame_indices.append(f)
             groups[-1].dyns.append(dyn)
+            groups[-1].scenes.append(s)
 
         done = len(skip)
         for g in groups:
-            fn = common.compiled_batch_render_fn(g.cfg)
+            fn = None if self.mesh is not None                 else common.compiled_batch_render_fn(g.cfg)
             for i in range(0, len(g.dyns), self.batch_size):
                 if self._cancel:
                     self.progress.status = RenderStatus.CANCELLED
                     return False
                 chunk = g.dyns[i:i + self.batch_size]
                 idxs = g.frame_indices[i:i + self.batch_size]
-                # pad to batch size to keep one compiled shape
-                pad = self.batch_size - len(chunk)
-                batch = {k: np.asarray([d[k] for d in chunk]
-                                       + [chunk[-1][k]] * pad, np.float32)
-                         for k in chunk[0]}
-                imgs = np.asarray(fn(batch))[:len(chunk)]
+                if self.mesh is not None:
+                    from ..parallel import render_frames_sharded
+
+                    imgs = render_frames_sharded(
+                        g.scenes[i:i + self.batch_size], width, height,
+                        mesh=self.mesh, cap=cap)
+                else:
+                    # pad to batch size to keep one compiled shape
+                    pad = self.batch_size - len(chunk)
+                    batch = {k: np.asarray([d[k] for d in chunk]
+                                           + [chunk[-1][k]] * pad,
+                                           np.float32)
+                             for k in chunk[0]}
+                    imgs = np.asarray(fn(batch))[:len(chunk)]
                 for img, fidx in zip(imgs, idxs):
                     path = os.path.join(output_folder,
                                         f"frame_{fidx:06d}.png")

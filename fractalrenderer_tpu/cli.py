@@ -263,6 +263,13 @@ def cmd_animate(args) -> int:
             last[0] = f
 
     r.on_frame_complete = on_frame
+    if args.sharded:
+        import jax
+
+        from .parallel import make_render_mesh
+
+        # frames axis = all available chips; rows axis 1 (frame-parallel)
+        r.mesh = make_render_mesh(frames=len(jax.devices()))
     ok = r.start_render(anim, args.out_dir, args.width, args.height,
                         bit_depth=args.bit_depth, resume=args.resume)
     print()
@@ -512,6 +519,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip frames already complete in --out-dir "
                         "(resume an interrupted sequence render)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard frame batches across all devices "
+                        "(2D families; frames axis = device count)")
     p.add_argument("--encode", action="store_true")
     p.add_argument("--video-out", default=None)
     p.add_argument("--codec", default="h264",

@@ -63,16 +63,21 @@ def render_sharded(scene: Scene, width: int, height: int,
 
 
 def render_frames_sharded(scenes, width: int, height: int,
-                          mesh: Optional[Mesh] = None) -> np.ndarray:
+                          mesh: Optional[Mesh] = None,
+                          cap: Optional[int] = None) -> np.ndarray:
     """Batch of frames sharded over ('frames', 'rows'): data-parallel frames
     × spatial row bands (BASELINE configs #2/#3 at multi-chip scale).  All
-    scenes must share a static config; iteration counts may differ."""
+    scenes must share a static config; iteration counts may differ.
+    ``cap`` overrides the compiled iteration bound (callers rendering many
+    chunks of one sequence pass the sequence-wide max so every chunk hits
+    the same compile)."""
     if mesh is None:
         mesh = make_render_mesh(frames=1)
     n_frames = mesh.shape["frames"]
     n_rows = mesh.shape["rows"]
     fam, conv, clamp = _FAMILY[scenes[0].fractal_type]
-    cap = max(s.max_iterations for s in scenes)
+    if cap is None:
+        cap = max(s.max_iterations for s in scenes)
     import dataclasses
 
     cfg = dataclasses.replace(

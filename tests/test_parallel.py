@@ -171,3 +171,33 @@ def test_mandelbulb_sharded_xla_path():
     single = np.asarray(mandelbulb.render(s, W, H, pallas_march=False))
     sharded = mandelbulb.render_sharded(s, W, H, pallas_march=False)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_animation_renderer_mesh_equals_single(tmp_path):
+    # AnimationRenderer(mesh=...) shards frame batches over the
+    # ('frames','rows') mesh; frames must be bit-identical to the
+    # single-device batched path.
+    import os
+
+    from fractalrenderer_tpu.anim.keyframes import Animation, Keyframe
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+    from fractalrenderer_tpu.parallel import make_render_mesh
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.utils.png import read_png
+
+    a = Animation(duration=6.0, target_fps=1, export_width=64,
+                  export_height=32)
+    a.keyframes.append(Keyframe(0.0, Scene(max_iterations=24, zoom=2.5)))
+    a.keyframes.append(Keyframe(6.0, Scene(max_iterations=48, zoom=0.4)))
+    single_dir = str(tmp_path / "single")
+    mesh_dir = str(tmp_path / "mesh")
+    assert AnimationRenderer(batch_size=4).start_render(a, single_dir)
+    mesh = make_render_mesh(frames=2)
+    assert AnimationRenderer(batch_size=4, mesh=mesh).start_render(
+        a, mesh_dir)
+    frames = sorted(os.listdir(single_dir))
+    assert frames == sorted(os.listdir(mesh_dir)) and len(frames) == 6
+    for f in frames:
+        np.testing.assert_array_equal(
+            read_png(os.path.join(single_dir, f)),
+            read_png(os.path.join(mesh_dir, f)))
