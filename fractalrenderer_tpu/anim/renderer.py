@@ -259,12 +259,14 @@ class AnimationRenderer:
     def render_and_encode(self, animation: Animation, output_folder: str,
                           video_settings=None,
                           width: Optional[int] = None,
-                          height: Optional[int] = None) -> bool:
+                          height: Optional[int] = None,
+                          resume: bool = False) -> bool:
         """animation_renderer.cpp:155-189 — render frames then chain into
         the video encoder."""
         from . import video
 
-        if not self.start_render(animation, output_folder, width, height):
+        if not self.start_render(animation, output_folder, width, height,
+                                 resume=resume):
             return False
         settings = video_settings or video.VideoEncodeSettings(
             output_filename=os.path.join(output_folder, "animation.mp4"),
