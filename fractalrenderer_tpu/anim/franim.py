@@ -29,6 +29,12 @@ _REFERENCE_FIELDS = (
 _EXTRA_FIELDS = (
     "fractal_type", "julia_c_real", "julia_c_imag", "phoenix_p", "phoenix_r",
     "use_julia_set", "interior_style", "stripe_enabled", "stripe_density",
+    # deep-zoom state: the hp strings are the authoritative view past f64
+    # precision — dropping them would collapse a reloaded deep animation
+    # onto the (rounded) f64 coordinates
+    "hp_center_x", "hp_center_y", "hp_zoom", "use_perturbation",
+    "use_series_approximation", "deep_zoom_julia", "deep_zoom_ship",
+    "deep_zoom_phoenix",
 )
 
 

@@ -36,6 +36,14 @@ class InterpolationType(enum.IntEnum):
     EXPONENTIAL = 4
 
 
+def _frac_log(fr) -> float:
+    """ln of a positive Fraction whose magnitude may be far outside f64
+    range: split off the power of two, log the [0.5, 2) mantissa."""
+    e = fr.numerator.bit_length() - fr.denominator.bit_length()
+    m = fr / (1 << e) if e >= 0 else fr * (1 << -e)
+    return e * math.log(2.0) + math.log(float(m))
+
+
 def ease_in_out(t: float) -> float:
     # animation_system.cpp:200-204
     return 2.0 * t * t if t < 0.5 else 1.0 - (-2.0 * t + 2.0) ** 2 / 2.0
@@ -116,8 +124,12 @@ class Animation:
 
     # -- interpolation ----------------------------------------------------
     def find_keyframe_pair(self, time: float) -> Tuple[int, int]:
-        # animation_system.cpp:183-197
+        # animation_system.cpp:183-197; times before the first keyframe
+        # take the FIRST segment (t clamps to 0 → hold the first scene),
+        # times after the last take the last segment (t clamps to 1).
         kfs = self.keyframes
+        if time <= kfs[0].time:
+            return 0, 1
         for i in range(len(kfs) - 1):
             if kfs[i].time <= time <= kfs[i + 1].time:
                 return i, i + 1
@@ -138,7 +150,10 @@ class Animation:
         dt = k2.time - k1.time
         if dt < 0.001:  # :96-100
             return k1.scene
-        t = (time - k1.time) / dt
+        # clamp BEFORE easing: a timeline whose keyframes don't span
+        # [0, duration] would otherwise extrapolate (eased t outside [0,1]
+        # is non-monotonic, e.g. ease_in_out(1.5) = 0.5)
+        t = min(max((time - k1.time) / dt, 0.0), 1.0)
         t = apply_easing(t, k2.interp_type)
 
         s1, s2 = k1.scene, k2.scene
@@ -164,6 +179,46 @@ class Animation:
         def lin(a, b):
             return a + t * (b - a)
 
+        # High-precision view interpolation: deep-zoom scenes carry exact
+        # decimal/fraction strings that the renderer PREFERS over the f64
+        # fields — inheriting them unchanged from key1 would freeze every
+        # frame at key1's view.  Centers lerp in exact rationals; zoom
+        # interpolates in log space (f64 relative precision on the ratio —
+        # the same relative precision the f64 path has).
+        hp_fields = {}
+        if any(v is not None for v in (
+                s1.hp_center_x, s1.hp_center_y, s1.hp_zoom,
+                s2.hp_center_x, s2.hp_center_y, s2.hp_zoom)):
+            from fractions import Fraction
+
+            tf = Fraction(t)
+
+            def ends(hp1, hp2, f1, f2):
+                a = Fraction(hp1) if hp1 is not None else Fraction(f1)
+                b = Fraction(hp2) if hp2 is not None else Fraction(f2)
+                return a, b
+
+            x1, x2 = ends(s1.hp_center_x, s2.hp_center_x,
+                          s1.center_x, s2.center_x)
+            y1, y2 = ends(s1.hp_center_y, s2.hp_center_y,
+                          s1.center_y, s2.center_y)
+            z1, z2 = ends(s1.hp_zoom, s2.hp_zoom, s1.zoom, s2.zoom)
+            hp_fields["hp_center_x"] = str(x1 + tf * (x2 - x1))
+            hp_fields["hp_center_y"] = str(y1 + tf * (y2 - y1))
+            if z1 > 0 and z2 > 0:
+                # z_t = z1 * (z2/z1)^t, computed so only the RATIO (whose
+                # magnitude is bounded by the keyframe span) goes through
+                # floats — z1/z2 themselves may be far below f64 range
+                ln_ratio = _frac_log(z2 / z1)
+                e = t * ln_ratio / math.log(2.0)
+                k = math.floor(e)
+                zt = z1 * Fraction(2.0 ** (e - k))
+                zt = zt * (1 << int(k)) if k >= 0 \
+                    else zt / (1 << int(-k))
+                hp_fields["hp_zoom"] = str(zt)
+            else:
+                hp_fields["hp_zoom"] = str(z1 + tf * (z2 - z1))
+
         return replace(
             s1,  # non-interpolated fields inherited from key1 (see docstring)
             center_x=lin(s1.center_x, s2.center_x),
@@ -184,6 +239,7 @@ class Animation:
             antialiasing_samples=s1.antialiasing_samples,
             orbit_trap_enabled=s1.orbit_trap_enabled,
             orbit_trap_radius=s1.orbit_trap_radius,
+            **hp_fields,
         )
 
 

@@ -31,11 +31,21 @@ _FAMILY = common.family_map()
 _PNG_IEND = b"IEND\xaeB`\x82"
 
 
-def _frame_complete(path: str) -> bool:
+def _frame_complete(path: str, width: int, height: int,
+                    bit_depth: int) -> bool:
     """A frame PNG counts as done only when fully written (ends with the
-    IEND chunk) — a frame truncated by a crash/cancel is re-rendered."""
+    IEND chunk) AND its IHDR matches the current render settings — a frame
+    truncated by a crash/cancel, or left over from a run at a different
+    size/depth, is re-rendered."""
     try:
         with open(path, "rb") as f:
+            head = f.read(25)  # 8 sig + 8 IHDR hdr + 4 W + 4 H + 1 depth
+            if len(head) < 25:
+                return False
+            w = int.from_bytes(head[16:20], "big")
+            h = int.from_bytes(head[20:24], "big")
+            if (w, h, head[24]) != (width, height, bit_depth):
+                return False
             f.seek(-8, os.SEEK_END)
             return f.read(8) == _PNG_IEND
     except OSError:
@@ -135,7 +145,8 @@ class AnimationRenderer:
         skip = set()
         if resume:
             skip = {f for f in range(total) if _frame_complete(
-                os.path.join(output_folder, f"frame_{f:06d}.png"))}
+                os.path.join(output_folder, f"frame_{f:06d}.png"),
+                width, height, bit_depth)}
 
         # Mandelbulb / deep-zoom frames take the per-frame model path (3D
         # raymarch and perturbation don't fit the 2D batch pipeline).  A
@@ -210,6 +221,7 @@ class AnimationRenderer:
             groups[-1].scenes.append(s)
 
         done = len(skip)
+        rendered_this_run = 0
         for g in groups:
             fn = None if self.mesh is not None                 else common.compiled_batch_render_fn(g.cfg)
             for i in range(0, len(g.dyns), self.batch_size):
@@ -221,9 +233,12 @@ class AnimationRenderer:
                 if self.mesh is not None:
                     from ..parallel import render_frames_sharded
 
+                    # pad to batch size so every chunk hits one compile
+                    sc = g.scenes[i:i + self.batch_size]
+                    sc = sc + [sc[-1]] * (self.batch_size - len(sc))
                     imgs = render_frames_sharded(
-                        g.scenes[i:i + self.batch_size], width, height,
-                        mesh=self.mesh, cap=cap)
+                        sc, width, height,
+                        mesh=self.mesh, cap=cap)[:len(chunk)]
                 else:
                     # pad to batch size to keep one compiled shape
                     pad = self.batch_size - len(chunk)
@@ -238,10 +253,11 @@ class AnimationRenderer:
                     png.write_png(path, to_export_orientation(img),
                                   bit_depth=bit_depth)
                     done += 1
+                    rendered_this_run += 1
                     self.progress.current_frame = fidx
                     self.progress.progress = done / total
                     self.progress.elapsed_time = _time.monotonic() - start
-                    avg = self.progress.elapsed_time / done
+                    avg = self.progress.elapsed_time / rendered_this_run
                     self.progress.estimated_time_remaining = (
                         avg * (total - done))
                     self.progress.current_status = (

@@ -163,10 +163,21 @@ class DeepZoomManager:
 
     # ------------------------------------------------------------------
     def export_coordinates(self) -> str:
-        """deep_zoom_system.cpp:561-569."""
-        return (f"Center X: {self.state.center_x:.17e}\n"
-                f"Center Y: {self.state.center_y:.17e}\n"
-                f"Zoom: {self.state.zoom:.17e}\n"
+        """deep_zoom_system.cpp:561-569.  High-precision strings win over
+        the f64 fields when present — past ~1e-16 the f64 round-trip would
+        not reproduce the view (and past ~1e-308 the float zoom is 0)."""
+        cx = self.state.hp_center_x \
+            if getattr(self.state, "hp_center_x", None) else \
+            f"{self.state.center_x:.17e}"
+        cy = self.state.hp_center_y \
+            if getattr(self.state, "hp_center_y", None) else \
+            f"{self.state.center_y:.17e}"
+        zm = self.state.hp_zoom \
+            if getattr(self.state, "hp_zoom", None) else \
+            f"{self.state.zoom:.17e}"
+        return (f"Center X: {cx}\n"
+                f"Center Y: {cy}\n"
+                f"Zoom: {zm}\n"
                 f"Iterations: {self.state.max_iterations}\n")
 
     def to_scene(self, base: Optional[Scene] = None) -> Scene:

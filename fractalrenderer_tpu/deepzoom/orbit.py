@@ -23,7 +23,7 @@ from typing import Optional, Tuple, Union
 
 import numpy as np
 
-from .hp import HPFloat, precision_mode_for_zoom
+from .hp import HPFloat
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -209,16 +209,3 @@ def compute_orbit(cx: Union[str, float, HPFloat],
         out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
         1 if emit_rel else 0, int(kind))
     return np.stack([out_re[:n], out_im[:n]], axis=1)
-
-
-def orbit_for_scene(scene, max_iter: Optional[int] = None,
-                    force_python: bool = False):
-    """Compute the orbit for a Scene's (possibly high-precision) center.
-    Returns (orbit (L,2) f64, precision_bits, mode)."""
-    zoom = float(Fraction(scene.hp_zoom)) if scene.hp_zoom else scene.zoom
-    mode, bits = precision_mode_for_zoom(zoom)
-    cx = scene.hp_center_x if scene.hp_center_x is not None else scene.center_x
-    cy = scene.hp_center_y if scene.hp_center_y is not None else scene.center_y
-    mi = max_iter if max_iter is not None else scene.max_iterations
-    orbit = compute_orbit(cx, cy, bits, mi, force_python=force_python)
-    return orbit, bits, mode

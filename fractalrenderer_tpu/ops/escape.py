@@ -22,6 +22,10 @@ Outputs per pixel:
   dzx, dzy (f32, optional) — derivative dz/dc at escape (mandelbrot only;
       dz <- 2*z*dz + 1, the distance-estimation tracking of the reference's
       debug shader, mandelbrot_debug.comp:114-137)
+
+With ``fused_color`` set the kernel instead emits color planes r/g/b
+(coloring + optionally the post chain run in the kernel epilogue on the
+VMEM-resident tile — see escape_fields).
 """
 from __future__ import annotations
 

@@ -179,16 +179,23 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
     os.makedirs(tile_dir, exist_ok=True)
     manifest_path = os.path.join(tile_dir, "manifest.json")
     manifest = {"width": width, "height": height, "band_rows": band_rows,
-                "scene": scene.to_dict()}
+                "bit_depth": bit_depth, "scene": scene.to_dict()}
     if resume and os.path.exists(manifest_path):
-        old = json.load(open(manifest_path))
-        if {k: old.get(k) for k in ("width", "height", "band_rows", "scene")} \
-                != manifest:
-            # stale tiles from a different job — start over
+        try:
+            old = json.load(open(manifest_path))
+        except ValueError:
+            old = {}  # truncated by a crash mid-write — treat as stale
+        if {k: old.get(k) for k in manifest} != manifest:
+            # stale tiles from a different job (other geometry, scene, or
+            # bit depth — resumed tiles feed the final PNG verbatim, so a
+            # depth mismatch would corrupt it) — start over
             for f in os.listdir(tile_dir):
                 os.remove(os.path.join(tile_dir, f))
-    with open(manifest_path, "w") as f:
+    # atomic write: a crash mid-dump must not wedge later resumes
+    tmp_manifest = manifest_path + ".tmp"
+    with open(tmp_manifest, "w") as f:
         json.dump(manifest, f)
+    os.replace(tmp_manifest, manifest_path)
 
     fam, conv, clamp = _FAMILY[scene.fractal_type]
     cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)

@@ -444,3 +444,78 @@ def test_animation_resume_skips_complete_frames(tmp_path):
     assert os.path.getmtime(paths[0]) == mtime0  # untouched
     for q, orig in zip(paths, originals):
         assert open(q, "rb").read() == orig  # bit-identical results
+
+
+def test_interpolate_hp_fields_move_per_frame():
+    # Deep-zoom scenes carry hp_* strings that the renderer PREFERS over
+    # the f64 fields; interpolation must move them per frame (centers as
+    # exact rationals, zoom in log space), not inherit key1's verbatim.
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.anim.keyframes import (Animation,
+                                                    InterpolationType,
+                                                    Keyframe)
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s1 = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="-0.75",
+               hp_center_y="0.1", hp_zoom="1e-8", max_iterations=500)
+    s2 = s1.with_(hp_center_x="-0.7500000000000001", hp_zoom="1e-12")
+    a = Animation(duration=2.0, target_fps=1)
+    a.keyframes.append(Keyframe(0.0, s1, InterpolationType.LINEAR))
+    a.keyframes.append(Keyframe(2.0, s2, InterpolationType.LINEAR))
+
+    mid = a.interpolate(1.0)
+    assert mid.hp_zoom not in (s1.hp_zoom, s2.hp_zoom)
+    # log-space midpoint of 1e-8..1e-12 is 1e-10 (to f64 relative precision)
+    zt = float(Fraction(mid.hp_zoom))
+    assert abs(zt - 1e-10) / 1e-10 < 1e-12
+    # center lerp is exact-rational: midpoint of the 1-ulp move
+    cx = Fraction(mid.hp_center_x)
+    assert cx == (Fraction("-0.75") + Fraction("-0.7500000000000001")) / 2
+    # endpoints reproduce the keyframes
+    assert float(Fraction(a.interpolate(0.0).hp_zoom)) == 1e-8
+    assert abs(float(Fraction(a.interpolate(2.0).hp_zoom)) - 1e-12) < 1e-27
+
+
+def test_interpolate_clamps_outside_keyframe_span():
+    # Keyframes that don't span [0, duration]: times before the first hold
+    # the first scene, times after the last hold the last (no eased-t
+    # extrapolation, which is non-monotonic outside [0,1]).
+    from fractalrenderer_tpu.anim.keyframes import (Animation,
+                                                    InterpolationType,
+                                                    Keyframe)
+    from fractalrenderer_tpu.scene import Scene
+
+    a = Animation(duration=10.0, target_fps=1)
+    a.keyframes.append(Keyframe(5.0, Scene(zoom=2.0, center_x=-1.0),
+                                InterpolationType.EASE_IN_OUT))
+    a.keyframes.append(Keyframe(8.0, Scene(zoom=0.5, center_x=0.5),
+                                InterpolationType.EASE_IN_OUT))
+    before = a.interpolate(0.0)
+    assert before.zoom == 2.0 and before.center_x == -1.0
+    after = a.interpolate(10.0)
+    assert after.zoom == 0.5 and after.center_x == 0.5
+
+
+def test_franim_roundtrip_preserves_hp_fields(tmp_path):
+    # .franim must carry the deep-zoom hp strings — they are the
+    # authoritative view past f64 precision.
+    from fractalrenderer_tpu.anim import franim
+    from fractalrenderer_tpu.anim.keyframes import Animation, Keyframe
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151001882355212130",
+              hp_center_y="0.131825904205311970493132056385",
+              hp_zoom="1e-25", max_iterations=5000)
+    a = Animation(duration=1.0, target_fps=1)
+    a.keyframes.append(Keyframe(0.0, s))
+    a.keyframes.append(Keyframe(1.0, s.with_(hp_zoom="1e-26")))
+    path = str(tmp_path / "deep.franim")
+    franim.save(a, path)
+    b = franim.load(path)
+    r = b.keyframes[0].scene
+    assert r.hp_center_x == s.hp_center_x
+    assert r.hp_center_y == s.hp_center_y
+    assert r.hp_zoom == "1e-25" and r.use_perturbation
+    assert b.keyframes[1].scene.hp_zoom == "1e-26"
