@@ -161,6 +161,11 @@ def cmd_render(args) -> int:
     t0 = time.monotonic()
     dz_info = None
     if getattr(args, "precision", "f32") == "dd":
+        if scene.fractal_type != FractalType.MANDELBROT:
+            print("--precision dd is the double-double MANDELBROT kernel "
+                  f"(got --type {scene.fractal_type.name.lower()})",
+                  file=sys.stderr)
+            return 2
         from .models.mandelbrot import render_dd
 
         img = render_dd(scene, args.width, args.height)
@@ -410,7 +415,7 @@ def cmd_interactive(args) -> int:
     scene = scene_from_args(args)
     if args.zoom is None and args.scene is None and args.preset is None:
         scene = scene.with_(zoom=2.5)
-    return viewer.run(scene)
+    return viewer.run(scene, cols=args.cols, rows=args.rows)
 
 
 def cmd_presets(args) -> int:

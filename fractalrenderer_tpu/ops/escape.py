@@ -243,8 +243,17 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
             skip = _cardioid_or_bulb(cr, ci)
             live0 = live0 & ~skip
         big = jnp.float32(3.4e38)
+        # Dead lanes must be poisoned through Z ITSELF, not just the
+        # squares: the loop body recomputes sqx/sqy from the frozen z every
+        # step, so poisoning only sq is washed out after one iteration and
+        # in-set skip/OOB lanes would rejoin and iterate to the limit
+        # (correct output — the epilogue fixups mask them — but the entire
+        # interior-skip saving silently vanishes).  zx=big makes the
+        # recomputed sqx overflow to +inf, which latches the lane dead
+        # forever.
         state0 = {
-            "zx": x1, "zy": y1,
+            "zx": jnp.where(live0, x1, big),
+            "zy": jnp.where(live0, y1, jnp.float32(0.0)),
             "sqx": jnp.where(live0, x1 * x1, big),
             "sqy": jnp.where(live0, y1 * y1, big),
             "nf": jnp.zeros((th, tw), jnp.float32),

@@ -43,14 +43,13 @@ def map_uv(xp, px, py, width: int, height: int,
     division is by the height.  Mosaic lowers division to reciprocal-
     multiply, which is exact only for power-of-two divisors — the /w form
     broke TPU↔golden bit-equality for any non-power-of-two width (found by
-    the tpu_checks.py exactness lane)."""
-    w = xp.float32(width)
-    h = xp.float32(height)
-    ux = (px + xp.float32(off_x) - xp.float32(0.5) * w) / h
-    uy = (py + xp.float32(off_y) - xp.float32(0.5) * h) / h
-    re = xp.float32(cx) + ux * xp.float32(zoom)
-    im = xp.float32(cy) + uy * xp.float32(zoom)
-    return re, im
+    the tpu_checks.py exactness lane).
+
+    After that factoring the arithmetic is identical to map_centered, so
+    this delegates — the two conventions differ only in their AA-offset
+    precomputation (aa_offsets_uv vs aa_offsets_centered)."""
+    return map_centered(xp, px, py, width, height, cx, cy, zoom,
+                        off_x, off_y)
 
 
 def aa_offsets_centered(aa: int) -> Tuple[Tuple[float, float], ...]:

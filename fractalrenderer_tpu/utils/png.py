@@ -85,6 +85,7 @@ class PNGWriter:
         self.height = height
         self.bit_depth = bit_depth
         self.channels = channels
+        self.compress_level = compress_level
         self._rows_written = 0
         color_type = {1: 0, 3: 2, 4: 6}[channels]
         fp.write(_SIG)
@@ -168,7 +169,7 @@ class ParallelPNGWriter(PNGWriter):
     def write_rows(self, band: np.ndarray) -> None:
         raw = band_raw_bytes(band, self.bit_depth)
         self.write_deflated(band.shape[0],
-                            deflate_chunk(raw, 6), raw)
+                            deflate_chunk(raw, self.compress_level), raw)
 
     def write_deflated(self, n_rows: int, payload: bytes,
                        adler_of: bytes) -> None:
@@ -180,7 +181,7 @@ class ParallelPNGWriter(PNGWriter):
         if self._rows_written != self.height:
             raise ValueError(
                 f"wrote {self._rows_written} rows, expected {self.height}")
-        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        c = zlib.compressobj(self.compress_level, zlib.DEFLATED, -15)
         fin = c.compress(b"") + c.flush(zlib.Z_FINISH)  # final empty block
         self.fp.write(_chunk(b"IDAT",
                              fin + struct.pack(">I", self._adler)))

@@ -8,8 +8,11 @@ character cell) and exposes the reference's interaction vocabulary
 
   +/-            zoom in/out about the center (0.8x/1.25x + auto-iterations,
                  vk_engine.cpp:1731-1756)
-  click X Y      zoom toward a pixel (zoom_to_point, vk_engine.cpp:1758-1794)
-  w/a/s/d        pan (zoom-proportional step, input_handler.h:211-248)
+  click X Y      zoom toward a pixel (zoom_to_point, vk_engine.cpp:1758-1794);
+                 X/Y are image pixels measured from the TOP-LEFT of the
+                 displayed view (one terminal row shows 2 pixel rows)
+  w/a/s/d        pan (w = up on screen; zoom-proportional step,
+                 input_handler.h:211-248)
   tab / type T   cycle / set fractal type
   p N            palette; i N iterations; aa N; e toggle effects
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
@@ -82,25 +85,24 @@ class Viewer:
             elif cmd == "-":
                 self.scene = s.hp_zoomed(False) if deep \
                     else s.zoomed(zoom_in=False)
-            elif cmd == "click":
+            elif cmd in ("click", "rclick"):
                 px, py = float(args[0]), float(args[1])
+                # the display is the vertical flip of the render (+imag at
+                # the top), so a coordinate measured on screen maps to
+                # render row height-1-py
+                py = self.height - 1 - py
+                zoom_in = cmd == "click"
                 self.scene = (s.hp_zoom_to_point(px, py, self.width,
-                                                 self.height, True)
+                                                 self.height, zoom_in)
                               if deep else
                               s.zoom_to_point(px, py, self.width,
-                                              self.height, zoom_in=True))
-            elif cmd == "rclick":
-                px, py = float(args[0]), float(args[1])
-                self.scene = (s.hp_zoom_to_point(px, py, self.width,
-                                                 self.height, False)
-                              if deep else
-                              s.zoom_to_point(px, py, self.width,
-                                              self.height, zoom_in=False))
+                                              self.height, zoom_in=zoom_in))
             elif cmd in ("w", "a", "s", "d"):
-                # zoom-proportional pan (input_handler.h:211-248)
+                # zoom-proportional pan (input_handler.h:211-248); 'w' is
+                # up ON SCREEN = +imag (the display flips the render)
                 step = s.zoom * 0.05
                 dx = {"a": -step, "d": step}.get(cmd, 0.0)
-                dy = {"w": -step, "s": step}.get(cmd, 0.0)
+                dy = {"w": step, "s": -step}.get(cmd, 0.0)
                 self.scene = s.with_(center_x=s.center_x + dx,
                                      center_y=s.center_y + dy)
             elif cmd == "tab":
@@ -154,8 +156,7 @@ class Viewer:
         from dataclasses import replace as _r
 
         s = self.scene
-        over = _r(s, center_x=-0.5 if s.fractal_type.name != "BURNING_SHIP"
-                  else -0.5,
+        over = _r(s, center_x=-0.5,  # both overview defaults center here
                   center_y=0.0 if s.fractal_type.name != "BURNING_SHIP"
                   else -0.6,
                   zoom=2.5, max_iterations=64, antialiasing_samples=1)
@@ -186,8 +187,9 @@ class Viewer:
         return ansi_render(img[::-1]) + "\n" + status
 
 
-def run(scene: Optional[Scene] = None) -> int:
-    v = Viewer(scene)
+def run(scene: Optional[Scene] = None, cols: Optional[int] = None,
+        rows: Optional[int] = None) -> int:
+    v = Viewer(scene, cols=cols, rows=rows)
     print(v.frame())
     while True:
         try:

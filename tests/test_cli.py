@@ -264,3 +264,19 @@ def test_viewer_minimap():
                      center_x=-0.745, center_y=0.113), cols=24, rows=8)
     out = v.handle("minimap")
     assert "▀" in out and "center marker" in out
+
+
+def test_viewer_screen_y_conventions():
+    # The display is the vertical flip of the render (+imag at the top):
+    # 'w' must pan toward +imag (up on screen), and a click near the top
+    # of the DISPLAYED view must move the center toward +imag.
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer(Scene(max_iterations=16, zoom=2.0), cols=24, rows=8)
+    y0 = v.scene.center_y
+    v.handle("w")
+    assert v.scene.center_y > y0
+    v = Viewer(Scene(max_iterations=16, zoom=2.0), cols=24, rows=8)
+    v.handle("click 12 0")  # top row of the displayed image
+    assert v.scene.center_y > 0.0
