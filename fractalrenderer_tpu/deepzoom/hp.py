@@ -51,7 +51,12 @@ def precision_mode_for_zoom(zoom: float) -> Tuple[PrecisionMode, int]:
     if z > 1e-14:
         return PrecisionMode.DOUBLE, 64
     if z > 1e-30:
-        return PrecisionMode.QUAD, calculate_precision_bits_for_zoom(z)
+        # the bits formula's 64-bit shortcut uses z >= 1e-14 while the
+        # mode threshold is strict, so exactly 1e-14 would pair QUAD with
+        # 64 bits (an orbit quantum coarser than a 1080p pixel step) —
+        # floor the QUAD tier at the formula's documented 128 minimum
+        return PrecisionMode.QUAD, max(
+            128, calculate_precision_bits_for_zoom(z))
     return PrecisionMode.ARBITRARY, calculate_precision_bits_for_zoom(z)
 
 

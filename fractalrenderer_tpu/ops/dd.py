@@ -65,13 +65,28 @@ def dd_from_float(xp, v):
     return f32(xp, v), xp.zeros_like(f32(xp, v))
 
 
-def dd_from_double(value: float) -> Tuple[float, float]:
+def dd_from_fraction(frac) -> Tuple[float, float]:
+    """Exact rational → (hi, lo) f32 pair: hi is the f32 rounding of the
+    value, lo the f32 rounding of the exact residual.  The single split
+    implementation behind dd_from_string/dd_from_double and the
+    perturbation parameter packing."""
+    import numpy as np
+    from fractions import Fraction
+
+    hi = np.float32(float(frac))
+    lo = np.float32(float(frac - Fraction(float(hi))))
+    return float(hi), float(lo)
+
+
+def dd_from_double(v: float) -> Tuple[float, float]:
     """Host-side split of a python double into f32 (hi, lo) — the packing
-    the reference does on push constants (compute_effect_manager.h:247-261)."""
+    the reference does on push constants (compute_effect_manager.h:247-261).
+    v - hi is exact in f64 (Sterbenz), so this equals
+    dd_from_fraction(Fraction(v)) bit-for-bit."""
     import numpy as np
 
-    hi = np.float32(value)
-    lo = np.float32(value - float(hi))
+    hi = np.float32(v)
+    lo = np.float32(v - float(hi))
     return float(hi), float(lo)
 
 
@@ -79,13 +94,9 @@ def dd_from_string(s: str) -> Tuple[float, float]:
     """Decimal string → (hi, lo) with correct double-double rounding via
     integer arithmetic (beats going through one f64 when |s| has > 17
     significant digits)."""
-    import numpy as np
     from fractions import Fraction
 
-    frac = Fraction(s)
-    hi = np.float32(float(frac))
-    lo = np.float32(float(frac - Fraction(float(hi))))
-    return float(hi), float(lo)
+    return dd_from_fraction(Fraction(s))
 
 
 def dd_add(xp, a, b):

@@ -154,6 +154,9 @@ def dd_escape_fields(width: int, height: int, *,
         interpret = default_interpret()
     if tile is None:
         tile = pick_tile(height, width)
+    if max_iter >= 1 << 24:
+        # the per-pixel counter nf is f32: n+1 == n past 2^24
+        raise ValueError("max_iter must be < 2^24 (f32 counter precision)")
     if iter_limit is None:
         iter_limit = max_iter
     params = np.zeros((1, ND), np.float32)

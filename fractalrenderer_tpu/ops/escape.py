@@ -465,6 +465,9 @@ def escape_fields(family: str, width: int, height: int, *,
                        else True)
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r}")
+    if max_iter >= 1 << 24:
+        # the per-pixel counter nf is f32: n+1 == n past 2^24
+        raise ValueError("max_iter must be < 2^24 (f32 counter precision)")
     if interpret is None:
         interpret = default_interpret()
     if tile is None:

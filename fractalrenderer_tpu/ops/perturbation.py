@@ -1028,10 +1028,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                        - step_fr.denominator.bit_length())
         step_fr *= Fraction(2) ** s_exp
 
-    def frac_to_dd(fr: Fraction) -> Tuple[float, float]:
-        hi = np.float32(float(fr))
-        lo = np.float32(float(fr - Fraction(float(hi))))
-        return float(hi), float(lo)
+    from .dd import dd_from_fraction as frac_to_dd
 
     step_dd = frac_to_dd(step_fr)
     if scaled_delta:
@@ -1042,6 +1039,15 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         two_s = Fraction(2) ** s_exp
         ref_shift_x = frac_to_dd(sh_x * two_s)
         ref_shift_y = frac_to_dd(sh_y * two_s)
+    if max_iter >= 1 << 24:
+        # per-pixel counters (and LIMIT/REFLEN params) are f32: n+1 == n
+        # past 2^24, which would wedge the interior latch
+        raise ValueError("max_iter must be < 2^24 (f32 counter precision)")
+    if series is not None and max(bailout, 2.0) < 4.0:
+        raise ValueError(
+            "series skip requires bailout >= 4 (its escape-exactness "
+            "proof needs |z| <= |Z| + |delta| < bailout over the skipped "
+            "range; see deepzoom/series.py)")
     # Orbits beyond the SMEM budget stream from HBM per iteration chunk.
     orbit_hbm = max_iter + 1 > MAX_ORBIT_SMEM
     bailout = max(2.0, float(bailout))  # comp:114
@@ -1106,9 +1112,20 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     params[0, Q_SHIFTYH], params[0, Q_SHIFTYL] = ref_shift_y
     params[0, Q_OFFX], params[0, Q_OFFY] = offset
     def put_dd(hi_idx, lo_idx, value):
-        hi = np.float32(value)
-        params[0, hi_idx] = hi
-        params[0, lo_idx] = np.float32(value - float(hi))
+        from .dd import dd_from_double
+
+        params[0, hi_idx], params[0, lo_idx] = dd_from_double(value)
+
+    def _series_f32_representable(s) -> bool:
+        # The non-floatexp branch ships raw f64 coefficient magnitudes in
+        # f32 SMEM params.  B/C legitimately reach 1e40+ at QUAD-tier
+        # depths on chaotic references (positive Lyapunov growth) — a
+        # float32 cast would turn them into inf/NaN and corrupt every
+        # pixel, so such a series is silently dropped (the skip is an
+        # optimization; correctness never depends on it).  The floatexp
+        # branch pre-aligns exponents and has no such limit.
+        vals = (s.a.real, s.a.imag, s.b.real, s.b.imag, s.c.real, s.c.imag)
+        return all(abs(v) < 1e36 and v == v for v in vals)
 
     if series is not None and series.n_skip > 1 and series.n_skip < L \
             and scaled_delta:
@@ -1135,7 +1152,8 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
             put_dd(ih, il, _math.ldexp(m.imag, d))
         params[0, Q_NSKIP] = series.n_skip
         params[0, Q_SE0] = e0
-    elif series is not None and series.n_skip > 1 and series.n_skip < L:
+    elif series is not None and series.n_skip > 1 and series.n_skip < L \
+            and _series_f32_representable(series):
         put_dd(Q_AR, Q_ARL, series.a.real)
         put_dd(Q_AI, Q_AIL, series.a.imag)
         put_dd(Q_BR, Q_BRL, series.b.real)

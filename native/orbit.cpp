@@ -265,6 +265,9 @@ long orbit_compute_kind2(const u64* cx_limbs, int sign_x,
 }
 
 // Backward-compatible entry without Phoenix coefficients (kinds 0/1).
+// Phoenix (kind 2) needs the p/r limbs this signature cannot carry, so
+// requesting it here is a caller error: fail loudly (negative length)
+// rather than silently computing a z^2+c orbit.
 long orbit_compute_kind(const u64* cx_limbs, int sign_x,
                         const u64* cy_limbs, int sign_y,
                         const u64* z0x_limbs, int sign_z0x,
@@ -273,12 +276,12 @@ long orbit_compute_kind(const u64* cx_limbs, int sign_x,
                         long max_iter, double escape_mag_sq,
                         double* out_re, double* out_im, int emit_rel,
                         int fractal_kind) {
+    if (fractal_kind == 2) return -1;
     return orbit_compute_kind2(cx_limbs, sign_x, cy_limbs, sign_y,
                                z0x_limbs, sign_z0x, z0y_limbs, sign_z0y,
                                nullptr, 0, nullptr, 0,
                                n_limbs, frac_bits, max_iter, escape_mag_sq,
-                               out_re, out_im, emit_rel,
-                               fractal_kind == 2 ? 0 : fractal_kind);
+                               out_re, out_im, emit_rel, fractal_kind);
 }
 
 // Backward-compatible entry: the Mandelbrot critical orbit (z0 = 0).

@@ -1341,3 +1341,33 @@ def test_precision_tier_boundaries_render_exact(zoom, expect_mode):
     assert len(np.unique(nref)) > 2
     exact = (np.asarray(n) == nref).mean()
     assert exact >= 0.9, f"{zoom}: only {exact:.2%}\n{np.asarray(n)}\n{nref}"
+
+
+def test_series_skip_overflowing_coefficients_dropped():
+    # At QUAD-tier depths on chaotic references the cubic-series B/C
+    # coefficients legitimately exceed f32 range (~1e40+); the non-floatexp
+    # parameter packing must DROP such a series (it ships raw f64
+    # magnitudes in f32 SMEM params — a cast to inf/NaN corrupted every
+    # pixel).  Counts with the series requested must equal counts without.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    kw = dict(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="-1.99999999999999999999", hp_center_y="0",
+              hp_zoom="1e-16", max_iterations=3000, use_perturbation=True)
+    W, H = 16, 12
+    n0, *_ = deep_zoom.render_fields(Scene(**kw), W, H)
+    n1, zx1, _zy, _g, info = deep_zoom.render_fields(
+        Scene(use_series_approximation=True, **kw), W, H)
+    assert np.isfinite(np.asarray(zx1)).all()
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n0))
+
+
+def test_perturbation_rejects_oversized_max_iter():
+    # per-pixel counters are f32; n+1 == n past 2^24 would wedge the
+    # interior latch, so the API refuses instead of silently saturating
+    from fractalrenderer_tpu.ops.escape import escape_fields
+
+    with pytest.raises(ValueError, match="2\\^24"):
+        escape_fields("mandelbrot", 8, 8, center_x=0.0, center_y=0.0,
+                      zoom=3.0, max_iter=1 << 24)
