@@ -140,9 +140,23 @@ def render_fields(scene: Scene, width: int, height: int,
 
     # +1: the kernel's index-consistent escape test reads orbit[i+1], so a
     # full-strength (interior) reference needs max_iter+1 stored entries.
+    def _ckey(v):
+        # exact cache identity: str(HPFloat) truncates to ~24 decimal
+        # digits, which collides for secondary-reference candidates whose
+        # centers differ only beyond that (zoom < ~1e-21) — the probe
+        # loop would then pair one candidate's orbit with another's
+        # coordinates and the shift would disagree with the orbit used
+        return (v.man, v.bits) if isinstance(v, HPFloat) else str(v)
+
     def cached_orbit(ocx, ocy):
-        key = (str(ocx), str(ocy), bits, max_iter, julia, jc if julia
-               else None)
+        # the orbit depends on the recurrence too: kind (ship/phoenix)
+        # and the phoenix coefficients must key the cache, or a shared
+        # orbit_cache reused across families/parameters silently serves
+        # the wrong reference orbit
+        key = (_ckey(ocx), _ckey(ocy), bits, max_iter, julia, jc if julia
+               else None, ship, phoenix,
+               (float(scene.phoenix_p), float(scene.phoenix_r))
+               if phoenix else None)
         if orbit_cache is not None and key in orbit_cache:
             return orbit_cache[key]
         if julia:

@@ -174,14 +174,17 @@ def _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit, esc_hit,
     ny = xp.where(fallback, xp.ones_like(ny), ny / nl)
     nz = xp.where(fallback, xp.zeros_like(nz), nz / nl)
 
-    # AO samples (mandelbulb.comp:156-157): k = 0.01, 0.03, ..., 0.13
+    # AO samples (mandelbulb.comp:156-157): the shader's f32 loop runs
+    # EIGHT taps (last k = 0.14999998f < 0.15f) at the accumulated f32
+    # offsets; mirror its arithmetic exactly.
     de_ao = []
-    k = 0.01
-    while k < 0.15:
-        dk, _ = de_fn(hx + nx * k, hy + ny * k, hz + nz * k, dyn_power,
+    k = np.float32(0.01)
+    while k < np.float32(0.15):
+        kk = float(k)
+        dk, _ = de_fn(hx + nx * kk, hy + ny * kk, hz + nz * kk, dyn_power,
                       p.max_iterations)
         de_ao.append(dk)
-        k += 0.02
+        k = np.float32(k + np.float32(0.02))
 
     hit_color = bm.shade_hit(xp, (hx, hy, hz), (nx, ny, nz),
                              (rdx, rdy, rdz), d_hit, esc_hit, t, p,
@@ -193,10 +196,12 @@ def _finish_sample(xp, de_fn, ro, rdx, rdy, rdz, hit, t, d_hit, esc_hit,
 def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
                    off=(0.0, 0.0), pallas_march: bool = False,
                    kernel_shading: bool = False, row0=None,
-                   map_height=None):
+                   map_height=None, int_power="auto"):
     """``row0``/``map_height``: render a row band of a taller image
-    (shard_map band decomposition; row0 may be traced)."""
-    ro, dyn_power = bm.camera_setup(p)
+    (shard_map band decomposition; row0 may be traced).  ``p``'s camera
+    and color fields may be traced scalars; ``int_power`` is the static
+    trig-free-DE decision (pass explicitly when power is traced)."""
+    ro, dyn_power = bm.camera_setup(xp, p)
     mh = map_height if map_height is not None else height
     if xp is np:
         pyg, pxg = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -217,7 +222,8 @@ def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
         f = march_fields(width, height, ro=ro, fov=p.fov, power=dyn_power,
                          max_iter=p.max_iterations, offset=off,
                          row0=(0.0 if row0 is None else row0),
-                         map_height=mh, shade=kernel_shading)
+                         map_height=mh, shade=kernel_shading,
+                         int_power=int_power)
         hit = f["hit"] > 0.5
         t, d_hit, esc_hit = f["t"], f["d"], f["esc"]
         if kernel_shading:
@@ -238,18 +244,32 @@ def _render_sample(xp, de_fn, width, height, p: bm.BulbParams,
                           esc_hit, p, dyn_power)
 
 
+# Camera/power/color fields are traced so one compile serves a whole
+# animation (time/rotation vary per frame); only loop bounds, the palette
+# dispatch, AA, and the trig-free-DE specialization are static.
+_DYN_FIELDS = ("camera_distance", "rotation_y", "power", "time", "fov",
+               "rotation_speed", "color_offset", "color_scale",
+               "brightness", "saturation", "contrast")
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled(width: int, height: int, p: bm.BulbParams,
+def _compiled(width: int, height: int, max_iterations: int,
+              palette_mode: int, aa_samples: int, int_power,
               pallas_march: bool = True, kernel_shading: bool = True):
-    def fn():
+    def fn(dyn):
+        p = bm.BulbParams(
+            max_iterations=max_iterations, palette_mode=palette_mode,
+            aa_samples=aa_samples,
+            **{k: jnp.asarray(dyn[k], jnp.float32) for k in _DYN_FIELDS})
         acc = jnp.zeros((height, width, 3), jnp.float32)
-        aa = p.aa_samples
+        aa = aa_samples
         for sy in range(aa):
             for sx in range(aa):
                 acc = acc + _render_sample(
                     jnp, _de_jax, width, height, p, (sx / aa, sy / aa),
                     pallas_march=pallas_march,
-                    kernel_shading=pallas_march and kernel_shading)
+                    kernel_shading=pallas_march and kernel_shading,
+                    int_power=int_power)
         color = acc / jnp.float32(aa * aa)
         color = coloring.enhance_color(jnp, color, p.brightness,
                                        p.saturation, p.contrast)
@@ -257,6 +277,14 @@ def _compiled(width: int, height: int, p: bm.BulbParams,
         return coloring.gamma_correct(jnp, color)
 
     return jax.jit(fn)
+
+
+def _static_int_power(p: bm.BulbParams):
+    """The host-side trig-free-DE gate: the kernel specializes on integer
+    DYNAMIC power (power + 0.5*sin(0.7*time)), decidable only from host
+    floats."""
+    dyn_power = p.power + 0.5 * math.sin(p.time * 0.7)
+    return int(dyn_power) if float(dyn_power).is_integer()         and 2.0 <= dyn_power <= 16.0 else None
 
 
 def render(scene: Scene, width: int, height: int,
@@ -268,9 +296,14 @@ def render(scene: Scene, width: int, height: int,
     trig-free DE step (complex binary exponentiation, bulb_math.de_step_int)
     — 0.087 s at 1080p on TPU v5e vs 0.227 s for the polynomial-trig step
     (2.6x, both warm/kernel-shaded/scalar-fetch timed); non-integer dynamic
-    powers (time != 0) keep the ~2e-6 ops/trig approximations."""
-    return _compiled(width, height, _bulb_params(scene),
-                     bool(pallas_march), bool(kernel_shading))()
+    powers (time != 0) keep the ~2e-6 ops/trig approximations.  Camera,
+    power, and color values are traced, so an animation's frames share ONE
+    compile."""
+    p = _bulb_params(scene)
+    fn = _compiled(width, height, p.max_iterations, p.palette_mode,
+                   p.aa_samples, _static_int_power(p),
+                   bool(pallas_march), bool(kernel_shading))
+    return fn({k: getattr(p, k) for k in _DYN_FIELDS})
 
 
 def render_sharded(scene: Scene, width: int, height: int, mesh=None,
@@ -288,9 +321,14 @@ def render_sharded(scene: Scene, width: int, height: int, mesh=None,
     h_pad = pad_to_multiple(height, n_rows)
     band_h = h_pad // n_rows
     p = _bulb_params(scene)
+    int_power = _static_int_power(p)
 
-    def shard_body(power_arr):
-        del power_arr  # shard_map needs >=1 operand; params are static
+    def shard_body(dyn):
+        # identical traced-f32 parameter plumbing to the single-device
+        # _compiled path, so sharded output stays bit-comparable to it
+        pt = bm.BulbParams(
+            max_iterations=p.max_iterations, palette_mode=p.palette_mode,
+            aa_samples=p.aa_samples, **dyn)
         ridx = jax.lax.axis_index("rows")
         row0 = (ridx * band_h).astype(jnp.float32)
         acc = jnp.zeros((band_h, width, 3), jnp.float32)
@@ -298,20 +336,21 @@ def render_sharded(scene: Scene, width: int, height: int, mesh=None,
         for sy in range(aa):
             for sx in range(aa):
                 acc = acc + _render_sample(
-                    jnp, _de_jax, width, band_h, p, (sx / aa, sy / aa),
+                    jnp, _de_jax, width, band_h, pt, (sx / aa, sy / aa),
                     pallas_march=pallas_march,
                     kernel_shading=pallas_march, row0=row0,
-                    map_height=height)
+                    map_height=height, int_power=int_power)
         color = acc / jnp.float32(aa * aa)
-        color = coloring.enhance_color(jnp, color, p.brightness,
-                                       p.saturation, p.contrast)
+        color = coloring.enhance_color(jnp, color, pt.brightness,
+                                       pt.saturation, pt.contrast)
         color = coloring.aces_tonemap(jnp, color)
         return coloring.gamma_correct(jnp, color)
 
     fn = jax.jit(jax.shard_map(
-        shard_body, mesh=mesh, in_specs=(P(),),
+        shard_body, mesh=mesh,
+        in_specs=({k: P() for k in _DYN_FIELDS},),
         out_specs=P("rows"), check_vma=False))
-    out = fn(jnp.float32(p.power))
+    out = fn({k: jnp.float32(getattr(p, k)) for k in _DYN_FIELDS})
     return np.asarray(out)[:height]
 
 

@@ -111,7 +111,7 @@ def _de_tile_multi(ps, power, limit, int_power=None):
     loop (state is the concatenation of all orbits), so P sequential
     tile-local loops — each paying its own any() reductions and slowest-
     lane wait — collapse into one loop bounded by the slowest lane overall.
-    Used for the 4 normal-difference and 7 AO evaluations of in-kernel
+    Used for the 4 normal-difference and 8 AO evaluations of in-kernel
     shading.  Returns the list of DE values (no escape tracking — the
     march already recorded esc_hit)."""
     step_fn = _step_fn(int_power)
@@ -243,7 +243,7 @@ def _make_kernel(width: int, height: int, map_height: int,
         if shade:
             # Shading DE positions are masked to HIT lanes (non-hit lanes
             # move to r=3 where the orbit is inactive from step 0), and the
-            # 4 normal-difference + 7 AO evaluations each fuse into ONE
+            # 4 normal-difference + 8 AO evaluations each fuse into ONE
             # multi-point loop (_de_tile_multi) instead of 11 sequential
             # tile-local loops — round-1's in-kernel shading regression
             # came from those serialized slowest-lane waits.
@@ -266,12 +266,15 @@ def _make_kernel(width: int, height: int, map_height: int,
             nx = jnp.where(fb, jnp.zeros_like(nx), nx / nl)
             ny = jnp.where(fb, jnp.ones_like(ny), ny / nl)
             nz = jnp.where(fb, jnp.zeros_like(nz), nz / nl)
-            # AO loop k = 0.01..0.13 step 0.02 (mandelbulb.comp:156-157)
+            # AO loop (mandelbulb.comp:156-157): the shader's f32
+            # accumulation for(k=0.01; k<0.15; k+=0.02) runs EIGHT taps —
+            # the last k is 0.14999998f, still < 0.15f — at the
+            # accumulated (slightly drifted) f32 offsets; mirror both.
             ks = []
-            k = 0.01
-            while k < 0.15:
-                ks.append(jnp.float32(k))
-                k += 0.02
+            k = np.float32(0.01)
+            while k < np.float32(0.15):
+                ks.append(jnp.float32(float(k)))
+                k = np.float32(k + np.float32(0.02))
             ds = _de_tile_multi(
                 [(hx + nx * kk, hy + ny * kk, hz + nz * kk) for kk in ks],
                 power, limit, int_power)
@@ -313,28 +316,31 @@ def _march_call(params, *, width, height, map_height, max_iter_cap, tile,
 def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
                  offset=(0.0, 0.0), tile=(32, 128), shade: bool = False,
                  row0=0.0, map_height: Optional[int] = None,
+                 int_power="auto",
                  interpret: Optional[bool] = None):
     """Tile-local raymarch; returns dict(hit, t, d, esc [, nx, ny, nz, ao])
     as f32 fields.  ``row0`` may be a traced scalar (shard_map band
     rendering); static params stay a host numpy array."""
     if interpret is None:
         interpret = default_interpret()
-    params = np.zeros((1, NB), np.float32)
-    params[0, B_ROX], params[0, B_ROY], params[0, B_ROZ] = ro
-    params[0, B_FOV] = fov
-    params[0, B_POWER] = power
-    params[0, B_LIMIT] = max(1, int(max_iter))
-    params[0, B_OFFX], params[0, B_OFFY] = offset
-    if isinstance(row0, (int, float)):
-        params[0, B_ROW0] = row0
-        params_dev = jnp.asarray(params)
-    else:
-        params_dev = jnp.asarray(params).at[0, B_ROW0].set(
-            jnp.asarray(row0, jnp.float32))
-    # Static integer powers (2..16, the clamp range) take the trig-free DE
-    # step — the default scene (power 8, time 0) always does.
-    pw = float(power)
-    int_power = int(pw) if pw.is_integer() and 2.0 <= pw <= 16.0 else None
+    # ro/fov/power/row0 may be traced scalars (one compile serves a whole
+    # animation); the layout matches (B_ROX..B_ROW0) = range(9)
+    params_dev = jnp.stack([
+        jnp.asarray(ro[0], jnp.float32), jnp.asarray(ro[1], jnp.float32),
+        jnp.asarray(ro[2], jnp.float32), jnp.asarray(fov, jnp.float32),
+        jnp.asarray(power, jnp.float32),
+        jnp.float32(max(1, int(max_iter))),
+        jnp.asarray(offset[0], jnp.float32),
+        jnp.asarray(offset[1], jnp.float32),
+        jnp.asarray(row0, jnp.float32),
+    ]).reshape(1, NB)
+    if int_power == "auto":
+        # Static integer powers (2..16, the clamp range) take the trig-free
+        # DE step — the default scene (power 8, time 0) always does.  Only
+        # decidable for a host-float power; traced callers pass their own
+        # static int_power (or None).
+        pw = float(power)
+        int_power = int(pw) if pw.is_integer() and 2.0 <= pw <= 16.0             else None
     outs = _march_call(
         params_dev, width=width, height=height,
         map_height=int(map_height if map_height is not None else height),

@@ -56,27 +56,40 @@ class BulbParams:
         )
 
 
-def camera_setup(p: BulbParams) -> Tuple[Tuple[float, float, float], float]:
-    """Animated camera origin + dynamic power (mandelbulb.comp:192-198)."""
+def camera_setup(xp, p: BulbParams):
+    """Animated camera origin + dynamic power (mandelbulb.comp:192-198).
+    xp-generic so camera fields may be traced scalars (one compile serves
+    a whole animation)."""
     rotation = p.rotation_y + p.rotation_speed * p.time
-    dyn_dist = p.camera_distance * (1.0 + 0.3 * math.sin(p.time * 0.5))
-    # ro = rot_y(rotation) @ (0, 0, dyn_dist)
-    c, s = math.cos(rotation), math.sin(rotation)
-    ro = (s * dyn_dist, 0.0, c * dyn_dist)
-    dyn_power = p.power + 0.5 * math.sin(p.time * 0.7)
+    dyn_dist = p.camera_distance * (1.0 + 0.3 * xp.sin(
+        xp.asarray(p.time, xp.float32) * 0.5))
+    # ro = rot_y(rotation) @ (0, 0, dyn_dist).  The GLSL mat3(c,0,s,
+    # 0,1,0, -s,0,c) is COLUMN-major, so its third column (-s, 0, c)
+    # multiplies dyn_dist: ro.x is -s*d, not +s*d (a sign slip here
+    # spins every animated camera the wrong way vs the reference, and
+    # the world-fixed light breaks the mirror symmetry).
+    rot = xp.asarray(rotation, xp.float32)
+    c, s = xp.cos(rot), xp.sin(rot)
+    ro = (-s * dyn_dist, xp.zeros_like(c), c * dyn_dist)
+    dyn_power = p.power + 0.5 * xp.sin(xp.asarray(p.time, xp.float32) * 0.7)
     return ro, dyn_power
 
 
 def ray_dirs(xp, px, py, width, height, ro, fov):
-    """Per-pixel ray directions (mandelbulb.comp:204-209)."""
+    """Per-pixel ray directions (mandelbulb.comp:204-209).  ``ro``/``fov``
+    may be traced scalars; the degenerate camera-overhead case clamps the
+    basis length (same guard as the Pallas kernel, which shares this
+    helper)."""
     ux = (px - width * 0.5) / height
     uy = (py - height * 0.5) / height
     rox, roy, roz = ro
-    rlen = math.sqrt(rox * rox + roy * roy + roz * roz)
+    rlen = xp.sqrt(xp.asarray(rox * rox + roy * roy + roz * roz,
+                              xp.float32))
     fwd = (-rox / rlen, -roy / rlen, -roz / rlen)
     # right = normalize(cross((0,1,0), forward)); up = cross(forward, right)
     rx, ry, rz = fwd[2], 0.0, -fwd[0]
-    rl = math.sqrt(rx * rx + rz * rz) or 1.0
+    rl = xp.maximum(xp.sqrt(xp.asarray(rx * rx + rz * rz, xp.float32)),
+                    1e-12)
     right = (rx / rl, 0.0, rz / rl)
     up = (fwd[1] * right[2] - fwd[2] * right[1],
           fwd[2] * right[0] - fwd[0] * right[2],
@@ -212,14 +225,14 @@ def shade_hit(xp, pos, normal, rd, d_at_hit, escape_iter, t, params, dyn_power,
     pr = xp.sqrt(pos[0] ** 2 + pos[1] ** 2 + pos[2] ** 2)
     log_pr = xp.log(xp.maximum(pr, 1e-12))
     it = escape_iter + 1.0 - xp.log(xp.maximum(log_pr, 1e-12)) \
-        / math.log(dyn_power + 1e-4)
+        / xp.log(xp.asarray(dyn_power, xp.float32) + 1e-4)
     it = it / float(p.max_iterations)
     it = pal._fract(xp, p.color_offset
                     + xp.power(xp.maximum(it, 0.0), 0.6) * p.color_scale)
     base = pal.bulb_color(xp, it, p.palette_mode)
     alt = pal.bulb_color(xp, pal._fract(xp, it + 0.33),
                          (p.palette_mode + 1) % 6)
-    mixw = 0.3 + 0.3 * math.sin(p.time * 0.5)
+    mixw = 0.3 + 0.3 * xp.sin(xp.asarray(p.time, xp.float32) * 0.5)
     color = base * (1.0 - mixw) + alt * mixw
 
     shade = (ambient + diffuse * 0.9)[..., None]

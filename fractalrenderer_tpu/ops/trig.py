@@ -38,7 +38,11 @@ def atan(xp, x):
 def atan2(xp, y, x):
     """Quadrant-correct arctan(y/x) matching numpy.arctan2 conventions
     (including x == 0 and y == 0 edges to within the approximation)."""
-    safe_x = xp.where(xp.abs(x) < 1e-38, xp.full_like(x, 1e-38), x)
+    # keep x's SIGN when clamping denormals: a negative-denormal x
+    # flushed to +1e-38 would land in the wrong quadrant (off by pi)
+    safe_x = xp.where(xp.abs(x) < 1e-38,
+                      xp.where(x < 0, xp.full_like(x, -1e-38),
+                               xp.full_like(x, 1e-38)), x)
     base = atan(xp, y / safe_x)
     # quadrant fixup
     add = xp.where(y >= 0, _PI, -_PI)

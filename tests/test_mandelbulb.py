@@ -24,11 +24,11 @@ def test_clamps_match_reference():
 
 def test_camera_setup():
     p = bm.BulbParams(camera_distance=3.0, rotation_y=0.0, time=0.0)
-    ro, power = bm.camera_setup(p)
-    assert ro == pytest.approx((0.0, 0.0, 3.0))
+    ro, power = bm.camera_setup(np, p)
+    assert tuple(map(float, ro)) == pytest.approx((0.0, 0.0, 3.0))
     assert power == pytest.approx(8.0)
     p2 = bm.BulbParams(time=1.0)
-    ro2, power2 = bm.camera_setup(p2)
+    ro2, power2 = bm.camera_setup(np, p2)
     assert power2 == pytest.approx(8.0 + 0.5 * np.sin(0.7))
 
 
@@ -139,8 +139,23 @@ def test_noninteger_power_uses_trig_path():
     # back to the ops/trig polynomial step and still matches the golden
     s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=16,
               time=1.0)
-    _, dyn_power = bm.camera_setup(mandelbulb._bulb_params(s))
+    _, dyn_power = bm.camera_setup(np, mandelbulb._bulb_params(s))
     assert not float(dyn_power).is_integer()
     a = mandelbulb.render_numpy(s, 32, 18)
     b = np.asarray(mandelbulb.render(s, 32, 18, pallas_march=True))
     assert np.abs(a - b).mean() < 0.01
+
+
+def test_animation_frames_share_one_compile():
+    # Camera/power/colors are traced: frames differing only in time (every
+    # bulb animation frame) must hit the same compiled function instead of
+    # recompiling the whole pipeline per frame.
+    mandelbulb._compiled.cache_clear()
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=12,
+              time=0.25)
+    a = np.asarray(mandelbulb.render(s, 32, 18))
+    b = np.asarray(mandelbulb.render(s.with_(time=0.5, rotation_y=0.3),
+                                     32, 18))
+    info = mandelbulb._compiled.cache_info()
+    assert info.misses == 1 and info.hits == 1, info
+    assert np.abs(a - b).mean() > 1e-4  # the frames genuinely differ
