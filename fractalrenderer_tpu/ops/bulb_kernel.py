@@ -44,15 +44,20 @@ DE_CHUNK = 4  # DE iterations per cross-lane any() check
 def _step_fn(int_power):
     """DE step selector: static integer powers (the default — the animated
     camera's dynamic power is integer whenever time == 0) run the trig-free
-    complex-squaring step; otherwise the ops/trig polynomial path."""
+    complex-squaring step; otherwise the ops/trig polynomial path.  The
+    returned step accepts the carried |z| as ``r`` (see _de_tile)."""
     if int_power is not None:
-        return lambda *a: bm.de_step_int(jnp, *a[:7], int_power, a[8])
+        return lambda zx, zy, zz, dr, px, py, pz, power, act, r=None: \
+            bm.de_step_int(jnp, zx, zy, zz, dr, px, py, pz, int_power,
+                           act, r=r)
     acos_fn = lambda v: trig.acos(jnp, v)
     atan2_fn = lambda a, b: trig.atan2(jnp, a, b)
-    return lambda *a: bm.de_step(jnp, *a, acos_fn, atan2_fn)
+    return lambda zx, zy, zz, dr, px, py, pz, power, act, r=None: \
+        bm.de_step(jnp, zx, zy, zz, dr, px, py, pz, power, act,
+                   acos_fn, atan2_fn, r=r)
 
 
-def _de_tile(px, py, pz, power, max_iter_cap, limit, int_power=None):
+def _de_tile(px, py, pz, power, limit, int_power=None):
     """In-kernel DE + escape iteration over a tile.
 
     No boolean loop carries (Mosaic cannot yield i1 vectors): the active
@@ -65,21 +70,23 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit, int_power=None):
     shape = px.shape
     step_fn = _step_fn(int_power)
 
-    def act_of(i, zx, zy, zz):
-        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
-        return (r <= 2.0) & (r >= 1e-4) & (i < limit), r
+    # |z| is CARRIED between iterations: the activity mask, the step's
+    # spherical math, and the escape test all need it, and recomputing it
+    # in each place cost three sqrt+reductions per iteration.  The carried
+    # value equals the recomputed one bit-for-bit (same frozen z).
+    def act_of(i, r):
+        return (r <= 2.0) & (r >= 1e-4) & (i < limit)
 
     def cond(s):
-        i, zx, zy, zz, dr, esc = s
-        act, _ = act_of(i, zx, zy, zz)
-        return (i < limit) & jnp.any(act)
+        i, zx, zy, zz, dr, esc, r = s
+        return (i < limit) & jnp.any(act_of(i, r))
 
     def body(s):
         def step(_, s):
-            i, zx, zy, zz, dr, esc = s
-            act, r = act_of(i, zx, zy, zz)
+            i, zx, zy, zz, dr, esc, r = s
+            act = act_of(i, r)
             nzx, nzy, nzz, dr, _ = step_fn(zx, zy, zz, dr, px, py,
-                                           pz, power, act)
+                                           pz, power, act, r)
             # Record the escape in the SAME step whose update created it —
             # recording at the top of the next step (as the golden loop is
             # written) made the value depend on whether other lanes kept
@@ -89,7 +96,7 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit, int_power=None):
             esc = jnp.where((esc < 0.0) & act & (rn > 2.0)
                             & (i + 1 < limit),
                             (i + 1).astype(jnp.float32), esc)
-            return (i + 1, nzx, nzy, nzz, dr, esc)
+            return (i + 1, nzx, nzy, nzz, dr, esc, rn)
 
         return jax.lax.fori_loop(0, DE_CHUNK, step, s)
 
@@ -97,9 +104,9 @@ def _de_tile(px, py, pz, power, max_iter_cap, limit, int_power=None):
     # initial visibility (golden records escaped_now at top of step 0)
     esc0 = jnp.where(r0 > 2.0, jnp.zeros(shape, jnp.float32),
                      jnp.full(shape, -1.0, jnp.float32))
-    s0 = (jnp.int32(0), px, py, pz, jnp.ones(shape, jnp.float32), esc0)
-    i, zx, zy, zz, dr, esc = jax.lax.while_loop(cond, body, s0)
-    r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+    s0 = (jnp.int32(0), px, py, pz, jnp.ones(shape, jnp.float32), esc0,
+          r0)
+    i, zx, zy, zz, dr, esc, r = jax.lax.while_loop(cond, body, s0)
     # never-recorded lanes (non-escaping, or first visible at i == limit)
     # report limit — identical to the golden/_de_jax init value
     esc = jnp.where(esc < 0.0, limit.astype(jnp.float32), esc)
@@ -117,16 +124,15 @@ def _de_tile_multi(ps, power, limit, int_power=None):
     step_fn = _step_fn(int_power)
     P_ = len(ps)
 
-    def act_of(i, zx, zy, zz):
-        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+    def act_of(i, r):
         return (r <= 2.0) & (r >= 1e-4) & (i < limit)
 
     def cond(s):
         i = s[0]
         any_act = jnp.bool_(False)
         for k in range(P_):
-            zx, zy, zz, _ = s[1 + k]
-            any_act |= jnp.any(act_of(i, zx, zy, zz))
+            r = s[1 + k][4]
+            any_act |= jnp.any(act_of(i, r))
         return (i < limit) & any_act
 
     def body(s):
@@ -134,31 +140,32 @@ def _de_tile_multi(ps, power, limit, int_power=None):
             i = s[0]
             out = [i + 1]
             for k in range(P_):
-                zx, zy, zz, dr = s[1 + k]
-                act = act_of(i, zx, zy, zz)
+                zx, zy, zz, dr, r = s[1 + k]
+                act = act_of(i, r)
                 zx, zy, zz, dr, _ = step_fn(
                     zx, zy, zz, dr, ps[k][0], ps[k][1], ps[k][2],
-                    power, act)
-                out.append((zx, zy, zz, dr))
+                    power, act, r)
+                rn = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+                out.append((zx, zy, zz, dr, rn))
             return tuple(out)
 
         return jax.lax.fori_loop(0, DE_CHUNK, step, s)
 
     shape = ps[0][0].shape
     s0 = tuple([jnp.int32(0)]
-               + [(px, py, pz, jnp.ones(shape, jnp.float32))
+               + [(px, py, pz, jnp.ones(shape, jnp.float32),
+                   jnp.sqrt(px * px + py * py + pz * pz))
                   for (px, py, pz) in ps])
     s = jax.lax.while_loop(cond, body, s0)
     out = []
     for k in range(P_):
-        zx, zy, zz, dr = s[1 + k]
-        r = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+        zx, zy, zz, dr, r = s[1 + k]
         out.append(bm.de_finish(jnp, r, dr))
     return out
 
 
 def _make_kernel(width: int, height: int, map_height: int,
-                 max_iter_cap: int, tile: Tuple[int, int],
+                 tile: Tuple[int, int],
                  shade: bool = False, int_power=None):
     """``map_height``: full-image height for the camera mapping;
     ``height``: rows this call renders.  A row-band shard passes its global
@@ -184,22 +191,11 @@ def _make_kernel(width: int, height: int, map_height: int,
 
         pxf = cols.astype(jnp.float32) + params_ref[0, B_OFFX]
         pyf = rows.astype(jnp.float32) + params_ref[0, B_OFFY]
-        # ray directions (bulb_math.ray_dirs needs scalar ro as floats;
-        # replicate its math with traced scalars)
-        ux = (pxf - jnp.float32(width) * 0.5) / jnp.float32(map_height)
-        uy = (pyf - jnp.float32(map_height) * 0.5) / jnp.float32(map_height)
-        rlen = jnp.sqrt(ro[0] * ro[0] + ro[1] * ro[1] + ro[2] * ro[2])
-        fwd = (-ro[0] / rlen, -ro[1] / rlen, -ro[2] / rlen)
-        rl = jnp.maximum(jnp.sqrt(fwd[2] * fwd[2] + fwd[0] * fwd[0]), 1e-12)
-        right = (fwd[2] / rl, jnp.float32(0.0), -fwd[0] / rl)
-        up = (fwd[1] * right[2] - fwd[2] * right[1],
-              fwd[2] * right[0] - fwd[0] * right[2],
-              fwd[0] * right[1] - fwd[1] * right[0])
-        dx = fwd[0] + right[0] * ux * fov + up[0] * uy * fov
-        dy = fwd[1] + right[1] * ux * fov + up[1] * uy * fov
-        dz = fwd[2] + right[2] * ux * fov + up[2] * uy * fov
-        inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        rdx, rdy, rdz = dx * inv, dy * inv, dz * inv
+        # shared camera-basis math: models/mandelbulb rebuilds hit
+        # positions from the kernel's t via the same helper, so the two
+        # must stay bit-identical
+        rdx, rdy, rdz = bm.ray_dirs(jnp, pxf, pyf, width, map_height,
+                                    ro, fov)
 
         # f32 status flags instead of bool carries (Mosaic i1 limitation):
         # hit_f: 1.0 once converged; done_f: 1.0 once terminated (hit, NaN,
@@ -212,8 +208,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             step, t, hit_f, done_f, d_hit, esc_hit = s
             act = done_f == 0.0
             d, esc = _de_tile(ro[0] + rdx * t, ro[1] + rdy * t,
-                              ro[2] + rdz * t, power, max_iter_cap, limit,
-                              int_power)
+                              ro[2] + rdz * t, power, limit, int_power)
             bad = ~jnp.isfinite(d)
             threshold = jnp.maximum(jnp.float32(1e-4), 1e-3 * t)
             hit_now = act & ~bad & (d < threshold)
@@ -290,14 +285,14 @@ def _make_kernel(width: int, height: int, map_height: int,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
-                                             "map_height", "max_iter_cap",
+                                             "map_height",
                                              "tile", "interpret", "shade",
                                              "int_power"))
-def _march_call(params, *, width, height, map_height, max_iter_cap, tile,
+def _march_call(params, *, width, height, map_height, tile,
                 interpret, shade=False, int_power=None):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
-    kernel = _make_kernel(width, height, map_height, max_iter_cap, tile,
+    kernel = _make_kernel(width, height, map_height, tile,
                           shade, int_power)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
                        for _ in range(8 if shade else 4))
@@ -344,7 +339,7 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
     outs = _march_call(
         params_dev, width=width, height=height,
         map_height=int(map_height if map_height is not None else height),
-        max_iter_cap=int(max_iter), tile=tuple(tile),
+        tile=tuple(tile),
         interpret=bool(interpret), shade=bool(shade), int_power=int_power)
     names = ["hit", "t", "d", "esc"] + (["nx", "ny", "nz", "ao"]
                                         if shade else [])

@@ -102,14 +102,17 @@ def ray_dirs(xp, px, py, width, height, ro, fov):
 
 
 def de_step(xp, zx, zy, zz, dr, px, py, pz, power, active,
-            acos_fn=None, atan2_fn=None):
+            acos_fn=None, atan2_fn=None, r=None):
     """One DE iteration (mandelbulb.comp:98-104), masked by ``active``.
 
     ``acos_fn``/``atan2_fn`` default to the backend's exact functions; the
-    Pallas kernel passes ops.trig approximations (Mosaic lowers neither)."""
+    Pallas kernel passes ops.trig approximations (Mosaic lowers neither).
+    ``r`` optionally supplies the precomputed |z| (the kernel carries it
+    between iterations — same value, one sqrt instead of three)."""
     acos_fn = acos_fn or (lambda v: xp.arccos(v))
     atan2_fn = atan2_fn or (lambda a, b: xp.arctan2(a, b))
-    r = xp.sqrt(zx * zx + zy * zy + zz * zz)
+    if r is None:
+        r = xp.sqrt(zx * zx + zy * zy + zz * zz)
     rs = xp.maximum(r, 1e-12)
     theta = acos_fn(xp.clip(zz / rs, -1.0, 1.0))
     phi = atan2_fn(zy, zx)
@@ -158,7 +161,8 @@ def _rpow_int(xp, r, r2, k: int):
     return h * r if k & 1 else h
 
 
-def de_step_int(xp, zx, zy, zz, dr, px, py, pz, p: int, active):
+def de_step_int(xp, zx, zy, zz, dr, px, py, pz, p: int, active,
+                r=None):
     """One DE iteration for a static integer power — identical math to
     de_step but trig-free: in spherical coords the triplex power is
     r^p·(sin pθ cos pφ, sin pφ sin pθ, cos pθ), and with u = zz + i·m
@@ -169,10 +173,12 @@ def de_step_int(xp, zx, zy, zz, dr, px, py, pz, p: int, active):
     iteration (acos/atan2/2×pow/4×sincos) with ~3 rsqrt/div ops.
 
     The animated camera (time != 0) makes the dynamic power non-integer
-    (mandelbulb.comp:198) — callers fall back to de_step there."""
+    (mandelbulb.comp:198) — callers fall back to de_step there.  ``r``
+    optionally supplies the precomputed |z| (kernel loop carry)."""
     m2 = zx * zx + zy * zy
     r2 = m2 + zz * zz
-    r = xp.sqrt(r2)
+    if r is None:
+        r = xp.sqrt(r2)
     # unit e^{iφ}; φ = 0 on the axis m = 0 (atan2(0,0) convention)
     zero_m = m2 <= 0.0
     inv_m = 1.0 / xp.sqrt(xp.where(zero_m, xp.ones_like(m2), m2))
