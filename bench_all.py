@@ -68,6 +68,38 @@ def _per_iter_seconds(make_body, K, shape):
     return max((tK - t1) / (K - 1), 1e-9), "amortized_wall"
 
 
+def bench_cold_start():
+    """Fresh-process 1080p render wall time, twice: the first subprocess
+    populates the persistent compilation cache, the second reuses it.
+    The warm number is the user-visible cold-start cost of a new process
+    (VERDICT r2 item 5; compare wall_incl_compile_s before the cache)."""
+    import subprocess
+
+    code = (
+        "import time,sys,numpy as np;t0=time.perf_counter();"
+        "import fractalrenderer_tpu as f;"
+        "from fractalrenderer_tpu.scene import Scene;"
+        "img=np.asarray(f.render(Scene(max_iterations=256),1920,1080));"
+        "print('WALL',time.perf_counter()-t0)"
+    )
+
+    def probe():
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1800)
+        for line in out.stdout.splitlines():
+            if line.startswith("WALL"):
+                return float(line.split()[1])
+        raise RuntimeError(f"cold-start probe failed: {out.stderr[-300:]}")
+
+    first = probe()
+    second = probe()
+    import jax
+    return {"config": "fresh_process_1080p_render",
+            "first_process_s": round(first, 1),
+            "cached_process_s": round(second, 1),
+            "cache_dir": jax.config.jax_compilation_cache_dir}
+
+
 def bench_mandelbrot_1080p():
     from fractalrenderer_tpu.models import common
     from fractalrenderer_tpu.scene import Scene
@@ -293,6 +325,7 @@ def main():
                     and int(k[6:]) in skip:
                 results[k] = v
     benches = {
+        0: bench_cold_start,
         1: bench_mandelbrot_1080p,
         2: bench_julia_sweep,
         3: (lambda: bench_animation(60)) if args.quick else bench_animation,

@@ -9,6 +9,10 @@ perturbation deep zoom, and gather-free multi-chip image sharding.
 See SURVEY.md at the repo root for the full reference analysis.
 """
 
+from .utils.compile_cache import configure_persistent_cache
+
+configure_persistent_cache()
+
 from .scene import FractalType, InteriorStyle, Scene
 from . import presets
 

@@ -201,6 +201,109 @@ def write_png(path: str, image: np.ndarray, bit_depth: int = 8,
             w.write_rows(image)
 
 
+_pngfilter_lib = None
+_pngfilter_failed = False
+_pngfilter_lock = None
+
+
+def _load_pngfilter():
+    """Build (once, via make) and load native/libpngfilter.so; None when
+    the toolchain is unavailable — callers fall back to NumPy loops."""
+    global _pngfilter_lib, _pngfilter_failed, _pngfilter_lock
+    if _pngfilter_lib is not None or _pngfilter_failed:
+        return _pngfilter_lib
+    import threading
+    if _pngfilter_lock is None:
+        _pngfilter_lock = threading.Lock()
+    with _pngfilter_lock:
+        if _pngfilter_lib is not None or _pngfilter_failed:
+            return _pngfilter_lib
+        try:
+            import ctypes
+            import os
+            import subprocess
+
+            native_dir = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "native")
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(os.path.join(native_dir, "build",
+                                           "libpngfilter.so"))
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.png_unfilter.restype = ctypes.c_int
+            lib.png_unfilter.argtypes = [u8p, ctypes.c_int64, u8p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int]
+            _pngfilter_lib = lib
+        except Exception:
+            _pngfilter_failed = True
+        return _pngfilter_lib
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering → (height, stride) uint8.
+
+    Native C++ loop when available (filters 1/3/4 carry a left-neighbor
+    recurrence — 16K-wide filtered scanlines decode in milliseconds);
+    NumPy fallback vectorizes what it can (0/2 fully, 1 via cumsum) and
+    loops per byte only for 3/4.
+    """
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    lib = _load_pngfilter()
+    if lib is not None:
+        import ctypes
+
+        src = np.frombuffer(raw, np.uint8, count=height * (stride + 1))
+        out = np.empty(height * stride, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = lib.png_unfilter(src.ctypes.data_as(u8p), src.size,
+                              out.ctypes.data_as(u8p), height, stride, bpp)
+        if rc == 0:
+            return out.reshape(height, stride)
+        if rc == -1:
+            raise ValueError("unsupported filter type in PNG stream")
+        raise ValueError("truncated PNG pixel data")
+    lines = np.frombuffer(raw, np.uint8, count=height * (stride + 1))
+    lines = lines.reshape(height, stride + 1)
+    ftypes = lines[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(
+            f"unsupported filter {int(ftypes.max())}")
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        ftype = int(ftypes[y])
+        line = lines[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:
+            # rec[i] = (line[i] + rec[i-bpp]) mod 256: per byte-channel a
+            # prefix sum mod 256, and mod distributes over the cumsum.
+            cols = line.reshape(stride // bpp, bpp)
+            rec = (np.cumsum(cols, axis=0, dtype=np.int64) & 0xFF)
+            rec = rec.reshape(stride).astype(np.int32)
+        elif ftype == 2:
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:
+            rec = line.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        else:  # ftype == 4 (Paeth)
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
 def read_png(path: str) -> np.ndarray:
     """Minimal PNG reader (filter types 0-4, 8/16-bit, gray/RGB/RGBA) used by
     tests and the video-encode smoke checks.  Not a general-purpose decoder."""
@@ -227,40 +330,7 @@ def read_png(path: str) -> np.ndarray:
     raw = zlib.decompress(idat)
     bpp = channels * (bit_depth // 8)
     stride = width * bpp
-    out = np.zeros((height, stride), np.uint8)
-    pos = 0
-    prev = np.zeros(stride, np.int32)
-    for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        line = np.frombuffer(raw[pos:pos + stride], np.uint8).astype(np.int32)
-        pos += stride
-        if ftype == 0:
-            rec = line
-        elif ftype == 1:
-            rec = line.copy()
-            for i in range(bpp, stride):
-                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
-        elif ftype == 2:
-            rec = (line + prev) & 0xFF
-        elif ftype == 3:
-            rec = line.copy()
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:
-            rec = line.copy()
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (rec[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unsupported filter {ftype}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
+    out = _unfilter(raw, height, stride, bpp)
     img = out.reshape(height, width, bpp)
     if bit_depth == 16:
         img = img.reshape(height, width, channels, 2)
