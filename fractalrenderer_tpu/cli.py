@@ -410,11 +410,19 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_interactive(args) -> int:
-    from . import viewer
-
     scene = scene_from_args(args)
     if args.zoom is None and args.scene is None and args.preset is None:
         scene = scene.with_(zoom=2.5)
+    # Live raw-terminal loop on a TTY (the reference's real-time event
+    # loop); line-based REPL when piped or forced with --repl.
+    live_mode = args.live or (not args.repl and sys.stdin.isatty())
+    if live_mode:
+        from . import live
+
+        return live.run_live(scene, cols=args.cols, rows=args.rows,
+                             spin=args.spin, max_frames=args.max_frames)
+    from . import viewer
+
     return viewer.run(scene, cols=args.cols, rows=args.rows)
 
 
@@ -585,10 +593,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="sweep")
     p.set_defaults(fn=cmd_sweep)
 
-    p = sub.add_parser("interactive", help="terminal viewer (ANSI art REPL)")
+    p = sub.add_parser("interactive",
+                       help="terminal viewer (live loop on a TTY; REPL "
+                            "when piped)")
     _add_scene_args(p)
     p.add_argument("--cols", type=int, default=None)
     p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--live", action="store_true",
+                   help="force the raw-terminal live loop")
+    p.add_argument("--repl", action="store_true",
+                   help="force the line-based REPL")
+    p.add_argument("--spin", action="store_true",
+                   help="start with mandelbulb auto-rotate on "
+                        "(vk_engine.cpp:713)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="exit after N drawn frames (for testing)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("presets", help="list all preset tables")

@@ -1,0 +1,597 @@
+"""Live raw-terminal interactive session — the TPU-native equivalent of the
+reference's real-time SDL event loop (src/vk_engine.cpp:630-733).
+
+Where viewer.py is a line-based REPL (type a command, get a frame), this
+module is the *live* experience the reference is built around: a cbreak
+terminal event loop polling input every frame, immediate single-keystroke
+hotkeys, **continuous** held-key pan/zoom with zoom-proportional speed
+(src/input_handler.h:211-248), SGR mouse reporting (wheel zoom, drag pan,
+double-click zoom-to-point, right-click zoom-out — input_handler.h:101-163),
+an auto-rotating mandelbulb (vk_engine.cpp:713), and a status line with live
+frame times.  Rendering rides the jitted pipeline with up to two frames in
+flight (the reference's FRAME_OVERLAP=2, vk_engine.h:44) via JAX async
+dispatch.
+
+Hotkey map (every binding in input_handler.h:165-248 mapped or N/A'd):
+
+  w/a/s/d, arrows  continuous pan, speed = zoom * dt * 2 (:211-235)
+  q / e            continuous zoom out/in + auto-iteration ladder
+                   (:238-245 -> vk_engine.cpp:1731-1756), dt-scaled to the
+                   reference's 60 fps frame loop
+  r                reset view (:167)
+  Tab              next fractal type (:170)
+  s                screenshot -> screenshot_NNN.png (:176)
+  Space            toggle status bar (:179 toggled the ImGui UI)
+  h                help overlay (:182)
+  f                fullscreen: render at the full terminal size (:185)
+  [ / ]            max_iterations -/+ 64 (:188-193)
+  1-6              palette 0-5 (:194-196)
+  z/x/c            deep-zoom presets Seahorse/Elephant/Mini (:198-206)
+  o                toggle mandelbulb auto-rotate (ui_manager.cpp:1302-1306;
+                   rotation_y += 0.5 * dt per frame, vk_engine.cpp:713)
+  + / -            single zoom step (wheel semantics); on the mandelbulb the
+                   wheel moves camera_distance in [1, 10] (:102-107)
+  m                minimap view
+  :                command line (all viewer.py REPL commands, incl.
+                   `scene save FILE` / `scene load FILE`)
+  Esc / Ctrl-C     quit (SDL_QUIT path)
+
+  N/A from the reference: window minimize/restore + resize debounce (no
+  window), ImGui capture flags (no widgets), clipboard copy (use
+  `:coords`).
+
+Latency: at terminal resolutions the kernels are sub-millisecond on TPU;
+the loop overlaps device compute with input polling, so keypress-to-frame
+is dominated by the device link fetch (~10-40 ms).
+"""
+from __future__ import annotations
+
+import os
+import select
+import shutil
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import models, presets
+from .scene import FractalType, Scene, _auto_iterations_wheel
+from .viewer import Viewer, _TYPES
+
+# Keys driven by process_continuous_input (input_handler.h:211-248).
+_CONTINUOUS = {"w", "a", "s", "d", "q", "e", "up", "down", "left", "right"}
+# Autorepeat emulation: the reference reads the true key state each frame
+# (SDL_GetKeyboardState), which a terminal cannot expose — we infer "held"
+# from the autorepeat stream instead.  A first press acts briefly (a tap
+# moves a little); once a repeat for the same key arrives the key is
+# clearly held, so the window widens to bridge repeat gaps and the
+# initial-delay pause.
+_TAP_S = 0.08
+_HOLD_S = 0.45
+_REPEAT_DETECT_S = 0.6
+_REF_FPS = 60.0  # the reference applies one handle_zoom per ~60 Hz frame
+_ROTATION_SPEED = 0.5  # fractal_state.h:68
+
+Event = Tuple  # ("key", name) | ("mouse", btn, cx, cy, kind)
+
+
+def parse_input(buf: bytes) -> Tuple[List[Event], bytes]:
+    """Parse raw terminal bytes into events; returns (events, remainder).
+
+    Handles plain keys, CSI arrows, and SGR-1006 mouse reports.  The
+    remainder holds an incomplete trailing escape sequence, fed back on
+    the next read.
+    """
+    events: List[Event] = []
+    i, n = 0, len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0x1B:
+            ch = chr(b)
+            if ch == "\t":
+                events.append(("key", "tab"))
+            elif ch in ("\r", "\n"):
+                events.append(("key", "enter"))
+            elif ch in ("\x7f", "\x08"):
+                events.append(("key", "backspace"))
+            elif ch == "\x03":
+                events.append(("key", "ctrl-c"))
+            elif b >= 0x20:
+                events.append(("key", ch))
+            i += 1
+            continue
+        # ESC ...
+        if i + 1 >= n:
+            # Lone ESC at the end: could be the Esc key or a split
+            # sequence; defer to the caller (it re-reads with a tiny
+            # timeout and flushes a bare ESC as the Esc key).
+            return events, buf[i:]
+        if buf[i + 1] != ord("["):
+            events.append(("key", "esc"))
+            i += 1
+            continue
+        # CSI
+        j = i + 2
+        while j < n and not (0x40 <= buf[j] <= 0x7E):
+            j += 1
+        if j >= n:
+            return events, buf[i:]
+        body, final = buf[i + 2:j].decode("ascii", "replace"), chr(buf[j])
+        i = j + 1
+        if final in "ABCD" and not body:
+            events.append(("key", {"A": "up", "B": "down", "C": "right",
+                                   "D": "left"}[final]))
+        elif final in "Mm" and body.startswith("<"):
+            try:
+                btn, cx, cy = (int(p) for p in body[1:].split(";"))
+            except ValueError:
+                continue
+            if btn in (64, 65):
+                kind = "wheelup" if btn == 64 else "wheeldown"
+            elif btn & 32:
+                kind = "motion"
+            else:
+                kind = "press" if final == "M" else "release"
+            events.append(("mouse", btn & 3, cx - 1, cy - 1, kind))
+        # other CSI sequences are ignored
+    return events, b""
+
+
+@dataclass
+class FrameStats:
+    """Rolling frame-time average for the status line (the reference
+    shows ImGui's Framerate, ui_manager.cpp:572)."""
+
+    times: List[float] = field(default_factory=list)
+
+    def add(self, seconds: float) -> None:
+        self.times.append(seconds)
+        del self.times[:-20]
+
+    @property
+    def ms(self) -> float:
+        return 1e3 * (sum(self.times) / len(self.times)) if self.times \
+            else 0.0
+
+
+class LiveSession:
+    """All interactive state + input semantics, terminal-free (the pty
+    loop in run_live drives it; tests drive it directly)."""
+
+    def __init__(self, scene: Optional[Scene] = None,
+                 cols: Optional[int] = None, rows: Optional[int] = None,
+                 spin: bool = False):
+        self.viewer = Viewer(scene, cols=cols, rows=rows)
+        self._base_size = (self.viewer.width, self.viewer.height)
+        self.spin = spin
+        self.running = True
+        self.dirty = True
+        self.show_status = True
+        self.show_help = False
+        self.show_minimap = False
+        self.fullscreen = False
+        self.held: dict = {}
+        self._last_key_at: dict = {}
+        self.stats = FrameStats()
+        self.message = ""
+        self._shot_n = 0
+        self._last_click: Tuple[float, int, int] = (-1e9, 0, 0)
+        self._dragging = False
+        self._drag_at: Tuple[int, int] = (0, 0)
+        # command-line mode: None = off; a string = the line being typed
+        self.cmdline: Optional[str] = None
+        self.redraw = True  # recompose overlays without re-rendering
+
+    # -- geometry ---------------------------------------------------------
+    @property
+    def scene(self) -> Scene:
+        return self.viewer.scene
+
+    @scene.setter
+    def scene(self, s: Scene) -> None:
+        if s is not self.viewer.scene:
+            self.viewer.scene = s
+            self.dirty = True
+
+    @property
+    def width(self) -> int:
+        return self.viewer.width
+
+    @property
+    def height(self) -> int:
+        return self.viewer.height
+
+    def _set_fullscreen(self, on: bool) -> None:
+        self.fullscreen = on
+        if on:
+            tw, th = shutil.get_terminal_size((100, 40))
+            self.viewer.width = tw
+            self.viewer.height = max(2, (th - 1) * 2)
+        else:
+            self.viewer.width, self.viewer.height = self._base_size
+        self.dirty = True
+
+    # -- input ------------------------------------------------------------
+    def handle_event(self, ev: Event, now: float) -> None:
+        if ev[0] == "key":
+            self._handle_key(ev[1], now)
+        else:
+            self._handle_mouse(ev, now)
+
+    def _handle_key(self, key: str, now: float) -> None:
+        self.redraw = True
+        if self.cmdline is not None:
+            # modal `:` line editor — keystrokes build the command, so a
+            # pasted ":scene save f\r" burst can't trigger hotkeys
+            if key == "enter":
+                line, self.cmdline = self.cmdline, None
+                if line:
+                    self.command(line)
+            elif key in ("esc", "ctrl-c"):
+                self.cmdline = None
+            elif key == "backspace":
+                self.cmdline = self.cmdline[:-1]
+            elif key == "tab":
+                self.cmdline += " "
+            elif len(key) == 1:
+                self.cmdline += key
+            return
+        s = self.scene
+        deep = s.fractal_type == FractalType.DEEP_ZOOM
+        if key in _CONTINUOUS:
+            repeat = now - self._last_key_at.get(key, -1e9) < _REPEAT_DETECT_S
+            self.held[key] = now + (_HOLD_S if repeat else _TAP_S)
+            self._last_key_at[key] = now
+            return
+        if key in ("esc", "ctrl-c"):
+            self.running = False
+        elif key == "r":
+            self.scene = s.reset()
+        elif key == "tab":
+            idx = _TYPES.index(s.fractal_type)
+            self.scene = s.with_(fractal_type=_TYPES[(idx + 1) % len(_TYPES)])
+        elif key == "s":
+            self.message = self.screenshot()
+        elif key == " ":
+            self.show_status = not self.show_status
+            self.dirty = True
+        elif key in ("h", "?"):
+            self.show_help = not self.show_help
+            self.dirty = True
+        elif key == "f":
+            self._set_fullscreen(not self.fullscreen)
+        elif key == "[":
+            self.scene = s.with_(max_iterations=max(64, s.max_iterations - 64))
+        elif key == "]":
+            self.scene = s.with_(max_iterations=min(8192,
+                                                    s.max_iterations + 64))
+        elif key in "123456":
+            self.scene = s.with_(palette_mode=int(key) - 1)
+        elif key in "zxc":
+            t = presets.DEEP_ZOOM_PRESETS["zxc".index(key)]
+            self.scene = s.with_(
+                fractal_type=FractalType.DEEP_ZOOM,
+                center_x=t.center_x, center_y=t.center_y, zoom=t.zoom,
+                hp_center_x=repr(t.center_x), hp_center_y=repr(t.center_y),
+                hp_zoom=repr(t.zoom),
+                max_iterations=max(s.max_iterations, 1024))
+            self.message = f"deep zoom preset: {t.name}"
+        elif key == "o":
+            self.spin = not self.spin
+            self.message = f"auto-rotate {'on' if self.spin else 'off'}"
+        elif key in ("+", "="):
+            if s.fractal_type == FractalType.MANDELBULB:
+                self.scene = s.with_(camera_distance=max(
+                    1.0, s.camera_distance * 0.9))
+            else:
+                self.scene = s.hp_zoomed(True) if deep else s.zoomed(True)
+        elif key == "-":
+            if s.fractal_type == FractalType.MANDELBULB:
+                self.scene = s.with_(camera_distance=min(
+                    10.0, s.camera_distance * 1.1))
+            else:
+                self.scene = s.hp_zoomed(False) if deep else s.zoomed(False)
+        elif key == "m":
+            self.show_minimap = not self.show_minimap
+            self.dirty = True
+        elif key == ":":
+            self.cmdline = ""
+
+    def _handle_mouse(self, ev: Event, now: float) -> None:
+        _, btn, cx, cy, kind = ev
+        s = self.scene
+        bulb = s.fractal_type == FractalType.MANDELBULB
+        deep = s.fractal_type == FractalType.DEEP_ZOOM
+        px, py_screen = float(cx), float(cy * 2)  # one cell = 2 pixel rows
+        if kind == "wheelup" or kind == "wheeldown":
+            zoom_in = kind == "wheelup"
+            if bulb:  # input_handler.h:102-107
+                f = 0.9 if zoom_in else 1.1
+                self.scene = s.with_(camera_distance=min(
+                    10.0, max(1.0, s.camera_distance * f)))
+            else:
+                self.scene = s.hp_zoomed(zoom_in) if deep \
+                    else s.zoomed(zoom_in)
+        elif kind == "press" and btn == 0:
+            t0, x0, y0 = self._last_click
+            if now - t0 < 0.3 and abs(cx - x0) <= 2 and abs(cy - y0) <= 2:
+                self._zoom_to_cell(px, py_screen, True)  # double-click
+            else:
+                self._dragging = True
+                self._drag_at = (cx, cy)
+            self._last_click = (now, cx, cy)
+        elif kind == "press" and btn == 2:
+            self._zoom_to_cell(px, py_screen, False)
+        elif kind == "motion" and self._dragging:
+            dx = (cx - self._drag_at[0])
+            dy = (cy - self._drag_at[1]) * 2
+            self._drag_at = (cx, cy)
+            if bulb:  # input_handler.h:147-150
+                self.scene = s.with_(rotation_y=s.rotation_y + dx * 0.01)
+            elif self.width and self.height:
+                aspect = self.width / self.height
+                # screen up = +imag (the display flips the render)
+                self.scene = s.with_(
+                    center_x=s.center_x - dx / self.width * s.zoom * aspect,
+                    center_y=s.center_y + dy / self.height * s.zoom)
+        elif kind == "release":
+            self._dragging = False
+
+    def _zoom_to_cell(self, px: float, py_screen: float,
+                      zoom_in: bool) -> None:
+        s = self.scene
+        py = self.height - 1 - py_screen  # display flip
+        if s.fractal_type == FractalType.DEEP_ZOOM:
+            self.scene = s.hp_zoom_to_point(px, py, self.width, self.height,
+                                            zoom_in)
+        else:
+            self.scene = s.zoom_to_point(px, py, self.width, self.height,
+                                         zoom_in=zoom_in)
+
+    # -- per-frame update -------------------------------------------------
+    def tick(self, now: float, dt: float) -> None:
+        """Continuous input + animations for one frame (the reference's
+        process_continuous_input + auto_rotate, vk_engine.cpp:697-716)."""
+        dt = min(dt, 0.25)  # a stalled frame must not teleport the view
+        expired = [k for k, t in self.held.items() if t < now]
+        for k in expired:
+            del self.held[k]
+        s = self.scene
+        if self.held:
+            pan = s.zoom * dt * 2.0  # input_handler.h:214
+            aspect = self.width / self.height if self.height else 1.0
+            dx = dy = 0.0
+            if "w" in self.held or "up" in self.held:
+                dy += pan  # screen up = +imag in our display orientation
+            if "s" in self.held or "down" in self.held:
+                dy -= pan
+            if "a" in self.held or "left" in self.held:
+                dx -= pan * aspect
+            if "d" in self.held or "right" in self.held:
+                dx += pan * aspect
+            if dx or dy:
+                s = s.with_(center_x=s.center_x + dx, center_y=s.center_y + dy)
+            zin = "e" in self.held
+            zout = "q" in self.held
+            if zin != zout:
+                if s.fractal_type == FractalType.DEEP_ZOOM:
+                    s = s.hp_zoomed(zin)  # one exact step per frame
+                else:
+                    # one handle_zoom (x0.8 / x1.25) per 60 Hz reference
+                    # frame, scaled to our actual dt
+                    factor = (0.8 if zin else 1.25) ** (dt * _REF_FPS)
+                    z = s.zoom * factor
+                    s = s.with_(zoom=z,
+                                max_iterations=_auto_iterations_wheel(z))
+            self.scene = s
+        if self.spin and s.fractal_type == FractalType.MANDELBULB:
+            self.scene = self.scene.with_(
+                rotation_y=self.scene.rotation_y + _ROTATION_SPEED * dt)
+
+    # -- output -----------------------------------------------------------
+    def dispatch(self):
+        """Dispatch the current frame's render (async on device)."""
+        if self.show_minimap:
+            return None  # minimap composes host-side
+        return models.render(self.scene, self.width, self.height)
+
+    def screenshot(self) -> str:
+        from .utils.image import to_export_orientation
+        from .utils.png import write_png
+
+        self._shot_n += 1
+        path = f"screenshot_{self._shot_n:03d}.png"
+        img = np.asarray(models.render(self.scene, self.width * 8,
+                                       self.height * 8))
+        write_png(path, to_export_orientation(img),
+                  metadata=self.scene.metadata_summary())
+        return f"saved {path}"
+
+    def command(self, line: str) -> None:
+        """Run one `:`-prefixed command through the REPL vocabulary."""
+        msg = self.viewer.handle(line)
+        if msg is None:
+            self.running = False
+        else:
+            self.message = msg.strip()
+        self.dirty = True
+
+    def status_line(self) -> str:
+        s = self.scene
+        zoom = s.hp_zoom if (s.fractal_type == FractalType.DEEP_ZOOM
+                             and s.hp_zoom is not None) else f"{s.zoom:.3g}"
+        parts = [s.fractal_type.display_name,
+                 f"({s.center_x:.6g}, {s.center_y:.6g})",
+                 f"zoom={zoom}", f"iters={s.max_iterations}",
+                 f"{self.stats.ms:.1f} ms/frame"]
+        if self.spin:
+            parts.append("spin")
+        if self.message:
+            parts.append("| " + self.message)
+        return "  ".join(parts)
+
+    HELP = (
+        " w a s d / arrows  pan (hold)      q / e  zoom out / in (hold)  ",
+        " mouse: wheel zoom, drag pan, dbl-click zoom in, right zoom out ",
+        " r reset   Tab type   s screenshot   f fullscreen   m minimap   ",
+        " [ ] iterations   1-6 palette   z/x/c deep-zoom presets         ",
+        " o auto-rotate (bulb)   Space status   : command   Esc quit     ",
+        " :scene save FILE / :scene load FILE persist the session        ",
+    )
+
+
+def _ansi_rows(img: np.ndarray) -> List[str]:
+    """f32 RGB (H, W, 3) render → truecolor half-block rows (top first),
+    with run-length color-code reuse (interiors are flat: reusing the
+    previous cell's SGR attributes cuts the frame bytes ~5-10x)."""
+    img8 = (np.clip(img[::-1], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    h = img8.shape[0] - (img8.shape[0] % 2)
+    rows = []
+    for tr, br in zip(img8[0:h:2], img8[1:h:2]):
+        cells = []
+        last = None
+        for (r1, g1, b1), (r2, g2, b2) in zip(tr, br):
+            cur = (r1, g1, b1, r2, g2, b2)
+            if cur != last:
+                cells.append(f"\x1b[38;2;{r1};{g1};{b1};48;2;{r2};{g2};{b2}m")
+                last = cur
+            cells.append("▀")
+        rows.append("".join(cells) + "\x1b[0m")
+    return rows
+
+
+def compose_frame(sess: LiveSession, img: Optional[np.ndarray]) -> str:
+    """Full redraw string: home cursor, view rows, overlays, status."""
+    if sess.show_minimap:
+        body = sess.viewer.minimap().split("\n")
+    elif img is not None:
+        body = _ansi_rows(img)
+    else:
+        body = []
+    if sess.show_help:
+        top = max(0, (len(body) - len(sess.HELP)) // 2)
+        for k, text in enumerate(sess.HELP):
+            if top + k < len(body):
+                body[top + k] = "\x1b[1;37;44m" + text + "\x1b[0m"
+            else:
+                body.append("\x1b[1;37;44m" + text + "\x1b[0m")
+    out = ["\x1b[H"]
+    for line in body:
+        out.append(line + "\x1b[K\r\n")
+    if sess.cmdline is not None:
+        out.append(":" + sess.cmdline)
+    elif sess.show_status:
+        out.append("\x1b[7m" + sess.status_line()[:max(sess.width, 60)]
+                   + "\x1b[0m")
+    out.append("\x1b[K\x1b[J")
+    return "".join(out)
+
+
+class TermUI:
+    """Raw-terminal IO: cbreak mode, alternate screen, SGR mouse
+    reporting, non-blocking reads."""
+
+    def __init__(self, infile=None, outfile=None):
+        self.fin = infile if infile is not None else sys.stdin
+        self.fout = outfile if outfile is not None else sys.stdout
+        self._saved = None
+        self._rest = b""
+
+    def __enter__(self):
+        import termios
+        import tty
+
+        fd = self.fin.fileno()
+        try:
+            self._saved = termios.tcgetattr(fd)
+            tty.setcbreak(fd)
+        except termios.error:
+            self._saved = None  # not a real tty (tests pipe stdin)
+        self.fout.write("\x1b[?1049h\x1b[?25l\x1b[?1002h\x1b[?1006h\x1b[2J")
+        self.fout.flush()
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        self.fout.write("\x1b[?1006l\x1b[?1002l\x1b[?25h\x1b[?1049l")
+        self.fout.flush()
+        if self._saved is not None:
+            termios.tcsetattr(self.fin.fileno(), termios.TCSADRAIN,
+                              self._saved)
+        return False
+
+    def poll(self, timeout: float) -> List[Event]:
+        fd = self.fin.fileno()
+        try:
+            ready, _, _ = select.select([fd], [], [], timeout)
+        except (OSError, ValueError):
+            return [("key", "esc")]  # stdin gone: quit
+        data = b""
+        if ready:
+            try:
+                data = os.read(fd, 4096)
+            except OSError:
+                return [("key", "esc")]
+            if data == b"":
+                return [("key", "esc")]  # EOF (pty closed)
+        buf = self._rest + data
+        events, self._rest = parse_input(buf)
+        if self._rest == b"\x1b" and not data:
+            # a bare ESC that stayed unpaired across a poll: the Esc key
+            self._rest = b""
+            events.append(("key", "esc"))
+        return events
+
+def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
+             rows: Optional[int] = None, spin: bool = False,
+             max_frames: Optional[int] = None, infile=None,
+             outfile=None) -> int:
+    """The event loop: poll input → continuous update → async dispatch →
+    fetch+draw, with up to two frames in flight (FRAME_OVERLAP=2)."""
+    from collections import deque
+
+    sess = LiveSession(scene, cols=cols, rows=rows, spin=spin)
+    ui = TermUI(infile=infile, outfile=outfile)
+    frames = 0
+    with ui:
+        last = time.perf_counter()
+        last_img: Optional[np.ndarray] = None
+        inflight: deque = deque()  # (dispatch_time, jax array or None)
+        while sess.running:
+            now = time.perf_counter()
+            dt, last = now - last, now
+            timeout = 0.002 if (sess.dirty or inflight) else 0.05
+            for ev in ui.poll(timeout):
+                sess.handle_event(ev, time.perf_counter())
+            sess.tick(time.perf_counter(), dt)
+            animating = bool(sess.held) or (
+                sess.spin
+                and sess.scene.fractal_type == FractalType.MANDELBULB)
+            # FRAME_OVERLAP=2: while frame n is on the device, frame n+1
+            # (with the input applied since) dispatches behind it.
+            if (sess.dirty or animating) and len(inflight) < 2:
+                sess.dirty = False
+                inflight.append((time.perf_counter(), sess.dispatch()))
+            if inflight and (len(inflight) == 2
+                             or inflight[0][1] is None
+                             or not hasattr(inflight[0][1], "is_ready")
+                             or inflight[0][1].is_ready()):
+                t0, arr = inflight.popleft()
+                last_img = np.asarray(arr) if arr is not None else None
+                sess.stats.add(time.perf_counter() - t0)
+                sess.redraw = False
+                ui.fout.write(compose_frame(sess, last_img))
+                ui.fout.flush()
+                frames += 1
+                if max_frames is not None and frames >= max_frames:
+                    break
+            elif sess.redraw and not inflight:
+                # overlay/status/cmdline changed without a scene change:
+                # recompose over the last fetched image
+                sess.redraw = False
+                ui.fout.write(compose_frame(sess, last_img))
+                ui.fout.flush()
+    return 0

@@ -16,7 +16,11 @@ character cell) and exposes the reference's interaction vocabulary
   tab / type T   cycle / set fractal type
   p N            palette; i N iterations; aa N; e toggle effects
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
+  scene save F / scene load F   persist / restore the session Scene (JSON)
   q              quit
+
+For the LIVE raw-terminal loop (continuous held-key pan/zoom, mouse,
+immediate hotkeys) see live.py — `cli interactive` uses it on a TTY.
 
 Runs on anything with a truecolor terminal; each command re-renders via the
 jitted pipeline (the compiled-cache makes this interactive after the first
@@ -129,6 +133,20 @@ class Viewer:
                 cr, ci = presets.JULIA_PRESETS[" ".join(args)]
                 self.scene = s.with_(fractal_type=FractalType.JULIA,
                                      julia_c_real=cr, julia_c_imag=ci)
+            elif cmd == "scene":
+                # in-session state persistence (the reference resumes via
+                # imgui.ini + clipboard coords; we persist the Scene JSON)
+                sub = args[0].lower()
+                path = args[1]
+                if sub == "save":
+                    with open(path, "w") as fh:
+                        fh.write(s.to_json(indent=2))
+                    return f"scene -> {path}"
+                elif sub == "load":
+                    with open(path) as fh:
+                        self.scene = Scene.from_json(fh.read())
+                    return f"loaded {path}"
+                return f"unknown scene subcommand {sub!r}"
             elif cmd in ("save", "s!"):
                 path = args[0] if args else "screenshot.png"
                 img = np.asarray(models.render(s, self.width * 8,
@@ -145,7 +163,7 @@ class Viewer:
                 return __doc__.split("commands:")[-1]
             else:
                 return f"unknown command {cmd!r} (h for help)"
-        except (ValueError, KeyError, IndexError) as e:
+        except (ValueError, KeyError, IndexError, OSError) as e:
             return f"error: {e}"
         return ""
 

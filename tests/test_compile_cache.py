@@ -11,17 +11,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(code, env_extra):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
-    # Scrub TPU-plugin state inherited from the test process: with it
-    # present a "CPU-only" child still initializes the hardware plugin,
-    # whose tunnel handshake can hang for minutes.
-    for k in list(env):
-        if k.startswith(("AXON", "_AXON", "TPU_", "PJRT_")):
-            del env[k]
-    if "PYTHONPATH" in env:
-        kept = [p for p in env["PYTHONPATH"].split(os.pathsep)
-                if "axon" not in p]
-        env["PYTHONPATH"] = os.pathsep.join(kept)
+    from _cpu_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env(**env_extra)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, env=env, cwd=REPO, timeout=300)
     assert out.returncode == 0, out.stderr

@@ -1,0 +1,339 @@
+"""Live raw-terminal viewer (live.py): input parsing, continuous-input
+semantics vs the reference (src/input_handler.h), and a pty-driven
+end-to-end session.
+"""
+import json
+import os
+import pty
+import select
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from fractalrenderer_tpu import live
+from fractalrenderer_tpu.live import LiveSession, compose_frame, parse_input
+from fractalrenderer_tpu.scene import FractalType, Scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---- byte-stream parsing -------------------------------------------------
+
+def test_parse_plain_keys():
+    ev, rest = parse_input(b"wq e")
+    assert ev == [("key", "w"), ("key", "q"), ("key", " "), ("key", "e")]
+    assert rest == b""
+
+
+def test_parse_arrows_and_specials():
+    ev, _ = parse_input(b"\x1b[A\x1b[B\x1b[C\x1b[D\t\r\x7f\x03")
+    assert ev == [("key", "up"), ("key", "down"), ("key", "right"),
+                  ("key", "left"), ("key", "tab"), ("key", "enter"),
+                  ("key", "backspace"), ("key", "ctrl-c")]
+
+
+def test_parse_sgr_mouse():
+    ev, _ = parse_input(b"\x1b[<0;10;5M\x1b[<0;10;5m\x1b[<32;11;6M"
+                        b"\x1b[<64;2;2M\x1b[<65;2;2M\x1b[<2;7;7M")
+    assert ev == [("mouse", 0, 9, 4, "press"),
+                  ("mouse", 0, 9, 4, "release"),
+                  ("mouse", 0, 10, 5, "motion"),
+                  ("mouse", 0, 1, 1, "wheelup"),
+                  ("mouse", 1, 1, 1, "wheeldown"),
+                  ("mouse", 2, 6, 6, "press")]
+
+
+def test_parse_split_sequence_resumes():
+    ev, rest = parse_input(b"a\x1b[<0;3")
+    assert ev == [("key", "a")] and rest == b"\x1b[<0;3"
+    ev2, rest2 = parse_input(rest + b";4M")
+    assert ev2 == [("mouse", 0, 2, 3, "press")] and rest2 == b""
+
+
+def test_parse_esc_prefix_vs_key():
+    # ESC followed by a non-CSI byte is the Esc key + that byte
+    ev, rest = parse_input(b"\x1bq")
+    assert ev == [("key", "esc"), ("key", "q")] and rest == b""
+    # a lone trailing ESC is deferred (TermUI flushes it on quiet)
+    ev, rest = parse_input(b"\x1b")
+    assert ev == [] and rest == b"\x1b"
+
+
+# ---- continuous-input semantics (input_handler.h:211-248) ---------------
+
+def _sess(**kw):
+    return LiveSession(Scene(zoom=2.0, max_iterations=64, **kw),
+                       cols=40, rows=10)
+
+
+def test_pan_speed_is_zoom_proportional():
+    s = _sess()
+    s.handle_event(("key", "w"), 0.0)
+    s.tick(0.01, 0.016)
+    dy1 = s.scene.center_y - 0.0
+    assert dy1 == pytest.approx(2.0 * 0.016 * 2.0)  # zoom * dt * 2
+    # at 10x smaller zoom the same dt pans 10x less
+    z = _sess()
+    z.scene = z.scene.with_(zoom=0.2)
+    z.handle_event(("key", "w"), 0.0)
+    z.tick(0.01, 0.016)
+    assert (z.scene.center_y - 0.0) == pytest.approx(dy1 / 10)
+
+
+def test_pan_directions_and_aspect():
+    s = _sess()
+    aspect = s.width / s.height
+    for key, dx_sign, dy_sign in (("a", -1, 0), ("d", 1, 0),
+                                  ("left", -1, 0), ("right", 1, 0),
+                                  ("w", 0, 1), ("s", 0, -1),
+                                  ("up", 0, 1), ("down", 0, -1)):
+        t = _sess()
+        t.handle_event(("key", key), 0.0)
+        t.tick(0.01, 0.02)
+        pan = 2.0 * 0.02 * 2.0
+        assert t.scene.center_x - (-0.5) == pytest.approx(
+            dx_sign * pan * aspect), key
+        assert t.scene.center_y == pytest.approx(dy_sign * pan), key
+
+
+def test_continuous_zoom_dt_scaled_with_iteration_ladder():
+    s = _sess()
+    s.handle_event(("key", "e"), 0.0)
+    s.tick(0.01, 1.0 / 60.0)  # exactly one reference frame
+    assert s.scene.zoom == pytest.approx(2.0 * 0.8)
+    assert s.scene.max_iterations == 512  # zoom < 10 rung
+    s2 = _sess()
+    s2.handle_event(("key", "q"), 0.0)
+    s2.tick(0.01, 1.0 / 60.0)
+    assert s2.scene.zoom == pytest.approx(2.0 * 1.25)
+
+
+def test_tap_vs_held_windows():
+    s = _sess()
+    s.handle_event(("key", "e"), 0.0)
+    assert s.held["e"] == pytest.approx(live._TAP_S)
+    # an autorepeat within the detect window widens the hold
+    s.handle_event(("key", "e"), 0.3)
+    assert s.held["e"] == pytest.approx(0.3 + live._HOLD_S)
+    # key expires after the window with no repeats
+    s.tick(5.0, 0.016)
+    assert "e" not in s.held
+
+
+def test_stalled_frame_does_not_teleport():
+    s = _sess()
+    s.handle_event(("key", "w"), 0.0)
+    s.tick(0.01, 3.0)  # a 3-second frame stall
+    assert abs(s.scene.center_y) <= 2.0 * 0.25 * 2.0 + 1e-9
+
+
+# ---- hotkeys (input_handler.h:165-209) ----------------------------------
+
+def test_hotkeys_iterations_palette_type_reset():
+    s = _sess()
+    s.handle_event(("key", "]"), 0.0)
+    assert s.scene.max_iterations == 128
+    s.handle_event(("key", "["), 0.0)
+    s.handle_event(("key", "["), 0.0)
+    assert s.scene.max_iterations == 64  # clamped at 64
+    s.handle_event(("key", "4"), 0.0)
+    assert s.scene.palette_mode == 3
+    s.handle_event(("key", "tab"), 0.0)
+    assert s.scene.fractal_type == FractalType.JULIA
+    s.handle_event(("key", "r"), 0.0)
+    assert s.scene.zoom == 1.5  # reference reset quirk
+
+
+def test_deep_zoom_preset_hotkeys():
+    s = _sess()
+    s.handle_event(("key", "x"), 0.0)
+    assert s.scene.fractal_type == FractalType.DEEP_ZOOM
+    assert float(s.scene.hp_zoom) == pytest.approx(1e-8)
+    assert s.scene.max_iterations >= 1024
+
+
+def test_auto_rotate_toggle_and_spin():
+    s = _sess()
+    s.handle_event(("key", "tab"), 0.0)  # julia
+    s.scene = s.scene.with_(fractal_type=FractalType.MANDELBULB)
+    s.handle_event(("key", "o"), 0.0)
+    assert s.spin
+    r0 = s.scene.rotation_y
+    s.tick(0.1, 0.2)
+    assert s.scene.rotation_y == pytest.approx(r0 + 0.5 * 0.2)  # speed 0.5
+    s.handle_event(("key", "o"), 0.2)
+    s.tick(0.3, 0.2)
+    assert s.scene.rotation_y == pytest.approx(r0 + 0.1)  # spin off
+
+
+def test_fullscreen_toggle_changes_render_size():
+    s = _sess()
+    w0, h0 = s.width, s.height
+    s.handle_event(("key", "f"), 0.0)
+    assert s.fullscreen and (s.width, s.height) != (w0, h0)
+    s.handle_event(("key", "f"), 0.0)
+    assert (s.width, s.height) == (w0, h0)
+
+
+# ---- mouse (input_handler.h:101-163) ------------------------------------
+
+def test_mouse_wheel_zoom_2d_and_bulb_camera():
+    s = _sess()
+    s.handle_event(("mouse", 0, 5, 5, "wheelup"), 0.0)
+    assert s.scene.zoom == pytest.approx(2.0 * 0.8)
+    b = _sess()
+    b.scene = b.scene.with_(fractal_type=FractalType.MANDELBULB,
+                            camera_distance=1.05)
+    b.handle_event(("mouse", 0, 5, 5, "wheelup"), 0.0)
+    assert b.scene.camera_distance == pytest.approx(1.0)  # clamp [1, 10]
+
+
+def test_mouse_drag_pans_and_rotates_bulb():
+    s = _sess()
+    s.handle_event(("mouse", 0, 10, 5, "press"), 0.0)
+    s.handle_event(("mouse", 0, 12, 4, "motion"), 0.1)
+    aspect = s.width / s.height
+    assert s.scene.center_x == pytest.approx(
+        -0.5 - 2 / s.width * 2.0 * aspect)
+    assert s.scene.center_y == pytest.approx(0.0 + (-2) / s.height * 2.0)
+    s.handle_event(("mouse", 0, 12, 4, "release"), 0.2)
+    s.handle_event(("mouse", 0, 20, 8, "motion"), 0.3)  # not dragging
+    assert s.scene.center_x == pytest.approx(
+        -0.5 - 2 / s.width * 2.0 * aspect)
+    b = _sess()
+    b.scene = b.scene.with_(fractal_type=FractalType.MANDELBULB)
+    b.handle_event(("mouse", 0, 10, 5, "press"), 0.0)
+    b.handle_event(("mouse", 0, 15, 5, "motion"), 0.1)
+    assert b.scene.rotation_y == pytest.approx(5 * 0.01)  # :149
+
+
+def test_double_click_zooms_in_right_click_out():
+    s = _sess()
+    z0 = s.scene.zoom
+    s.handle_event(("mouse", 0, 10, 5, "press"), 0.0)
+    s.handle_event(("mouse", 0, 10, 5, "press"), 0.1)  # double
+    assert s.scene.zoom < z0
+    r = _sess()
+    r.handle_event(("mouse", 2, 10, 5, "press"), 0.0)
+    assert r.scene.zoom > 2.0
+    # two slow clicks are a drag start, not a double-click
+    t = _sess()
+    t.handle_event(("mouse", 0, 10, 5, "press"), 0.0)
+    t.handle_event(("mouse", 0, 10, 5, "press"), 1.0)
+    assert t.scene.zoom == pytest.approx(2.0)
+
+
+# ---- command line & overlays --------------------------------------------
+
+def test_cmdline_modal_consumes_burst(tmp_path):
+    s = _sess()
+    path = tmp_path / "live.json"
+    for ch in f":scene save {path}\r":
+        key = "enter" if ch == "\r" else ch
+        s.handle_event(("key", key), 0.0)
+    assert s.cmdline is None
+    assert path.exists()
+    d = json.loads(path.read_text())
+    assert d["zoom"] == 2.0
+    # none of the burst's 's'/'e'/'c' chars acted as hotkeys
+    assert s.scene.fractal_type == FractalType.MANDELBROT
+    assert not s.held
+    # and load restores
+    s.handle_event(("key", "5"), 1.0)
+    for ch in f":scene load {path}\r":
+        s.handle_event(("key", "enter" if ch == "\r" else ch), 1.0)
+    assert s.scene.palette_mode == 0
+
+
+def test_cmdline_esc_cancels_not_quits():
+    s = _sess()
+    s.handle_event(("key", ":"), 0.0)
+    s.handle_event(("key", "q"), 0.0)
+    s.handle_event(("key", "esc"), 0.0)
+    assert s.cmdline is None and s.running
+
+
+def test_compose_frame_overlays():
+    s = _sess()
+    img = np.zeros((s.height, s.width, 3), np.float32)
+    base = compose_frame(s, img)
+    assert "\x1b[H" in base and "\x1b[7m" in base
+    s.handle_event(("key", "h"), 0.0)
+    assert "auto-rotate" in compose_frame(s, img)
+    s.handle_event(("key", "h"), 0.0)
+    s.handle_event(("key", " "), 0.0)  # status off
+    assert "\x1b[7m" not in compose_frame(s, img)
+    s.handle_event(("key", ":"), 0.0)
+    s.handle_event(("key", "c"), 0.0)
+    assert compose_frame(s, img).endswith(":c\x1b[K\x1b[J")
+
+
+def test_quit_keys():
+    s = _sess()
+    s.handle_event(("key", "esc"), 0.0)
+    assert not s.running
+    s2 = _sess()
+    s2.handle_event(("key", "ctrl-c"), 0.0)
+    assert not s2.running
+
+
+# ---- pty end-to-end ------------------------------------------------------
+
+def test_live_session_over_pty(tmp_path):
+    """Boot the real CLI live loop on a pty, steer it, persist the scene,
+    and quit — the reference's interactive session end to end."""
+    from _cpu_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env()
+    env["PYTHONPATH"] = REPO
+    scene_file = tmp_path / "sess.json"
+    m, sl = pty.openpty()
+    p = subprocess.Popen(
+        [sys.executable, "-m", "fractalrenderer_tpu.cli", "interactive",
+         "--live", "--cols", "30", "--rows", "6", "--iters", "32"],
+        stdin=sl, stdout=sl, stderr=subprocess.DEVNULL, env=env,
+        cwd=str(tmp_path))
+    os.close(sl)
+    out = b""
+
+    def drain(seconds):
+        nonlocal out
+        end = time.time() + seconds
+        while time.time() < end:
+            r, _, _ = select.select([m], [], [], 0.05)
+            if r:
+                try:
+                    out += os.read(m, 65536)
+                except OSError:
+                    return
+
+    try:
+        # first frame (includes the CPU-interpret compile)
+        end = time.time() + 120
+        while b"\x1b[7m" not in out and time.time() < end:
+            drain(0.5)
+        assert b"\x1b[?1049h" in out   # alternate screen
+        assert b"\x1b[?1006h" in out   # SGR mouse reporting
+        assert b"\x1b[7m" in out       # status bar drawn
+        os.write(m, b"e")              # zoom tick
+        drain(2.0)
+        os.write(m, f":scene save {scene_file}\r".encode())
+        end = time.time() + 60
+        while not scene_file.exists() and time.time() < end:
+            drain(0.5)
+        os.write(m, b"\x1b")           # quit
+        end = time.time() + 60
+        while p.poll() is None and time.time() < end:
+            drain(0.2)
+        assert p.poll() == 0
+        drain(0.5)
+        assert b"\x1b[?1049l" in out   # terminal restored
+        d = json.loads(scene_file.read_text())
+        assert d["zoom"] < 2.5         # the 'e' zoomed in
+    finally:
+        if p.poll() is None:
+            p.kill()
+        os.close(m)
