@@ -79,7 +79,42 @@ def main() -> None:
     mean_iters = float(jnp.mean(n.astype(jnp.float32)))
     iters_s = mpix_s * 1e6 * mean_iters
 
-    print(json.dumps({
+    # Mandelbulb 1080p device time (3D path regression guard; the bulb's
+    # trig-free DE + fused shading regressed silently once in round 1).
+    bulb_ms = None
+    try:
+        from fractalrenderer_tpu.models import mandelbulb
+        from fractalrenderer_tpu.scene import FractalType
+
+        bscene = Scene(fractal_type=FractalType.MANDELBULB,
+                       max_iterations=100)
+        bp = mandelbulb._bulb_params(bscene)
+        bfn = mandelbulb._compiled(W, H, bp.max_iterations, bp.palette_mode,
+                                   bp.aa_samples,
+                                   mandelbulb._static_int_power(bp))
+        dyn = {k: getattr(bp, k) for k in mandelbulb._DYN_FIELDS}
+
+        def brun():
+            out = bfn(dyn)
+            t0 = time.perf_counter()
+            float(out[0, 0, 0])
+            return time.perf_counter() - t0
+
+        brun()  # compile + warm
+        try:
+            from fractalrenderer_tpu.utils.diag import \
+                measure_device_seconds
+
+            bulb_s = min(measure_device_seconds(brun) for _ in range(2))
+            if bulb_s <= 0:
+                raise RuntimeError("empty trace")
+        except Exception:
+            bulb_s = min(brun() for _ in range(3))
+        bulb_ms = round(bulb_s * 1e3, 1)
+    except Exception:
+        pass
+
+    out = {
         "metric": "mandelbrot_1080p_256iter_render",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s/chip",
@@ -87,7 +122,11 @@ def main() -> None:
         "iters_per_sec": round(iters_s, 0),
         "mean_iters_per_pixel": round(mean_iters, 2),
         "timing_method": method,
-    }))
+    }
+    if bulb_ms is not None:
+        out["mandelbulb_1080p_ms"] = bulb_ms
+        out["mandelbulb_mpix_s"] = round(W * H / (bulb_ms / 1e3) / 1e6, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

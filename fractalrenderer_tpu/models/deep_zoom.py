@@ -53,7 +53,8 @@ def render_fields(scene: Scene, width: int, height: int,
                   force_python_orbit: bool = False,
                   orbit_cache: dict = None, mesh=None,
                   ref_center: Tuple[str, str] = None,
-                  rebasing: bool = True, max_passes: int = 256):
+                  rebasing: bool = True, max_passes: int = 256,
+                  aa_spp: int = 1):
     """Returns (n, zx, zy, glitch_remaining, info dict).
 
     ``orbit_cache``: optional dict keyed by HP center strings; lets
@@ -72,6 +73,10 @@ def render_fields(scene: Scene, width: int, height: int,
     orbit, no glitches by construction (device-resident multi-pass, see
     ops/perturbation._pert_rebase_call).  False selects the round-1
     pipeline: Pauldelbrot detection + secondary references + HP fallback."""
+    aa_spp = int(aa_spp)
+    if aa_spp > 1:
+        assert rebasing and mesh is None and offset == (0.0, 0.0), \
+            "aa_spp needs the rebasing pipeline, no mesh, default offset"
     if mesh is not None:
         import functools
 
@@ -114,27 +119,19 @@ def render_fields(scene: Scene, width: int, height: int,
     phoenix = bool(getattr(scene, "deep_zoom_phoenix", False))
     assert julia + ship + phoenix <= 1, \
         "pick ONE of deep_zoom_julia / _ship / _phoenix"
+    # Every family reaches the floatexp (ARBITRARY) tier: Mandelbrot and
+    # Phoenix via scaled deltas over absolute dd orbit tables, Burning
+    # Ship via floatexp diffabs, Julia via per-entry floatexp drift
+    # tables (floor ~1e-290 — the f64 drift-emission range).
     if julia:
         assert rebasing, "deep-zoom julia requires the rebasing pipeline"
-        if scaled:
-            raise NotImplementedError(
-                "deep-zoom julia supports zoom >= ~1e-25 (drift-table "
-                "f32 floor); requested zoom is in the floatexp tier")
     if ship:
         assert rebasing, "deep-zoom ship requires the rebasing pipeline"
-        if scaled:
-            raise NotImplementedError(
-                "deep-zoom burning ship supports the f32/dd tiers "
-                "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
         # the armada dust flips f32-tier counts even at 1e-5 — always dd
-        dd_delta = True
+        dd_delta = not scaled
         float_cont = False
     if phoenix:
         assert rebasing, "deep-zoom phoenix requires the rebasing pipeline"
-        if scaled:
-            raise NotImplementedError(
-                "deep-zoom phoenix supports the f32/dd tiers "
-                "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
         float_cont = False
     jc = (repr(float(scene.julia_c_real)), repr(float(scene.julia_c_imag)))
 
@@ -228,7 +225,8 @@ def render_fields(scene: Scene, width: int, height: int,
         phoenix_r=float(scene.phoenix_r),
         julia_z0=((float(Fraction(str(orbit_center[0]))),
                    float(Fraction(str(orbit_center[1]))))
-                  if julia else None), **shift_kw)
+                  if julia else None),
+        **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
@@ -258,9 +256,10 @@ def render_fields(scene: Scene, width: int, height: int,
     # references and the HP fallback sample the same c the kernel does.
     step_fr = Fraction(str(zoom)) * 4 / (height * height)
 
-    def pixel_c(py, px):
-        dcx = step_fr * (Fraction(px + offset[0]) - Fraction(width, 2))
-        dcy = step_fr * (Fraction(py + offset[1]) - Fraction(height, 2))
+    def pixel_c(py, px, off=None):
+        off = offset if off is None else off
+        dcx = step_fr * (Fraction(px + off[0]) - Fraction(width, 2))
+        dcy = step_fr * (Fraction(py + off[1]) - Fraction(height, 2))
         return (cx_hp + HPFloat(dcx, hp_bits), cy_hp + HPFloat(dcy, hp_bits))
 
     refs = 1
@@ -324,9 +323,17 @@ def render_fields(scene: Scene, width: int, height: int,
     if glitch.any():
         bail = max(2.0, float(scene.bailout))
         bail2 = bail * bail
-        ys, xs = np.nonzero(glitch)
-        for y, x in zip(ys, xs):
-            pcx, pcy = pixel_c(int(y), int(x))
+        if n.ndim == 3:  # stacked AA: per-sample subpixel offsets
+            idxs = [(int(s), int(y), int(x))
+                    for s, y, x in np.argwhere(glitch)]
+        else:
+            idxs = [(None, int(y), int(x)) for y, x in zip(*np.nonzero(glitch))]
+        for smp, y, x in idxs:
+            if smp is None:
+                off_s = offset
+            else:
+                off_s = ((smp % aa_spp) / aa_spp, (smp // aa_spp) / aa_spp)
+            pcx, pcy = pixel_c(y, x, off_s)
             if julia:
                 o = orbit_mod.compute_orbit(
                     jc[0], jc[1], hp_bits, max_iter + 1,
@@ -343,9 +350,10 @@ def render_fields(scene: Scene, width: int, height: int,
             # kernel count convention: n = #{i >= 1 : |z_i| <= bail} — the
             # first escaped index k gives n = k - 1 (see ops/perturbation
             # pert_chunk); interior pixels report the limit.
-            n[y, x] = (len(o) - 2) if escaped else max_iter
-            zx[y, x] = zfx
-            zy[y, x] = zfy
+            at = (y, x) if smp is None else (smp, y, x)
+            n[at] = (len(o) - 2) if escaped else max_iter
+            zx[at] = zfx
+            zy[at] = zfy
         glitch = np.zeros_like(glitch)
 
     info["references_used"] = refs
@@ -363,15 +371,31 @@ def render(scene: Scene, width: int, height: int,
     acc = np.zeros((height, width, 3), np.float32)
     infos = []
     cache = orbit_cache if orbit_cache is not None else {}
-    for sy in range(spp):
-        for sx in range(spp):
-            off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
-            n, zx, zy, _, info = render_fields(scene, width, height,
-                                               offset=off, orbit_cache=cache,
-                                               **kw)
+    stacked = (spp > 1 and (spp & (spp - 1)) == 0
+               and kw.get("rebasing", True) and kw.get("mesh") is None)
+    if stacked:
+        # ONE kernel invocation renders all spp^2 subpixel samples as
+        # stacked segments sharing the orbit operands and rebase passes
+        # (segment mappings bit-identical to the sequential offsets)
+        n, zx, zy, _, info = render_fields(scene, width, height,
+                                           orbit_cache=cache, aa_spp=spp,
+                                           **kw)
+        for s in range(spp * spp):
             acc += np.asarray(
-                coloring.color_deep_zoom(np, n, zx, zy, p))
-            infos.append(info)
+                coloring.color_deep_zoom(np, n[s], zx[s], zy[s], p))
+        info = dict(info, aa_samples=spp * spp, aa_batched=True)
+        infos.append(info)
+    else:
+        for sy in range(spp):
+            for sx in range(spp):
+                off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
+                n, zx, zy, _, info = render_fields(scene, width, height,
+                                                   offset=off,
+                                                   orbit_cache=cache,
+                                                   **kw)
+                acc += np.asarray(
+                    coloring.color_deep_zoom(np, n, zx, zy, p))
+                infos.append(info)
     img = acc / np.float32(spp * spp)
     if return_info:
         return img, infos[0]

@@ -74,15 +74,133 @@ def _expo(x):
     return ((bits >> 23) & 0xFF) - 127
 
 
+def _n_orbit_streams(dd_delta: bool, scaled: bool, julia: bool = False):
+    """Orbit table streams: re/im hi (2), + lo parts for dd/floatexp (4),
+    + per-entry drift exponents for julia-scaled (6)."""
+    if scaled and julia:
+        return 6
+    return 4 if (dd_delta or scaled) else 2
+
+
 def _state_comps(dd_delta: bool, scaled: bool, phoenix: bool = False):
     """Per-pixel delta-state component names for rebasing IO."""
     if scaled:
-        return ["mrh", "mrl", "mih", "mil", "ex"]
+        base = ["mrh", "mrl", "mih", "mil", "ex"]
+        return base + (["prh", "prl", "pih", "pil", "pex"] if phoenix
+                       else [])
     if dd_delta:
         base = ["dzrh", "dzrl", "dzih", "dzil"]
         return base + (["pzrh", "pzrl", "pzih", "pzil"] if phoenix
                        else [])
     return ["dzr", "dzi"] + (["pzr", "pzi"] if phoenix else [])
+
+
+# ---- floatexp arithmetic (dd mantissa + i32 exponent) ---------------------
+# The value of a real floatexp ("rfe") x = (m, ex) is dd_value(m) * 2^ex;
+# a complex floatexp ("cfe") (mr, mi, ex) shares one exponent between its
+# components (normalized on max(|mr|,|mi|)).  Exponent E_ZERO marks an
+# exact zero.  These power the scaled-delta recurrences of the non-
+# Mandelbrot deep-zoom families, where diffabs/drift terms live at wildly
+# different binary scales; the Mandelbrot path keeps its hand-aligned
+# three-term update (fewer renormalizations).
+
+
+def _rfe_norm(m, ex):
+    """Renormalize: mantissa hi -> [1, 2) (or exact zero -> E_ZERO)."""
+    zero = m[0] == 0.0
+    k = jnp.where(zero, 0, _expo(m[0]))
+    f = _pow2(-k)
+    nex = jnp.where(zero, E_ZERO, jnp.clip(ex + k, E_ZERO, 1 << 24))
+    return (m[0] * f, m[1] * f), nex
+
+
+def _rfe_from_dd(hi, lo=None):
+    if lo is None:
+        lo = jnp.zeros_like(hi)
+    return _rfe_norm((hi, lo), jnp.int32(0))
+
+
+def _rfe_add(a, b):
+    (ma, ea), (mb, eb) = a, b
+    em = jnp.maximum(ea, eb)
+    fa = _pow2(ea - em)
+    fb = _pow2(eb - em)
+    m = dd.dd_add(jnp, (ma[0] * fa, ma[1] * fa), (mb[0] * fb, mb[1] * fb))
+    return _rfe_norm(m, em)
+
+
+def _rfe_mul(a, b):
+    (ma, ea), (mb, eb) = a, b
+    return _rfe_norm(dd.dd_mul(jnp, ma, mb), ea + eb)
+
+
+def _rfe_neg(a):
+    m, ex = a
+    return (-m[0], -m[1]), ex
+
+
+def _rfe_scale_pow2(a, k):
+    """Exact multiply by 2^k (E_ZERO stays absorbing)."""
+    m, ex = a
+    return m, jnp.where(ex == E_ZERO, ex, ex + k)
+
+
+def _rfe_select(cond, a, b):
+    (ma, ea), (mb, eb) = a, b
+    return ((jnp.where(cond, ma[0], mb[0]), jnp.where(cond, ma[1], mb[1])),
+            jnp.where(cond, ea, eb))
+
+
+def _rfe_to_f32(a):
+    m, ex = a
+    return dd.dd_to_float(jnp, m) * _pow2(ex)
+
+
+def _cfe_norm(mr, mi, ex):
+    mag = jnp.maximum(jnp.abs(mr[0]), jnp.abs(mi[0]))
+    zero = mag == 0.0
+    k = jnp.where(zero, 0, _expo(mag))
+    f = _pow2(-k)
+    nex = jnp.where(zero, E_ZERO, jnp.clip(ex + k, E_ZERO, 1 << 24))
+    return (mr[0] * f, mr[1] * f), (mi[0] * f, mi[1] * f), nex
+
+
+def _cfe_from_rr(x, y):
+    """Join two real floatexps into one complex floatexp (shared exp)."""
+    (mx, ex_), (my, ey) = x, y
+    em = jnp.maximum(ex_, ey)
+    fx = _pow2(ex_ - em)
+    fy = _pow2(ey - em)
+    return _cfe_norm((mx[0] * fx, mx[1] * fx), (my[0] * fy, my[1] * fy), em)
+
+
+def _cfe_add(a, b):
+    ar, ai, ea = a
+    br, bi, eb = b
+    em = jnp.maximum(ea, eb)
+    fa = _pow2(ea - em)
+    fb = _pow2(eb - em)
+    mr = dd.dd_add(jnp, (ar[0] * fa, ar[1] * fa), (br[0] * fb, br[1] * fb))
+    mi = dd.dd_add(jnp, (ai[0] * fa, ai[1] * fa), (bi[0] * fb, bi[1] * fb))
+    return _cfe_norm(mr, mi, em)
+
+
+def _cfe_mul(a, b):
+    ar, ai, ea = a
+    br, bi, eb = b
+    mr = dd.dd_sub(jnp, dd.dd_mul(jnp, ar, br), dd.dd_mul(jnp, ai, bi))
+    mi = dd.dd_add(jnp, dd.dd_mul(jnp, ar, bi), dd.dd_mul(jnp, ai, br))
+    return _cfe_norm(mr, mi, ea + eb)
+
+
+def _cfe_mag2_lt(a, b):
+    """|a|^2 < |b|^2 for complex floatexps (hi-mantissa precision)."""
+    ar, ai, ea = a
+    br, bi, eb = b
+    ma = ar[0] * ar[0] + ai[0] * ai[0]
+    mb = br[0] * br[0] + bi[0] * bi[0]
+    em = jnp.maximum(ea, eb)
+    return ma * _pow2(2 * (ea - em)) < mb * _pow2(2 * (eb - em))
 
 
 def _diffabs(xp, X, d):
@@ -112,7 +230,7 @@ def _make_kernel(width: int, height: int, map_height: int,
                  orbit_hbm: bool = False, orbit_cap: int = 0,
                  scaled: bool = False, rebase: bool = False,
                  julia: bool = False, ship: bool = False,
-                 phoenix: bool = False):
+                 phoenix: bool = False, aa_stack=None):
     """``julia=True`` iterates the JULIA perturbation dz <- 2*Z*dz + dz^2
     (no +dc term — c is a shared constant; the reference orbit starts at
     the view center z0 instead of 0).  The orbit tables hold the DRIFT
@@ -147,21 +265,17 @@ def _make_kernel(width: int, height: int, map_height: int,
     glitches by construction; Pauldelbrot detection and float continuation
     are superseded (kernel inputs carry per-pixel live/nf/z/delta state;
     params[Q_M0] is the pass's starting orbit index: 1 first, 0 after)."""
-    assert not (julia and scaled), \
-        "deep-zoom julia supports the f32/dd tiers only (zoom >= ~1e-25)"
-    assert not julia or rebase, "deep-zoom julia requires rebase mode"
-    assert not (ship and (scaled or julia)), \
-        "deep-zoom burning ship: f32/dd tiers, not combinable with julia"
-    assert not ship or rebase, "deep-zoom burning ship requires rebase"
-    assert not (phoenix and (scaled or julia or ship)), \
-        "deep-zoom phoenix: f32/dd tiers, standalone family"
-    assert not phoenix or rebase, "deep-zoom phoenix requires rebase"
+    assert julia + ship + phoenix <= 1, \
+        "julia/ship/phoenix are mutually exclusive families"
+    assert not (julia or ship or phoenix) or rebase, \
+        "the non-Mandelbrot deep-zoom families require rebase mode"
     th, tw = tile
-    n_streams = 4 if (dd_delta or scaled) else 2
+    n_streams = _n_orbit_streams(dd_delta, scaled, julia)
     comps = _state_comps(dd_delta, scaled, phoenix)
 
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
-               orbit_re_lo_ref, orbit_im_lo_ref, *rest):
+               orbit_re_lo_ref, orbit_im_lo_ref, orbit_re_ex_ref,
+               orbit_im_ex_ref, *rest):
         if rebase:
             n_in = 4 + len(comps)  # live, nf, zfr, zfi, delta comps
             st_refs = rest[:n_in]
@@ -185,7 +299,8 @@ def _make_kernel(width: int, height: int, map_height: int,
             bufs = (scratch[:n_streams], scratch[n_streams:2 * n_streams])
             sems = scratch[2 * n_streams]
             hbm_srcs = [orbit_re_ref, orbit_im_ref,
-                        orbit_re_lo_ref, orbit_im_lo_ref][:n_streams]
+                        orbit_re_lo_ref, orbit_im_lo_ref,
+                        orbit_re_ex_ref, orbit_im_ex_ref][:n_streams]
             n_rows_tab = orbit_re_ref.shape[0]
 
             def _copies(j, slot):
@@ -213,9 +328,12 @@ def _make_kernel(width: int, height: int, map_height: int,
                 b = bufs[slot]
                 rd = {"re": lambda i, base: b[0][0, i - base],
                       "im": lambda i, base: b[1][0, i - base]}
-                if n_streams == 4:
+                if n_streams >= 4:
                     rd["rel"] = lambda i, base: b[2][0, i - base]
                     rd["iml"] = lambda i, base: b[3][0, i - base]
+                if n_streams >= 6:  # julia-scaled per-entry drift exponents
+                    rd["reex"] = lambda i, base: b[4][0, i - base]
+                    rd["imex"] = lambda i, base: b[5][0, i - base]
                 rd["mag2"] = lambda i, base: (
                     rd["re"](i, base) * rd["re"](i, base)
                     + rd["im"](i, base) * rd["im"](i, base))
@@ -230,6 +348,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                    "im": lambda i, base: orbit_im_ref[i],
                    "rel": lambda i, base: orbit_re_lo_ref[i],
                    "iml": lambda i, base: orbit_im_lo_ref[i],
+                   "reex": lambda i, base: orbit_re_ex_ref[i],
+                   "imex": lambda i, base: orbit_im_ex_ref[i],
                    "mag2": lambda i, base: orbit_mag2_ref[i]}
             rd1 = rd0
         tj = pl.program_id(1)
@@ -240,6 +360,18 @@ def _make_kernel(width: int, height: int, map_height: int,
         cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
         in_bounds = (rows < map_height) & (cols < width) \
             & (rows - row0 < height)
+        if aa_stack is not None:
+            # Supersampling folded into ONE kernel call: the map stacks
+            # spp^2 segments of the logical image vertically, each padded
+            # to the tile height so a tile never straddles segments and
+            # the segment index is a per-tile SCALAR.  The subpixel offset
+            # is derived arithmetically from the segment (exact dyadic
+            # floats for power-of-two spp, so each segment's pixel mapping
+            # is bit-identical to a sequential render with that offset).
+            spp, seg_h, aa_h = aa_stack
+            seg = (ti * th + row0) // seg_h
+            row_in = rows - seg * seg_h
+            in_bounds = in_bounds & (row_in < aa_h)
 
         limit = params_ref[0, Q_LIMIT].astype(jnp.int32)
         limit_f = params_ref[0, Q_LIMIT]
@@ -256,9 +388,16 @@ def _make_kernel(width: int, height: int, map_height: int,
         # relative error on dc, which flips boundary iteration counts.
         step = (params_ref[0, Q_PSH], params_ref[0, Q_PSL])
         half_w = jnp.float32(width * 0.5)
-        half_h = jnp.float32(map_height * 0.5)
-        nx = (cols.astype(jnp.float32) - half_w) + params_ref[0, Q_OFFX]
-        ny = (rows.astype(jnp.float32) - half_h) + params_ref[0, Q_OFFY]
+        if aa_stack is not None:
+            offx = (seg % spp).astype(jnp.float32) / jnp.float32(spp)
+            offy = (seg // spp).astype(jnp.float32) / jnp.float32(spp)
+            nx = (cols.astype(jnp.float32) - half_w) + offx
+            ny = (row_in.astype(jnp.float32)
+                  - jnp.float32(aa_h * 0.5)) + offy
+        else:
+            half_h = jnp.float32(map_height * 0.5)
+            nx = (cols.astype(jnp.float32) - half_w) + params_ref[0, Q_OFFX]
+            ny = (rows.astype(jnp.float32) - half_h) + params_ref[0, Q_OFFY]
         dcx = dd.dd_mul_float(jnp, step, nx)
         dcy = dd.dd_mul_float(jnp, step, ny)
         # secondary-reference shift: delta relative to the re-centered orbit
@@ -277,6 +416,11 @@ def _make_kernel(width: int, height: int, map_height: int,
         z0y_h, z0y_l = params_ref[0, Q_Z0YH], params_ref[0, Q_Z0YL]
         pp_ = params_ref[0, Q_PP]  # phoenix recurrence coefficients
         rr_ = params_ref[0, Q_RR]
+
+        if scaled and ship:
+            # true delta-c as real floatexps (mantissa = dc*2^s, exp -s)
+            dc_fe_x = _rfe_norm(dcx, -s_exp)
+            dc_fe_y = _rfe_norm(dcy, -s_exp)
 
         # full c in f32 for the float-continuation phase (comp:139-141)
         cx_dd = dd.dd_add(jnp, (params_ref[0, Q_CXH], params_ref[0, Q_CXL]),
@@ -361,7 +505,22 @@ def _make_kernel(width: int, height: int, map_height: int,
             dz0r = dd.dd_to_float(jnp, dz0r_dd)
             dz0i = dd.dd_to_float(jnp, dz0i_dd)
         base0 = dma_sync(n0)
-        if julia:  # z_0 = Z_0 + D_{n0} + dz_0 (tables hold the drift D)
+        if julia and scaled:
+            # drift tables hold floatexp D; compose D_{n0} + dz_0 (both
+            # tiny) in floatexp before adding the O(1) Z_0 (broadcast:
+            # Mosaic's bitcast lowering needs vectors)
+            bv0 = lambda v: jnp.broadcast_to(v, (th, tw))
+            Dr0 = _rfe_norm((bv0(rd0["re"](n0, base0)),
+                             bv0(rd0["rel"](n0, base0))),
+                            bv0(rd0["reex"](n0, base0).astype(jnp.int32)))
+            Di0 = _rfe_norm((bv0(rd0["im"](n0, base0)),
+                             bv0(rd0["iml"](n0, base0))),
+                            bv0(rd0["imex"](n0, base0).astype(jnp.int32)))
+            z1r = z0x_h + (z0x_l + _rfe_to_f32(
+                _rfe_add(Dr0, ((m0r[0], m0r[1]), ex0))))
+            z1i = z0y_h + (z0y_l + _rfe_to_f32(
+                _rfe_add(Di0, ((m0i[0], m0i[1]), ex0))))
+        elif julia:  # z_0 = Z_0 + D_{n0} + dz_0 (tables hold the drift D)
             z1r = z0x_h + (z0x_l + (rd0["re"](n0, base0) + dz0r))
             z1i = z0y_h + (z0y_l + (rd0["im"](n0, base0) + dz0i))
         else:
@@ -380,6 +539,11 @@ def _make_kernel(width: int, height: int, map_height: int,
             state0["mrh"], state0["mrl"] = m0r
             state0["mih"], state0["mil"] = m0i
             state0["ex"] = ex0
+            if phoenix:  # delta_prev_1 = z_0 - Z_0 = 0
+                z_ = jnp.zeros((th, tw), jnp.float32)
+                state0["prh"] = state0["prl"] = z_
+                state0["pih"] = state0["pil"] = z_
+                state0["pex"] = jnp.full((th, tw), E_ZERO, jnp.int32)
         elif dd_delta:
             state0["dzrh"], state0["dzrl"] = dz0r_dd
             state0["dzih"], state0["dzil"] = dz0i_dd
@@ -413,9 +577,9 @@ def _make_kernel(width: int, height: int, map_height: int,
             state0["nf"] = jnp.where(first, state0["nf"], nf_in_ref[:, :])
             for k_, c_ in enumerate(comps):
                 v_in = comp_in[k_][:, :]
-                if c_ == "ex":
-                    state0["ex"] = jnp.where(first, state0["ex"],
-                                             v_in.astype(jnp.int32))
+                if c_ in ("ex", "pex"):
+                    state0[c_] = jnp.where(first, state0[c_],
+                                           v_in.astype(jnp.int32))
                 else:
                     state0[c_] = jnp.where(first, state0[c_], v_in)
 
@@ -433,75 +597,220 @@ def _make_kernel(width: int, height: int, map_height: int,
                 zr = rd["re"](i, base)
                 zi = rd["im"](i, base)
                 if scaled:
-                    # floatexp step: delta = m * 2^ex with dd mantissa m.
-                    # dz <- 2*Z*dz + dz^2 + dc as three terms at exponents
-                    # ex / 2*ex / -s, aligned to their max by exact
-                    # power-of-two factors (flush-to-zero below 2^-126 drops
-                    # only terms >2^126 under the max — far below the dd
-                    # noise floor).
+                    # floatexp step: delta = m * 2^ex with dd mantissa m;
+                    # per-family recurrences over the _rfe_*/_cfe_* ops (the
+                    # Mandelbrot/Phoenix path keeps the cheaper hand-aligned
+                    # multi-term update — one renormalization per step).
                     mr = (s["mrh"], s["mrl"])
                     mi = (s["mih"], s["mil"])
                     ex = s["ex"]
-                    zr2 = (zr * 2.0, rd["rel"](i, base) * 2.0)  # exact x2
-                    zi2 = (zi * 2.0, rd["iml"](i, base) * 2.0)
-                    t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, zr2),
-                                    dd.dd_mul(jnp, mi, zi2))
-                    t1i = dd.dd_add(jnp, dd.dd_mul(jnp, mi, zr2),
-                                    dd.dd_mul(jnp, mr, zi2))
-                    sq_r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, mr),
-                                     dd.dd_mul(jnp, mi, mi))
-                    rz = dd.dd_mul(jnp, mr, mi)
-                    sq_i = (rz[0] * 2.0, rz[1] * 2.0)
-                    e2 = ex + ex
-                    emax = jnp.maximum(ex, e2)
-                    if not julia:
-                        emax = jnp.maximum(emax, -s_exp)
-                    fA = _pow2(ex - emax)
-                    fB = _pow2(e2 - emax)
-                    scl = lambda v, f: (v[0] * f, v[1] * f)
-                    nmr = dd.dd_add(jnp, scl(t1r, fA), scl(sq_r, fB))
-                    nmi = dd.dd_add(jnp, scl(t1i, fA), scl(sq_i, fB))
-                    if not julia:
+                    # Mosaic lowers the exponent-field bitcasts in the fe
+                    # ops only on vectors — broadcast scalar orbit reads to
+                    # the tile shape first.
+                    bv = lambda v: jnp.broadcast_to(v, (th, tw))
+                    if julia:
+                        # Z = Z0 + D with D from the floatexp drift table;
+                        # dz <- 2*Z*dz + dz^2 entirely in floatexp (Z itself
+                        # can sit at delta scale when the orbit returns near
+                        # the start, so no term may collapse to f32)
+                        Dr = _rfe_norm(
+                            (bv(zr), bv(rd["rel"](i, base))),
+                            bv(rd["reex"](i, base).astype(jnp.int32)))
+                        Di = _rfe_norm(
+                            (bv(zi), bv(rd["iml"](i, base))),
+                            bv(rd["imex"](i, base).astype(jnp.int32)))
+                        Zc = _cfe_from_rr(
+                            _rfe_add(_rfe_from_dd(bv(z0x_h), bv(z0x_l)),
+                                     Dr),
+                            _rfe_add(_rfe_from_dd(bv(z0y_h), bv(z0y_l)),
+                                     Di))
+                        Zc2 = (Zc[0], Zc[1],
+                               jnp.where(Zc[2] == E_ZERO, Zc[2], Zc[2] + 1))
+                        dz_c = (mr, mi, ex)
+                        nmr, nmi, nex = _cfe_add(_cfe_mul(dz_c, Zc2),
+                                                 _cfe_mul(dz_c, dz_c))
+                    elif ship:
+                        # Burning Ship diffabs in floatexp: da = |X+d|-|X|
+                        # is +-d away from the axes and +-(2X+d) on a sign
+                        # straddle — each case exactly representable as a
+                        # floatexp at its own scale (ops/perturbation
+                        # _diffabs cases, test_deep_zoom.comp-less: beyond
+                        # the reference entirely)
+                        X = (bv(zr), bv(rd["rel"](i, base)))
+                        Y = (bv(zi), bv(rd["iml"](i, base)))
+                        dxfe = (mr, ex)
+                        dyfe = (mi, ex)
+                        xpos = X[0] >= 0
+                        ypos = Y[0] >= 0
+                        absX = _rfe_from_dd(jnp.where(xpos, X[0], -X[0]),
+                                            jnp.where(xpos, X[1], -X[1]))
+                        absY = _rfe_from_dd(jnp.where(ypos, Y[0], -Y[0]),
+                                            jnp.where(ypos, Y[1], -Y[1]))
+                        ux = _rfe_add(_rfe_from_dd(X[0] * 2.0, X[1] * 2.0),
+                                      dxfe)
+                        uy = _rfe_add(_rfe_from_dd(Y[0] * 2.0, Y[1] * 2.0),
+                                      dyfe)
+                        sx = _rfe_add(_rfe_from_dd(X[0], X[1]),
+                                      dxfe)[0][0] >= 0
+                        sy = _rfe_add(_rfe_from_dd(Y[0], Y[1]),
+                                      dyfe)[0][0] >= 0
+                        da = _rfe_select(
+                            xpos, _rfe_select(sx, dxfe, _rfe_neg(ux)),
+                            _rfe_select(sx, ux, _rfe_neg(dxfe)))
+                        db = _rfe_select(
+                            ypos, _rfe_select(sy, dyfe, _rfe_neg(uy)),
+                            _rfe_select(sy, uy, _rfe_neg(dyfe)))
+                        A2 = _rfe_scale_pow2(absX, 1)
+                        B2 = _rfe_scale_pow2(absY, 1)
+                        # dx' = da(2|X|+da) - db(2|Y|+db) + dcx
+                        # dy' = 2(|X| db + |Y| da + da db) + dcy
+                        dxp = _rfe_add(_rfe_add(
+                            _rfe_mul(da, _rfe_add(A2, da)),
+                            _rfe_neg(_rfe_mul(db, _rfe_add(B2, db)))),
+                            dc_fe_x)
+                        dyp = _rfe_add(_rfe_scale_pow2(_rfe_add(
+                            _rfe_add(_rfe_mul(absX, db),
+                                     _rfe_mul(absY, da)),
+                            _rfe_mul(da, db)), 1), dc_fe_y)
+                        nmr, nmi, nex = _cfe_from_rr(dxp, dyp)
+                    else:
+                        # Mandelbrot / Phoenix: dz <- 2*Z*dz + dz^2 + dc
+                        # (+ p*dz + r*dz_prev), terms at exponents ex / 2ex
+                        # / -s / ex / pex aligned to their max by exact
+                        # power-of-two factors (flush-to-zero below 2^-126
+                        # drops only terms >2^126 under the max — far below
+                        # the dd noise floor).
+                        zr2 = (zr * 2.0, rd["rel"](i, base) * 2.0)  # 2Z
+                        zi2 = (zi * 2.0, rd["iml"](i, base) * 2.0)
+                        t1r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, zr2),
+                                        dd.dd_mul(jnp, mi, zi2))
+                        t1i = dd.dd_add(jnp, dd.dd_mul(jnp, mi, zr2),
+                                        dd.dd_mul(jnp, mr, zi2))
+                        sq_r = dd.dd_sub(jnp, dd.dd_mul(jnp, mr, mr),
+                                         dd.dd_mul(jnp, mi, mi))
+                        rz = dd.dd_mul(jnp, mr, mi)
+                        sq_i = (rz[0] * 2.0, rz[1] * 2.0)
+                        e2 = ex + ex
+                        emax = jnp.maximum(jnp.maximum(ex, e2), -s_exp)
+                        if phoenix:
+                            pex_old = s["pex"]
+                            # exclude the r*dz_prev term from the alignment
+                            # when its coefficient is 0 — a stale pex would
+                            # otherwise shift the real terms down
+                            pex_t = jnp.where(rr_ == 0.0, E_ZERO, pex_old)
+                            emax = jnp.maximum(emax, pex_t)
+                        fA = _pow2(ex - emax)
+                        fB = _pow2(e2 - emax)
+                        scl = lambda v, f: (v[0] * f, v[1] * f)
+                        nmr = dd.dd_add(jnp, scl(t1r, fA), scl(sq_r, fB))
+                        nmi = dd.dd_add(jnp, scl(t1i, fA), scl(sq_i, fB))
                         fC = _pow2(-s_exp - emax)
                         nmr = dd.dd_add(jnp, nmr, scl(dcx, fC))
                         nmi = dd.dd_add(jnp, nmi, scl(dcy, fC))
-                    # renormalize mantissa hi into [1, 2)
-                    mag = jnp.maximum(jnp.abs(nmr[0]), jnp.abs(nmi[0]))
-                    zero = mag == 0.0
-                    k = jnp.where(zero, 0, _expo(mag))
-                    fN = _pow2(-k)
-                    nmr = scl(nmr, fN)
-                    nmi = scl(nmi, fN)
-                    nex = jnp.where(zero, E_ZERO,
-                                    jnp.clip(emax + k, E_ZERO, 1 << 24))
-                    # compose z_full = Z + m*2^ex (0 when delta underflows
-                    # f32 — invisible next to Z by >38 decades)
-                    dfac = _pow2(nex)
-                    nzfr = ((rd["re"](i + 1, base) + nmr[0] * dfac)
-                            + (rd["rel"](i + 1, base) + nmr[1] * dfac))
-                    nzfi = ((rd["im"](i + 1, base) + nmi[0] * dfac)
-                            + (rd["iml"](i + 1, base) + nmi[1] * dfac))
-                    if rebase:
-                        zm2 = nzfr * nzfr + nzfi * nzfi
-                        dm2 = (nmr[0] * nmr[0] + nmi[0] * nmi[0]) \
-                            * _pow2(nex + nex)
-                        want_now = alive & ((zm2 < dm2)
-                                            | (i + 1 >= pert_end)) \
-                            & (s["nf"] < limit_f)
-                        # rebased delta <- z_full - Z_0 as dd mantissa, exp 0
-                        zr_fu = dd.dd_add(jnp, (rd["re"](i + 1, base),
-                                                rd["rel"](i + 1, base)),
-                                          (nmr[0] * dfac, nmr[1] * dfac))
-                        zi_fu = dd.dd_add(jnp, (rd["im"](i + 1, base),
-                                                rd["iml"](i + 1, base)),
-                                          (nmi[0] * dfac, nmi[1] * dfac))
-                        nmr = (jnp.where(want_now, zr_fu[0], nmr[0]),
-                               jnp.where(want_now, zr_fu[1], nmr[1]))
-                        nmi = (jnp.where(want_now, zi_fu[0], nmi[0]),
-                               jnp.where(want_now, zi_fu[1], nmi[1]))
-                        nex = jnp.where(want_now, 0, nex)
-                        s["want"] = jnp.maximum(
-                            s["want"], want_now.astype(jnp.float32))
+                        if phoenix:
+                            nmr = dd.dd_add(jnp, nmr, scl(
+                                (pp_ * mr[0], pp_ * mr[1]), fA))
+                            nmi = dd.dd_add(jnp, nmi, scl(
+                                (pp_ * mi[0], pp_ * mi[1]), fA))
+                            fR = _pow2(pex_old - emax)
+                            nmr = dd.dd_add(jnp, nmr, scl(
+                                (rr_ * s["prh"], rr_ * s["prl"]), fR))
+                            nmi = dd.dd_add(jnp, nmi, scl(
+                                (rr_ * s["pih"], rr_ * s["pil"]), fR))
+                        # renormalize mantissa hi into [1, 2)
+                        mag = jnp.maximum(jnp.abs(nmr[0]), jnp.abs(nmi[0]))
+                        zero = mag == 0.0
+                        k = jnp.where(zero, 0, _expo(mag))
+                        fN = _pow2(-k)
+                        nmr = scl(nmr, fN)
+                        nmi = scl(nmi, fN)
+                        nex = jnp.where(zero, E_ZERO,
+                                        jnp.clip(emax + k, E_ZERO, 1 << 24))
+                    if julia:
+                        # compose rel = D_{i+1} + dz in floatexp; z_full =
+                        # Z0 + rel; Zhuoran metric |rel| < |dz| at full
+                        # floatexp precision
+                        D1r = _rfe_norm(
+                            (bv(rd["re"](i + 1, base)),
+                             bv(rd["rel"](i + 1, base))),
+                            bv(rd["reex"](i + 1, base).astype(jnp.int32)))
+                        D1i = _rfe_norm(
+                            (bv(rd["im"](i + 1, base)),
+                             bv(rd["iml"](i + 1, base))),
+                            bv(rd["imex"](i + 1, base).astype(jnp.int32)))
+                        rel_r = _rfe_add(D1r, (nmr, nex))
+                        rel_i = _rfe_add(D1i, (nmi, nex))
+                        rel_c = _cfe_from_rr(rel_r, rel_i)
+                        nzfr = z0x_h + (z0x_l + _rfe_to_f32(rel_r))
+                        nzfi = z0y_h + (z0y_l + _rfe_to_f32(rel_i))
+                        if rebase:
+                            want_now = alive & (
+                                _cfe_mag2_lt(rel_c, (nmr, nmi, nex))
+                                | (i + 1 >= pert_end)) \
+                                & (s["nf"] < limit_f)
+                            nmr = (jnp.where(want_now, rel_c[0][0], nmr[0]),
+                                   jnp.where(want_now, rel_c[0][1], nmr[1]))
+                            nmi = (jnp.where(want_now, rel_c[1][0], nmi[0]),
+                                   jnp.where(want_now, rel_c[1][1], nmi[1]))
+                            nex = jnp.where(want_now, rel_c[2], nex)
+                            s["want"] = jnp.maximum(
+                                s["want"], want_now.astype(jnp.float32))
+                    else:
+                        # compose z_full = Z + m*2^ex (0 when the delta
+                        # underflows f32 — invisible next to Z by >38
+                        # decades)
+                        dfac = _pow2(nex)
+                        nzfr = ((rd["re"](i + 1, base) + nmr[0] * dfac)
+                                + (rd["rel"](i + 1, base) + nmr[1] * dfac))
+                        nzfi = ((rd["im"](i + 1, base) + nmi[0] * dfac)
+                                + (rd["iml"](i + 1, base) + nmi[1] * dfac))
+                        if rebase:
+                            zm2 = nzfr * nzfr + nzfi * nzfi
+                            dm2 = (nmr[0] * nmr[0] + nmi[0] * nmi[0]) \
+                                * _pow2(nex + nex)
+                            want_now = alive & ((zm2 < dm2)
+                                                | (i + 1 >= pert_end)) \
+                                & (s["nf"] < limit_f)
+                            # rebased delta <- z_full - Z_0 as dd, exp 0
+                            zr_fu = dd.dd_add(jnp, (rd["re"](i + 1, base),
+                                                    rd["rel"](i + 1, base)),
+                                              (nmr[0] * dfac,
+                                               nmr[1] * dfac))
+                            zi_fu = dd.dd_add(jnp, (rd["im"](i + 1, base),
+                                                    rd["iml"](i + 1, base)),
+                                              (nmi[0] * dfac,
+                                               nmi[1] * dfac))
+                            nmr = (jnp.where(want_now, zr_fu[0], nmr[0]),
+                                   jnp.where(want_now, zr_fu[1], nmr[1]))
+                            nmi = (jnp.where(want_now, zi_fu[0], nmi[0]),
+                                   jnp.where(want_now, zi_fu[1], nmi[1]))
+                            nex = jnp.where(want_now, 0, nex)
+                            s["want"] = jnp.maximum(
+                                s["want"], want_now.astype(jnp.float32))
+                            if phoenix:
+                                # dz_prev advances to the old dz; a rebased
+                                # lane gets the absolute z_i (dd, exp 0)
+                                dfo = _pow2(ex)
+                                zar = dd.dd_add(
+                                    jnp, (zr, rd["rel"](i, base)),
+                                    (mr[0] * dfo, mr[1] * dfo))
+                                zai = dd.dd_add(
+                                    jnp, (zi, rd["iml"](i, base)),
+                                    (mi[0] * dfo, mi[1] * dfo))
+                                npr = (jnp.where(want_now, zar[0], mr[0]),
+                                       jnp.where(want_now, zar[1], mr[1]))
+                                npi = (jnp.where(want_now, zai[0], mi[0]),
+                                       jnp.where(want_now, zai[1], mi[1]))
+                                npex = jnp.where(want_now, 0, ex)
+                                s["prh"] = jnp.where(alive, npr[0],
+                                                     s["prh"])
+                                s["prl"] = jnp.where(alive, npr[1],
+                                                     s["prl"])
+                                s["pih"] = jnp.where(alive, npi[0],
+                                                     s["pih"])
+                                s["pil"] = jnp.where(alive, npi[1],
+                                                     s["pil"])
+                                s["pex"] = jnp.where(alive, npex, pex_old)
                     s["mrh"] = jnp.where(alive, nmr[0], mr[0])
                     s["mrl"] = jnp.where(alive, nmr[1], mr[1])
                     s["mih"] = jnp.where(alive, nmi[0], mi[0])
@@ -812,7 +1121,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             nf_ref[:, :] = s["nf"]
             for r_, c_ in zip(comp_refs, comps):
                 v = s[c_]
-                if c_ == "ex":
+                if c_ in ("ex", "pex"):
                     v = v.astype(jnp.float32)
                 r_[:, :] = v
 
@@ -821,12 +1130,14 @@ def _make_kernel(width: int, height: int, map_height: int,
 
 def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  chunk, interpret, float_continuation, dd_delta, orbit_hbm,
-                 scaled, julia=False, ship=False, phoenix=False):
+                 scaled, julia=False, ship=False, phoenix=False,
+                 aa_stack=None):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap, scaled, rebase, julia, ship, phoenix)
+                          orbit_cap, scaled, rebase, julia, ship, phoenix,
+                          aa_stack)
     comps = _state_comps(dd_delta, scaled, phoenix)
     n_state = 4 + len(comps) if rebase else 0
     f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
@@ -835,20 +1146,20 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
         + (f32s,) * (3 + ((2 + len(comps)) if rebase else 0)))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    n_streams = _n_orbit_streams(dd_delta, scaled, julia)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
                   + [pl.BlockSpec(memory_space=(pl.ANY if orbit_hbm
-                                                else pltpu.SMEM))] * 5
+                                                else pltpu.SMEM))] * 7
                   + [out_spec] * n_state),
         out_specs=tuple(out_spec for _ in out_shapes),
         out_shape=out_shapes,
         scratch_shapes=(
             [pltpu.SMEM((1, HBM_ROW_W), jnp.float32)
-             for _ in range(2 * (4 if (dd_delta or scaled) else 2))]
-            + [pltpu.SemaphoreType.DMA(
-                (2, 4 if (dd_delta or scaled) else 2))]
+             for _ in range(2 * n_streams)]
+            + [pltpu.SemaphoreType.DMA((2, n_streams))]
             if orbit_hbm else []),
         interpret=interpret,
     )
@@ -858,33 +1169,38 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "float_continuation", "dd_delta",
-                     "orbit_hbm", "scaled", "julia", "ship", "phoenix"))
+                     "orbit_hbm", "scaled", "julia", "ship", "phoenix",
+                     "aa_stack"))
 def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
-               orbit_im_lo, *, width, height,
+               orbit_im_lo, orbit_re_ex, orbit_im_ex, *, width, height,
                map_height, orbit_cap, tile, chunk, interpret,
                float_continuation, dd_delta=False, orbit_hbm=False,
-               scaled=False, julia=False, ship=False, phoenix=False):
+               scaled=False, julia=False, ship=False, phoenix=False,
+               aa_stack=None):
     call = _pallas_pert(False, width=width, height=height,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=float_continuation,
                         dd_delta=dd_delta, orbit_hbm=orbit_hbm,
                         scaled=scaled, julia=julia, ship=ship,
-                        phoenix=phoenix)
+                        phoenix=phoenix, aa_stack=aa_stack)
     return call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
-                orbit_im_lo)
+                orbit_im_lo, orbit_re_ex, orbit_im_ex)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "dd_delta", "orbit_hbm",
-                     "scaled", "max_passes", "julia", "ship", "phoenix"))
+                     "scaled", "max_passes", "julia", "ship", "phoenix",
+                     "aa_stack"))
 def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
-                      orbit_im_lo, *, width, height, map_height, orbit_cap,
+                      orbit_im_lo, orbit_re_ex, orbit_im_ex, *, width,
+                      height, map_height, orbit_cap,
                       tile, chunk, interpret, dd_delta=False,
                       orbit_hbm=False, scaled=False, max_passes=256,
-                      julia=False, ship=False, phoenix=False):
+                      julia=False, ship=False, phoenix=False,
+                      aa_stack=None):
     """Device-resident multi-pass rebasing: a lax.while_loop re-launches
     the kernel until no lane wants another rebase — zero host round trips
     per pass (the frozen per-pixel state feeds back as kernel inputs)."""
@@ -893,14 +1209,15 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                         tile=tile, chunk=chunk, interpret=interpret,
                         float_continuation=False, dd_delta=dd_delta,
                         orbit_hbm=orbit_hbm, scaled=scaled, julia=julia,
-                        ship=ship, phoenix=phoenix)
+                        ship=ship, phoenix=phoenix, aa_stack=aa_stack)
     comps = _state_comps(dd_delta, scaled, phoenix)
     z = jnp.zeros((height, width), jnp.float32)
 
     def run(m0, first, live, nf, zfr, zfi, comp_vals):
         p2 = params.at[0, Q_M0].set(m0).at[0, Q_FIRST].set(first)
         return call(p2, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
-                    orbit_im_lo, live, nf, zfr, zfi, *comp_vals)
+                    orbit_im_lo, orbit_re_ex, orbit_im_ex, live, nf,
+                    zfr, zfi, *comp_vals)
 
     # first pass starts at the series-skip index (1 when no series;
     # 0 for julia, whose delta_0 references Z_0 directly)
@@ -946,6 +1263,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         ship: bool = False, phoenix: bool = False,
                         phoenix_p: float = 0.0, phoenix_r: float = 0.0,
                         interpret: Optional[bool] = None,
+                        aa_spp: int = 1,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
     ((L, 2) float64 from deepzoom.orbit).  Returns n/zx/zy/glitch fields.
@@ -966,7 +1284,27 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         tile = pick_tile(height, width)
     if iter_limit is None:
         iter_limit = max_iter
+    aa_spp = int(aa_spp)
+    aa_stack = None
+    out_h = height
+    if aa_spp > 1:
+        # Device-batched supersampling: spp^2 tile-aligned segments stack
+        # vertically in ONE kernel call sharing the orbit operands and the
+        # rebase passes; each segment's mapping is bit-identical to a
+        # sequential render at that subpixel offset (VERDICT r2 item 3).
+        assert rebase, "aa_spp > 1 requires the rebasing pipeline"
+        assert aa_spp & (aa_spp - 1) == 0,             "aa_spp must be a power of two (exact dyadic offsets)"
+        assert map_height is None,             "aa_spp does not combine with banded map_height"
+        assert offset == (0.0, 0.0),             "aa_spp supersedes the offset parameter"
+        seg_h = -(-height // tile[0]) * tile[0]
+        aa_stack = (aa_spp, seg_h, height)
+        out_h = aa_spp * aa_spp * seg_h
     map_h = int(map_height if map_height is not None else height)
+    # the pixel step always derives from the LOGICAL image height (= map_h
+    # for banded renders, = the un-stacked height for stacked AA)
+    step_h = map_h
+    if aa_stack is not None:
+        map_h = out_h
     if scaled_delta:
         assert not float_continuation, \
             "float continuation is meaningless at scaled-delta depths"
@@ -983,41 +1321,26 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
             "rebasing supersedes float continuation"
         # series IS supported with rebasing: the first pass starts at the
         # skip index (Q_M0 <- n_skip); later passes start at 0.
-    if julia:
+    if julia or ship or phoenix:
         assert not float_continuation, \
-            "julia deep zoom has no float-continuation path"
+            "the non-Mandelbrot families have no float-continuation path"
         assert series is None or series.n_skip <= 1, \
             "series skip is Mandelbrot-only"
-        assert rebase, "deep-zoom julia requires the rebasing pipeline"
-        if scaled_delta:
-            raise NotImplementedError(
-                "deep-zoom julia supports zoom >= ~1e-25 (the drift "
-                "table's f32 hi/lo floor); the floatexp tier is "
-                "Mandelbrot-only")
-    if ship:
-        assert rebase and not float_continuation, \
-            "deep-zoom burning ship requires the rebasing pipeline"
-        assert series is None or series.n_skip <= 1, \
-            "series skip is Mandelbrot-only"
-        if scaled_delta:
-            raise NotImplementedError(
-                "deep-zoom burning ship supports the f32/dd tiers "
-                "(zoom >= ~1e-30); the floatexp tier is Mandelbrot-only")
-    if phoenix:
-        assert rebase and not float_continuation, \
-            "deep-zoom phoenix requires the rebasing pipeline"
-        assert series is None or series.n_skip <= 1, \
-            "series skip is Mandelbrot-only"
-        if scaled_delta:
-            raise NotImplementedError(
-                "deep-zoom phoenix supports the f32/dd tiers; the "
-                "floatexp tier is Mandelbrot-only")
+        assert rebase, \
+            "the non-Mandelbrot families require the rebasing pipeline"
     # exact per-pixel step = zoom * 4 / map_height^2 (see _make_kernel)
     if zoom_frac is not None:
         zoom_fr = Fraction(zoom_frac)
     else:
         zoom_fr = Fraction(zoom_dd[0]) + Fraction(zoom_dd[1])
-    step_fr = zoom_fr * 4 / (map_h * map_h)
+    if julia and scaled_delta and 0 < zoom_fr < Fraction(1, 10 ** 290):
+        # the drift tables are emitted through f64 (deepzoom/orbit.py
+        # emit_rel) whose range ends near 1e-308; drifts at pixel scale
+        # below that collapse to 0 and the floatexp table cannot help
+        raise NotImplementedError(
+            "deep-zoom julia supports zoom >= ~1e-290 (f64 drift-emission "
+            "floor); deeper zooms need a floatexp drift emitter")
+    step_fr = zoom_fr * 4 / (step_h * step_h)
     s_exp = 0
     if scaled_delta:
         if step_fr == 0:
@@ -1057,26 +1380,55 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     # Clamp to cap: reusing one deep orbit across frames with smaller
     # iteration caps legitimately passes len(orbit) > max_iter + 1.
     L = int(min(len(orbit), cap))
+    julia_fx = julia and scaled_delta
     orbit_re = np.zeros(cap, np.float32)
     orbit_im = np.zeros(cap, np.float32)
-    orbit_re[:L] = orbit[:L, 0].astype(np.float32)
-    orbit_im[:L] = orbit[:L, 1].astype(np.float32)
-    # In HBM mode the glitch threshold is recomputed from the streamed
-    # values, so the precomputed |Z|^2 table is a dummy.
-    mag2 = np.zeros(1, np.float32) if orbit_hbm \
-        else orbit_re * orbit_re + orbit_im * orbit_im
-    if dd_delta or scaled_delta:
-        # hi/lo split of the f64 orbit — the dd/floatexp loops need
-        # dd-accurate Z
+    orbit_re_ex = np.zeros(1, np.float32)
+    orbit_im_ex = np.zeros(1, np.float32)
+    if julia_fx:
+        # Per-entry floatexp drift tables: each f64 drift D becomes a dd
+        # mantissa (hi+lo f32) + per-component exponent stream, so drifts
+        # at pixel scale (the orbit returning near its start) keep full
+        # relative precision at ANY zoom the f64 emission can reach —
+        # f32-pair tables underflow at 1e-38 and floored the julia tier
+        # at ~1e-25.
+        def fx_streams(vals):
+            m, e = np.frexp(vals)  # D = m * 2^e, |m| in [0.5, 1)
+            hi = m.astype(np.float32)
+            lo = (m - hi.astype(np.float64)).astype(np.float32)
+            ex = np.where(vals == 0.0, float(E_ZERO),
+                          e.astype(np.float64)).astype(np.float32)
+            return hi, lo, ex
+
         orbit_re_lo = np.zeros(cap, np.float32)
         orbit_im_lo = np.zeros(cap, np.float32)
-        orbit_re_lo[:L] = (orbit[:L, 0]
-                           - orbit_re[:L].astype(np.float64)).astype(np.float32)
-        orbit_im_lo[:L] = (orbit[:L, 1]
-                           - orbit_im[:L].astype(np.float64)).astype(np.float32)
+        orbit_re_ex = np.full(cap, float(E_ZERO), np.float32)
+        orbit_im_ex = np.full(cap, float(E_ZERO), np.float32)
+        (orbit_re[:L], orbit_re_lo[:L],
+         orbit_re_ex[:L]) = fx_streams(orbit[:L, 0])
+        (orbit_im[:L], orbit_im_lo[:L],
+         orbit_im_ex[:L]) = fx_streams(orbit[:L, 1])
     else:
-        orbit_re_lo = np.zeros(1, np.float32)
-        orbit_im_lo = np.zeros(1, np.float32)
+        orbit_re[:L] = orbit[:L, 0].astype(np.float32)
+        orbit_im[:L] = orbit[:L, 1].astype(np.float32)
+        if dd_delta or scaled_delta:
+            # hi/lo split of the f64 orbit — the dd/floatexp loops need
+            # dd-accurate Z
+            orbit_re_lo = np.zeros(cap, np.float32)
+            orbit_im_lo = np.zeros(cap, np.float32)
+            orbit_re_lo[:L] = (orbit[:L, 0] - orbit_re[:L]
+                               .astype(np.float64)).astype(np.float32)
+            orbit_im_lo[:L] = (orbit[:L, 1] - orbit_im[:L]
+                               .astype(np.float64)).astype(np.float32)
+        else:
+            orbit_re_lo = np.zeros(1, np.float32)
+            orbit_im_lo = np.zeros(1, np.float32)
+    # In HBM mode the glitch threshold is recomputed from the streamed
+    # values, so the precomputed |Z|^2 table is a dummy (julia-fx tables
+    # hold mantissas; mag2 is only consumed by the Pauldelbrot path,
+    # which julia's mandatory rebasing supersedes).
+    mag2 = np.zeros(1, np.float32) if orbit_hbm \
+        else orbit_re * orbit_re + orbit_im * orbit_im
 
     if orbit_hbm:
         # Pre-chunk into overlapping rows: row j = orbit[j*chunk : +chunk+1]
@@ -1098,6 +1450,10 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         if dd_delta or scaled_delta:
             orbit_re_lo = rows_of(orbit_re_lo)
             orbit_im_lo = rows_of(orbit_im_lo)
+        if julia_fx:
+            # zero-padded rows read as mantissa 0 -> exact-zero drift
+            orbit_re_ex = rows_of(orbit_re_ex)
+            orbit_im_ex = rows_of(orbit_im_ex)
 
     params = np.zeros((1, NQ), np.float32)
     params[0, Q_CXH], params[0, Q_CXL] = center_x_dd
@@ -1181,15 +1537,23 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
 
     operands = (jnp.asarray(params), jnp.asarray(orbit_re),
                 jnp.asarray(orbit_im), jnp.asarray(mag2),
-                jnp.asarray(orbit_re_lo), jnp.asarray(orbit_im_lo))
+                jnp.asarray(orbit_re_lo), jnp.asarray(orbit_im_lo),
+                jnp.asarray(orbit_re_ex), jnp.asarray(orbit_im_ex))
     call_kw = dict(
-        width=width, height=height, map_height=map_h,
+        width=width, height=out_h, map_height=map_h,
         orbit_cap=cap, tile=tuple(tile), chunk=chunk,
         interpret=bool(interpret),
         float_continuation=bool(float_continuation),
         dd_delta=bool(dd_delta), orbit_hbm=bool(orbit_hbm),
         scaled=bool(scaled_delta), julia=bool(julia), ship=bool(ship),
-        phoenix=bool(phoenix))
+        phoenix=bool(phoenix), aa_stack=aa_stack)
+    def _unstack(arr):
+        # (S*seg_h, W) -> (S, height, W): drop each segment's tile padding
+        if aa_stack is None:
+            return arr
+        spp_, seg_h_, aa_h_ = aa_stack
+        return jnp.reshape(arr, (spp_ * spp_, seg_h_, width))[:, :aa_h_]
+
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)
@@ -1197,8 +1561,9 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
             return operands, call_kw
         n, zx, zy, glitch, want, passes = _pert_rebase_call(*operands,
                                                             **call_kw)
-        return {"n": n, "zx": zx, "zy": zy, "glitch": glitch,
-                "want": want, "passes": passes}
+        return {"n": _unstack(n), "zx": _unstack(zx), "zy": _unstack(zy),
+                "glitch": _unstack(glitch), "want": _unstack(want),
+                "passes": passes}
     if _build_only:
         return operands, call_kw
     n, zx, zy, glitch = _pert_call(*operands, **call_kw)

@@ -129,20 +129,21 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
 
     rebase = "max_passes" in call_kw
 
-    def shard_body(params, ore, oim, om2, orel, oiml):
+    def shard_body(params, ore, oim, om2, orel, oiml, orex, oimx):
         ridx = jax.lax.axis_index("rows")
         p2 = params.at[0, pert.Q_ROW0].set(
             (ridx * band_h).astype(jnp.float32))
         if rebase:
             n, zx, zy, g, want, k = pert._pert_rebase_call(
-                p2, ore, oim, om2, orel, oiml, **call_kw)
+                p2, ore, oim, om2, orel, oiml, orex, oimx, **call_kw)
             return n, zx, zy, g, want, jnp.reshape(k, (1, 1))
-        return pert._pert_call(p2, ore, oim, om2, orel, oiml, **call_kw)
+        return pert._pert_call(p2, ore, oim, om2, orel, oiml, orex, oimx,
+                               **call_kw)
 
     n_out = 6 if rebase else 4
     fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(),) * 6,
+        in_specs=(P(),) * 8,
         out_specs=(P("rows"),) * n_out,
         check_vma=False))
     outs = fn(*operands)

@@ -1029,6 +1029,7 @@ def _hp_julia_oracle_counts(zoom, W, H, MI, bits, bail=4.0):
 @pytest.mark.parametrize("mode_kw,zoom,MI,bits", [
     (dict(dd_delta=True), "1e-10", 300, 128),
     (dict(dd_delta=True), "1e-20", 300, 192),
+    (dict(scaled_delta=True, zoom_frac="1e-50"), "1e-50", 400, 300),
 ])
 def test_deep_julia_matches_exact_oracle(mode_kw, zoom, MI, bits):
     from fractalrenderer_tpu.ops.perturbation import perturbation_fields
@@ -1371,3 +1372,169 @@ def test_perturbation_rejects_oversized_max_iter():
     with pytest.raises(ValueError, match="2\\^24"):
         escape_fields("mandelbrot", 8, 8, center_x=0.0, center_y=0.0,
                       zoom=3.0, max_iter=1 << 24)
+
+
+# ---------------------------------------------------------------------------
+# floatexp (ARBITRARY) tier for the beyond-reference families — r2 VERDICT
+# item 2: every family reaches the no-depth-floor tier, not just Mandelbrot
+# ---------------------------------------------------------------------------
+
+def test_deep_ship_floatexp_matches_exact_oracle():
+    """Burning Ship at the antenna tip c = -2 (on the real axis the ship
+    reduces to the real quadratic map, so the tip orbit 0, -2, 2, 2, ...
+    is bounded forever and the neighborhood has escape-count structure at
+    every depth; Y = 0 exactly also exercises the degenerate diffabs
+    axis case), zoom 1e-50 — twenty decades past the old 1e-30 gate."""
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H, MI, bits, zoom = 12, 8, 300, 300, "1e-50"
+    orb = orbit.compute_orbit("-2", "0", bits, MI + 1, kind=1)
+    assert len(orb) == MI + 1
+    f = perturbation_fields(orb, W, H, center_x_dd=(-2.0, 0.0),
+                            center_y_dd=(0.0, 0.0), max_iter=MI,
+                            float_continuation=False, rebase=True,
+                            ship=True, scaled_delta=True, zoom_frac=zoom)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_ship_oracle_counts("-2", "0", zoom, W, H, MI, bits)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_deep_phoenix_floatexp_matches_exact_oracle():
+    """Phoenix at 1e-50: bisect from the 1e-10 test's boundary point to a
+    c on the escape-set boundary within ~1e-54 (exact rationals, native
+    orbits), so the 1e-50 neighborhood has varied counts and the center
+    orbit stays interior."""
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.hp import HPFloat
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    PP, RR = 0.0, -0.5
+    W, H, MI, bits, zoom = 12, 8, 400, 300, "1e-50"
+    cy = Fraction("0.05")
+
+    def interior(cxf):
+        o = orbit.compute_orbit(HPFloat(cxf, 330), HPFloat(cy, 330), 330,
+                                MI + 1, kind=2, pp=PP, rr=RR)
+        return len(o) == MI + 1
+
+    a = Fraction("0.5334632772339566")
+    b = a + Fraction(1, 10 ** 8)
+    assert interior(a) and not interior(b)
+    for _ in range(180):
+        m = (a + b) / 2
+        if interior(m):
+            a = m
+        else:
+            b = m
+    cxh = HPFloat(a, bits)
+    orb = orbit.compute_orbit(cxh, HPFloat(cy, bits), bits, MI + 1,
+                              kind=2, pp=PP, rr=RR)
+    assert len(orb) == MI + 1
+    f = perturbation_fields(orb, W, H,
+                            center_x_dd=dd_from_string(cxh.to_string(70)),
+                            center_y_dd=dd_from_string("0.05"),
+                            max_iter=MI, float_continuation=False,
+                            rebase=True, phoenix=True, phoenix_p=PP,
+                            phoenix_r=RR, scaled_delta=True,
+                            zoom_frac=zoom)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_phoenix_oracle_counts(str(cxh.to_string(70)), "0.05", zoom,
+                                     W, H, MI, bits, PP, RR)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_families_reach_floatexp_through_model():
+    """models.deep_zoom routes every family through the scaled tier (the
+    old NotImplementedError gates are gone); info reports scaled_delta
+    and zero remaining glitches."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    cases = [
+        dict(deep_zoom_julia=True, julia_c_real=-0.7, julia_c_imag=0.27015,
+             hp_center_x=_JZSTAR[0], hp_center_y=_JZSTAR[1]),
+        dict(deep_zoom_ship=True, hp_center_x="-2", hp_center_y="0"),
+        dict(deep_zoom_phoenix=True, phoenix_p=0.0, phoenix_r=-0.5,
+             hp_center_x="0.5334632772339566", hp_center_y="0.05"),
+    ]
+    for kw in cases:
+        s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+                  hp_zoom="1e-40", max_iterations=200, **kw)
+        n, zx, zy, g, info = deep_zoom.render_fields(s, 8, 6)
+        assert info["scaled_delta"], kw
+        assert info["glitched_pixels_remaining"] == 0, kw
+        assert np.isfinite(np.asarray(zx)).all()
+
+
+# ---------------------------------------------------------------------------
+# device-batched supersampling (aa_spp) — r2 VERDICT item 3
+# ---------------------------------------------------------------------------
+
+def test_stacked_aa_matches_sequential_offsets():
+    """aa_spp=2 renders all four subpixel samples in ONE kernel call;
+    every sample's fields are bit-identical to a sequential render at
+    that offset, and the averaged image matches exactly."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.ops import coloring
+    from fractalrenderer_tpu.ops.coloring import ColorParams
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.74364388703715158",
+              hp_center_y="0.13182590420531198",
+              hp_zoom="1e-12", max_iterations=400, samples_per_pixel=2)
+    W, H = 16, 10
+    n2, zx2, zy2, _, info = deep_zoom.render_fields(s, W, H, aa_spp=2)
+    assert n2.shape == (4, H, W)
+    assert info["glitched_pixels_remaining"] == 0
+    for smp in range(4):
+        off = ((smp % 2) / 2, (smp // 2) / 2)
+        n1, zx1, zy1, _, _ = deep_zoom.render_fields(s, W, H, offset=off)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2[smp]))
+        np.testing.assert_array_equal(np.asarray(zx1),
+                                      np.asarray(zx2[smp]))
+        np.testing.assert_array_equal(np.asarray(zy1),
+                                      np.asarray(zy2[smp]))
+
+    img_b, binfo = deep_zoom.render(s, W, H, return_info=True)
+    assert binfo.get("aa_batched")
+    p = ColorParams(max_iterations=s.max_iterations, bailout=s.bailout,
+                    palette_mode=s.palette_mode,
+                    color_offset=s.color_offset,
+                    color_scale=s.color_scale)
+    acc = np.zeros((H, W, 3), np.float32)
+    for sy in range(2):
+        for sx in range(2):
+            n1, zx1, zy1, _, _ = deep_zoom.render_fields(
+                s, W, H, offset=(sx / 2, sy / 2))
+            acc += np.asarray(coloring.color_deep_zoom(np, n1, zx1, zy1, p))
+    np.testing.assert_array_equal(np.asarray(img_b), acc / 4.0)
+
+
+def test_stacked_aa_deep_families_and_fallback():
+    """Stacked AA composes with the beyond-reference families, and the
+    HP fallback path addresses (sample, y, x) correctly when a stacked
+    lane survives max_passes."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              deep_zoom_julia=True, julia_c_real=-0.7,
+              julia_c_imag=0.27015,
+              hp_center_x=_JZSTAR[0], hp_center_y=_JZSTAR[1],
+              hp_zoom="1e-10", max_iterations=200, samples_per_pixel=2)
+    W, H = 10, 6
+    n2, _, _, g, info = deep_zoom.render_fields(s, W, H, aa_spp=2)
+    assert n2.shape == (4, H, W)
+    assert info["glitched_pixels_remaining"] == 0
+    assert not g.any()
+    img = deep_zoom.render(s, W, H)
+    assert np.isfinite(np.asarray(img)).all()
