@@ -211,12 +211,28 @@ def _diffabs(xp, X, d):
                     xp.where(s >= 0, 2.0 * X + d, -d))
 
 
+def _dd_sign_nonneg(v):
+    """Sign of a dd value at full dd accuracy: the hi part decides unless
+    it is exactly 0, then the lo part does (dd invariant: |lo| <= ulp(hi)/2,
+    so a nonzero hi always dominates).  Boolean algebra, not a select —
+    Mosaic cannot lower arith.select on i1 vectors."""
+    return (v[0] > 0.0) | ((v[0] == 0.0) & (v[1] >= 0.0))
+
+
 def _dd_diffabs(X, d):
-    """dd |X+d| - |X|: the four case values are d, -(2X+d), 2X+d, -d —
-    selected componentwise on the hi-part signs."""
+    """dd |X+d| - |X|: the four case values are d, -(2X+d), 2X+d, -d.
+
+    The branch selection decides the signs of X and X+d at FULL dd
+    accuracy (previously f32 hi sums, wrong whenever |X+d| fell within
+    f32 rounding of 0 — injecting ~1e-7·|X| absolute).  Note the armada
+    dust residual is NOT driven by this: it is Lyapunov amplification of
+    the dd/f64 precision floors, proven precision-bound in
+    docs/DESIGN.md §8 — this fix is kept for being strictly more
+    correct."""
     t = dd.dd_add(jnp, (X[0] * 2.0, X[1] * 2.0), d)
-    xpos = X[0] >= 0
-    spos = (X[0] + d[0]) >= 0
+    s = dd.dd_add(jnp, X, d)
+    xpos = _dd_sign_nonneg(X)
+    spos = _dd_sign_nonneg(s)
     hi = jnp.where(xpos, jnp.where(spos, d[0], -t[0]),
                    jnp.where(spos, t[0], -d[0]))
     lo = jnp.where(xpos, jnp.where(spos, d[1], -t[1]),
@@ -640,8 +656,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                         Y = (bv(zi), bv(rd["iml"](i, base)))
                         dxfe = (mr, ex)
                         dyfe = (mi, ex)
-                        xpos = X[0] >= 0
-                        ypos = Y[0] >= 0
+                        xpos = _dd_sign_nonneg(X)
+                        ypos = _dd_sign_nonneg(Y)
                         absX = _rfe_from_dd(jnp.where(xpos, X[0], -X[0]),
                                             jnp.where(xpos, X[1], -X[1]))
                         absY = _rfe_from_dd(jnp.where(ypos, Y[0], -Y[0]),
@@ -826,8 +842,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                         Y = (zi, rd["iml"](i, base))
                         da = _dd_diffabs(X, dzr)
                         db = _dd_diffabs(Y, dzi)
-                        xpos = X[0] >= 0
-                        ypos = Y[0] >= 0
+                        xpos = _dd_sign_nonneg(X)
+                        ypos = _dd_sign_nonneg(Y)
                         A2 = (jnp.where(xpos, X[0], -X[0]) * 2.0,
                               jnp.where(xpos, X[1], -X[1]) * 2.0)
                         B2 = (jnp.where(ypos, Y[0], -Y[0]) * 2.0,
