@@ -545,6 +545,7 @@ class TermUI:
             events.append(("key", "esc"))
         return events
 
+
 def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
              rows: Optional[int] = None, spin: bool = False,
              max_frames: Optional[int] = None, infile=None,

@@ -200,7 +200,10 @@ def render_fields(scene: Scene, width: int, height: int,
             and ref_center is None and not julia \
             and not ship and not phoenix:
         aspect = width / height
-        corner = math.hypot(0.5 * aspect, 0.5)
+        # +1/height: subpixel AA offsets (sequential or stacked) push |dc|
+        # up to one pixel past the geometric corner; the series exactness
+        # bound must cover them
+        corner = math.hypot(0.5 * aspect + 1.0 / height, 0.5 + 1.0 / height)
         if scaled:
             # zoom may underflow f64 here — dc_max stays exact-rational and
             # the coefficients accumulate in floatexp
