@@ -220,12 +220,20 @@ def bench_deep_zoom():
     t0 = time.perf_counter()
     *_, info2 = deep_zoom.render_fields(s2, 1920, 1080)
     dt2 = time.perf_counter() - t0
+    # device-batched supersampling (VERDICT r3): 4 subpixel samples in
+    # ONE kernel call; record the ratio vs spp=1
+    deep_zoom.render_fields(s, 1920, 1080, aa_spp=2)  # compile + warm
+    t0 = time.perf_counter()
+    deep_zoom.render_fields(s, 1920, 1080, aa_spp=2)
+    dt_aa = time.perf_counter() - t0
     return {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
             "cold_seconds_incl_compile": round(cold, 1),
             "algorithm": info.get("algorithm"),
             "rebase_passes": info.get("rebase_passes"),
             "seconds_with_series_skip": round(dt2, 1),
             "series_skip_iterations": info2.get("series_skip"),
+            "seconds_spp2_stacked": round(dt_aa, 1),
+            "spp2_vs_spp1_ratio": round(dt_aa / max(dt, 1e-9), 2),
             **{k: info[k] for k in ("references_used",
                                     "glitched_pixels_initial",
                                     "glitched_pixels_remaining")}}

@@ -397,6 +397,32 @@ class LiveSession:
             return None  # minimap composes host-side
         return models.render(self.scene, self.width, self.height)
 
+    def prewarm_ladder(self) -> None:
+        """Compile the auto-iteration ladder rungs for the current render
+        size in a background thread, so continuous zoom (which walks
+        max_iterations through 256/512/1024/1536/2048 —
+        vk_engine.cpp:1739-1753) never stalls the session on a fresh XLA
+        compile.  With the persistent cache this is a one-time cost per
+        machine; in-process it still saves the jit-cache misses."""
+        import threading
+
+        if self.scene.fractal_type in (FractalType.DEEP_ZOOM,
+                                       FractalType.MANDELBULB):
+            return  # host-side pipelines; nothing cheap to prewarm
+
+        def worm():
+            try:
+                for iters in (256, 512, 1024, 1536, 2048):
+                    if not self.running:
+                        return
+                    s = self.scene.with_(max_iterations=iters)
+                    np.asarray(models.render(s, self.width, self.height))
+            except Exception:
+                pass  # prewarming is best-effort
+
+        threading.Thread(target=worm, daemon=True,
+                         name="ladder-prewarm").start()
+
     def screenshot(self) -> str:
         from .utils.image import to_export_orientation
         from .utils.png import write_png
@@ -587,6 +613,9 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
                 ui.fout.write(compose_frame(sess, last_img))
                 ui.fout.flush()
                 frames += 1
+                if frames == 1:
+                    # first frame is up: compile the zoom ladder behind it
+                    sess.prewarm_ladder()
                 if max_frames is not None and frames >= max_frames:
                     break
             elif sess.redraw and not inflight:
