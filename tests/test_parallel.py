@@ -11,10 +11,15 @@ from fractalrenderer_tpu.parallel import (make_render_mesh,
                                           render_frames_sharded,
                                           render_giant_still, render_sharded)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
-                                reason="needs multiple (virtual) devices")
+# Most tests here run on any device count (a 1-chip mesh is a valid mesh
+# and exercises the shard_map path on real hardware — the TPU lane's
+# giant_band phase relies on that); only the frames-axis tests genuinely
+# need >= 2 devices.
+multi_device = pytest.mark.skipif(len(jax.devices()) < 2,
+                                  reason="needs multiple (virtual) devices")
 
 
+@multi_device
 def test_mesh_construction():
     m = make_render_mesh()
     assert m.shape["rows"] == len(jax.devices())
@@ -51,6 +56,7 @@ def test_sharded_julia():
     np.testing.assert_array_equal(out, ref)
 
 
+@multi_device
 def test_frames_sharded():
     scenes = [Scene(max_iterations=32, zoom=z) for z in (3.0, 1.5, 0.8, 0.5)]
     mesh = make_render_mesh(frames=2)
@@ -173,6 +179,7 @@ def test_mandelbulb_sharded_xla_path():
     np.testing.assert_array_equal(sharded, single)
 
 
+@multi_device
 def test_animation_renderer_mesh_equals_single(tmp_path):
     # AnimationRenderer(mesh=...) shards frame batches over the
     # ('frames','rows') mesh; frames must be bit-identical to the
