@@ -174,6 +174,7 @@ class LiveSession:
         self.fullscreen = False
         self.held: dict = {}
         self._last_key_at: dict = {}
+        self._orbit_cache: dict = {}
         self.stats = FrameStats()
         self.message = ""
         self._shot_n = 0
@@ -395,6 +396,15 @@ class LiveSession:
         """Dispatch the current frame's render (async on device)."""
         if self.show_minimap:
             return None  # minimap composes host-side
+        if self.scene.fractal_type == FractalType.DEEP_ZOOM:
+            # session-persistent orbit cache: pan/zoom about a center
+            # reuses its reference orbit instead of recomputing the HP
+            # loop every frame (the reference recomputes only when dirty,
+            # deep_zoom_system.cpp:363)
+            from .models import deep_zoom
+
+            return deep_zoom.render(self.scene, self.width, self.height,
+                                    orbit_cache=self._orbit_cache)
         return models.render(self.scene, self.width, self.height)
 
     def prewarm_ladder(self) -> None:

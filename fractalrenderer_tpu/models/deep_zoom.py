@@ -142,8 +142,12 @@ def render_fields(scene: Scene, width: int, height: int,
         # digits, which collides for secondary-reference candidates whose
         # centers differ only beyond that (zoom < ~1e-21) — the probe
         # loop would then pair one candidate's orbit with another's
-        # coordinates and the shift would disagree with the orbit used
-        return (v.man, v.bits) if isinstance(v, HPFloat) else str(v)
+        # coordinates and the shift would disagree with the orbit used.
+        # Strings key by exact VALUE (hp_zoomed rewrites coordinates with
+        # zoom-dependent digit counts; the same center must hit the same
+        # orbit across representations).
+        return (v.man, v.bits) if isinstance(v, HPFloat) \
+            else Fraction(str(v))
 
     def cached_orbit(ocx, ocy):
         # the orbit depends on the recurrence too: kind (ship/phoenix)

@@ -337,3 +337,23 @@ def test_live_session_over_pty(tmp_path):
         if p.poll() is None:
             p.kill()
         os.close(m)
+
+
+def test_deep_zoom_dispatch_reuses_orbit_cache():
+    """Live deep-zoom sessions keep one orbit cache: zooming about the
+    same center reuses the reference orbit instead of recomputing the HP
+    loop every frame."""
+    # max_iterations already at the ladder value, so a zoom step keeps
+    # the same orbit requirements (a raised cap would legitimately need
+    # a longer orbit)
+    s = LiveSession(Scene(fractal_type=FractalType.DEEP_ZOOM,
+                          hp_center_x="-0.74364388703715158",
+                          hp_center_y="0.13182590420531198",
+                          hp_zoom="1e-9", max_iterations=2048,
+                          use_perturbation=True), cols=8, rows=4)
+    img1 = s.dispatch()
+    assert img1 is not None and len(s._orbit_cache) == 1
+    s.handle_event(("key", "+"), 0.0)   # hp zoom step, same center
+    assert s.scene.max_iterations == 2048
+    img2 = s.dispatch()
+    assert img2 is not None and len(s._orbit_cache) == 1  # orbit reused
