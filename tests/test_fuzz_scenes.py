@@ -56,3 +56,36 @@ def test_fuzz_extreme_view_params():
         s = fr.Scene(**kw)
         img = np.asarray(fr.render(s, 16, 8))
         assert np.isfinite(img).all(), kw
+
+
+def test_fuzz_deep_zoom_families_finite():
+    """Random deep-zoom scenes across every family and precision tier
+    (f32 / dd / floatexp) render finite images with zero remaining
+    glitches — the rebasing pipeline's correctness-by-construction
+    promise under fuzzed parameters."""
+    from fractalrenderer_tpu.models import deep_zoom
+
+    rng = np.random.default_rng(20260817)
+    centers = [("-0.74364388703715158", "0.13182590420531198", {}),
+               ("1.484292748140190509", "-0.137230514250178732",
+                dict(deep_zoom_julia=True, julia_c_real=-0.7,
+                     julia_c_imag=0.27015)),
+               ("-2", "0", dict(deep_zoom_ship=True)),
+               ("0.5334632772339566", "0.05",
+                dict(deep_zoom_phoenix=True, phoenix_p=0.0,
+                     phoenix_r=-0.5))]
+    for k in range(8):
+        cx, cy, fam = centers[k % len(centers)]
+        zoom = f"1e-{int(rng.integers(5, 45))}"
+        s = fr.Scene(
+            fractal_type=fr.FractalType.DEEP_ZOOM,
+            hp_center_x=cx, hp_center_y=cy, hp_zoom=zoom,
+            max_iterations=int(rng.integers(16, 120)),
+            palette_mode=int(rng.integers(-1, 11)),
+            samples_per_pixel=int(rng.choice([1, 2])),
+            use_perturbation=True, **fam)
+        img, info = deep_zoom.render(s, 10, 6, return_info=True)
+        img = np.asarray(img)
+        assert img.shape == (6, 10, 3), (s, zoom)
+        assert np.isfinite(img).all(), (s, zoom)
+        assert info["glitched_pixels_remaining"] == 0, (s, zoom)
