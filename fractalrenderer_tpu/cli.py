@@ -86,6 +86,10 @@ def _add_scene_args(p: argparse.ArgumentParser):
     p.add_argument("--series", action="store_true", default=None,
                    help="series-approximation iteration skip (deep zoom; "
                         "exact — counts are unchanged)")
+    p.add_argument("--spp", type=int, default=None, choices=(1, 2, 4),
+                   help="deep-zoom samples per pixel axis (spp^2 subpixel "
+                        "samples, device-batched; ui_manager.cpp:659-757 "
+                        "samples toggle)")
 
 
 _ARG_TO_FIELD = {
@@ -108,6 +112,7 @@ _ARG_TO_FIELD = {
     "deep_ship": "deep_zoom_ship",
     "deep_phoenix": "deep_zoom_phoenix",
     "series": "use_series_approximation",
+    "spp": "samples_per_pixel",
 }
 
 
