@@ -1388,11 +1388,17 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
             "proof needs |z| <= |Z| + |delta| < bailout over the skipped "
             "range; see deepzoom/series.py)")
     # Orbits beyond the SMEM budget stream from HBM per iteration chunk.
-    orbit_hbm = max_iter + 1 > MAX_ORBIT_SMEM
+    # The budget is per-STREAM bytes: julia-scaled tables carry 6 streams
+    # (mantissa hi/lo + exponent per component) vs the validated 4, so
+    # its cap shrinks proportionally to keep total SMEM at the proven
+    # 4-stream maximum.
+    smem_cap = (MAX_ORBIT_SMEM * 4) // 6 if (julia and scaled_delta) \
+        else MAX_ORBIT_SMEM
+    orbit_hbm = max_iter + 1 > smem_cap
     bailout = max(2.0, float(bailout))  # comp:114
 
     cap = int(max(max_iter + 1, 2)) if orbit_hbm \
-        else int(min(max(max_iter + 1, 2), MAX_ORBIT_SMEM))
+        else int(min(max(max_iter + 1, 2), smem_cap))
     # Clamp to cap: reusing one deep orbit across frames with smaller
     # iteration caps legitimately passes len(orbit) > max_iter + 1.
     L = int(min(len(orbit), cap))

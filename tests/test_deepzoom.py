@@ -1538,3 +1538,30 @@ def test_stacked_aa_deep_families_and_fallback():
     assert not g.any()
     img = deep_zoom.render(s, W, H)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_julia_scaled_hbm_streaming_matches_smem():
+    """Julia-scaled drift tables carry 6 streams; past the (reduced) SMEM
+    cap they stream from HBM with the exponent streams double-buffered
+    alongside the mantissas — results identical to the SMEM path."""
+    from fractalrenderer_tpu.ops import perturbation as pert
+
+    W, H, MI, bits, zoom = 8, 6, 200, 200, "1e-40"
+    orb = orbit.compute_orbit(_JC[0], _JC[1], bits, MI + 1,
+                              z0x=_JZSTAR[0], z0y=_JZSTAR[1], emit_rel=True)
+    kw = dict(center_x_dd=(0.0, 0.0), center_y_dd=(0.0, 0.0),
+              max_iter=MI, float_continuation=False, rebase=True,
+              julia=True,
+              julia_z0=(float(_JZSTAR[0][:20]), float(_JZSTAR[1][:20])),
+              scaled_delta=True, zoom_frac=zoom)
+    f_smem = pert.perturbation_fields(orb, W, H, **kw)
+    old_cap = pert.MAX_ORBIT_SMEM
+    pert.MAX_ORBIT_SMEM = 96  # julia-scaled cap -> 64; orbit 201 streams
+    try:
+        f_hbm = pert.perturbation_fields(orb, W, H, **kw)
+    finally:
+        pert.MAX_ORBIT_SMEM = old_cap
+    np.testing.assert_array_equal(np.asarray(f_smem["n"]),
+                                  np.asarray(f_hbm["n"]))
+    np.testing.assert_array_equal(np.asarray(f_smem["zx"]),
+                                  np.asarray(f_hbm["zx"]))
