@@ -1565,3 +1565,29 @@ def test_julia_scaled_hbm_streaming_matches_smem():
                                   np.asarray(f_hbm["n"]))
     np.testing.assert_array_equal(np.asarray(f_smem["zx"]),
                                   np.asarray(f_hbm["zx"]))
+
+
+def test_stacked_aa_with_hbm_streamed_orbit():
+    """aa_spp stacking multiplies grid rows; combined with HBM orbit
+    streaming the per-tile DMA pattern is unchanged — fields equal the
+    SMEM-path stacked render."""
+    from fractalrenderer_tpu.ops import perturbation as pert
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+
+    cx, cy, zoom = "-0.743643887037151", "0.13182590420533", "1e-9"
+    W, H, MI, bits = 10, 6, 180, 128
+    orb = orbit.compute_orbit(cx, cy, bits, MI + 1)
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              zoom_dd=dd_from_string(zoom), max_iter=MI,
+              float_continuation=False, dd_delta=True, rebase=True,
+              aa_spp=2)
+    f_smem = pert.perturbation_fields(orb, W, H, **kw)
+    old_cap = pert.MAX_ORBIT_SMEM
+    pert.MAX_ORBIT_SMEM = 64
+    try:
+        f_hbm = pert.perturbation_fields(orb, W, H, **kw)
+    finally:
+        pert.MAX_ORBIT_SMEM = old_cap
+    assert np.asarray(f_smem["n"]).shape == (4, H, W)
+    np.testing.assert_array_equal(np.asarray(f_smem["n"]),
+                                  np.asarray(f_hbm["n"]))
