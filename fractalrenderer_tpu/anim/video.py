@@ -22,6 +22,9 @@ class VideoCodec(enum.Enum):
     VP9 = "vp9"
     PRORES = "prores"
     AV1 = "av1"
+    # Beyond the reference: lossless PNG-in-MOV muxed in pure Python —
+    # the one codec that needs NO external binary (anim/qtpng.py)
+    QTPNG = "qtpng"
 
 
 class VideoQuality(enum.Enum):
@@ -146,8 +149,10 @@ class VideoEncoder:
                settings: VideoEncodeSettings) -> bool:
         """video_encoder.cpp:226-358."""
         self.progress = EncodeProgress(encoding=True)
-        if not ffmpeg_available():
-            self.progress.error = "FFmpeg not found in PATH"
+        if settings.codec != VideoCodec.QTPNG and not ffmpeg_available():
+            self.progress.error = ("FFmpeg not found in PATH (use codec "
+                                   "'qtpng' for the built-in lossless "
+                                   "PNG-in-MOV muxer)")
             self.progress.finished = True
             return False
 
@@ -158,6 +163,9 @@ class VideoEncoder:
             self.progress.finished = True
             return False
         self.progress.total_frames = len(frames)
+
+        if settings.codec == VideoCodec.QTPNG:
+            return self._encode_qtpng(frames_folder, frames, settings)
 
         cmd = build_ffmpeg_command(frames_folder, settings)
         try:
@@ -199,6 +207,44 @@ class VideoEncoder:
 
         if self.progress.success and settings.cleanup_frames:
             for f in frames:  # video_encoder.cpp:323-331
+                try:
+                    os.remove(os.path.join(frames_folder, f))
+                except OSError:
+                    pass
+        return self.progress.success
+
+    def _encode_qtpng(self, frames_folder: str, frames: List[str],
+                      settings: VideoEncodeSettings) -> bool:
+        """Built-in lossless path: mux the PNG frames into a QuickTime
+        .mov with the 'png ' codec (anim/qtpng.py) — no subprocess."""
+        from . import qtpng
+
+        out = settings.output_filename
+        if not out.lower().endswith(".mov"):
+            out = os.path.splitext(out)[0] + ".mov"
+            settings.output_filename = out
+        try:
+            paths = [os.path.join(frames_folder, f) for f in frames]
+
+            def tick(k):
+                self.progress.current_frame = k
+                self.progress.progress = k / max(len(frames), 1)
+                if self.on_progress:
+                    self.on_progress(self.progress)
+
+            tick(0)
+            info = qtpng.write_mov(out, paths, settings.fps)
+            tick(len(frames))
+        except (OSError, ValueError) as e:
+            self.progress.error = str(e)
+            self.progress.finished = True
+            self.progress.encoding = False
+            return False
+        self.progress.encoding = False
+        self.progress.finished = True
+        self.progress.success = info["frames"] == len(frames)
+        if self.progress.success and settings.cleanup_frames:
+            for f in frames:
                 try:
                     os.remove(os.path.join(frames_folder, f))
                 except OSError:

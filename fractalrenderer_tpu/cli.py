@@ -543,7 +543,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode", action="store_true")
     p.add_argument("--video-out", default=None)
     p.add_argument("--codec", default="h264",
-                   choices=["h264", "h265", "vp9", "prores", "av1"])
+                   choices=["h264", "h265", "vp9", "prores", "av1", "qtpng"])
     p.add_argument("--quality", default="high",
                    choices=["draft", "good", "high", "lossless"])
     p.add_argument("--crf", type=int, default=18)
@@ -554,7 +554,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("frames_dir")
     p.add_argument("--out", default="animation.mp4")
     p.add_argument("--codec", default="h264",
-                   choices=["h264", "h265", "vp9", "prores", "av1"])
+                   choices=["h264", "h265", "vp9", "prores", "av1", "qtpng"])
     p.add_argument("--quality", default="high",
                    choices=["draft", "good", "high", "lossless"])
     p.add_argument("--fps", type=int, default=60)

@@ -76,3 +76,37 @@ def test_real_encoder_frame_count(tmp_path):
             ["ffmpeg", "-v", "error", "-i", out, "-f", "null", "-"],
             capture_output=True, text=True, timeout=120)
         assert dec.returncode == 0, dec.stderr
+
+
+def test_real_ffmpeg_decodes_qtpng_mov(tmp_path):
+    """Cross-validate the pure-Python PNG-in-MOV muxer against a real
+    decoder: ffmpeg must read every frame back losslessly."""
+    import numpy as np
+
+    from fractalrenderer_tpu.anim import qtpng
+    from fractalrenderer_tpu.utils.png import write_png
+
+    frames = tmp_path / "f"
+    frames.mkdir()
+    n = 6
+    rng = np.random.default_rng(11)
+    paths = []
+    for k in range(n):
+        p = str(frames / f"frame_{k:06d}.png")
+        write_png(p, rng.random((24, 32, 3)).astype(np.float32))
+        paths.append(p)
+    out = str(tmp_path / "clip.mov")
+    qtpng.write_mov(out, paths, fps=30)
+    dec = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", out, "-f", "null", "-"],
+        capture_output=True, text=True, timeout=120)
+    assert dec.returncode == 0, dec.stderr
+    if shutil.which("ffprobe"):
+        probe = subprocess.run(
+            ["ffprobe", "-v", "error", "-count_frames",
+             "-select_streams", "v:0", "-show_entries",
+             "stream=nb_read_frames,codec_name", "-of", "csv=p=0", out],
+            capture_output=True, text=True, timeout=120)
+        assert probe.returncode == 0, probe.stderr
+        assert "png" in probe.stdout
+        assert str(n) in probe.stdout
