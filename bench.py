@@ -20,7 +20,31 @@ import jax
 import jax.numpy as jnp
 
 
+def _install_watchdog(seconds: int = 1800) -> None:
+    """The tunneled device can wedge (every execution blocks forever at
+    the value fetch); emit a failure record instead of hanging the
+    driver.  30 min covers the worst observed cold-compile total."""
+    import os
+    import signal
+
+    def bail(signum, frame):
+        print(json.dumps({
+            "metric": "mandelbrot_1080p_256iter_render", "value": 0.0,
+            "unit": "Mpix/s/chip", "vs_baseline": 0.0,
+            "error": f"device unresponsive for {seconds}s "
+                     "(watchdog; see BENCH history for real numbers)"}),
+            flush=True)
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, bail)
+        signal.alarm(seconds)
+    except (ValueError, OSError):
+        pass  # non-main thread / platform without SIGALRM
+
+
 def main() -> None:
+    _install_watchdog()
     from fractalrenderer_tpu.models import common
     from fractalrenderer_tpu.scene import Scene
 
