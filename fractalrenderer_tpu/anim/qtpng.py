@@ -70,6 +70,12 @@ def write_mov(out_path: str, frame_paths: List[str], fps: float) -> dict:
         sizes.append(sz)
         offsets.append(pos)
         pos += sz
+    if pos >= 1 << 32:
+        # stco offsets and the mdat size field are 32-bit in this writer
+        raise ValueError(
+            f"muxed output would be {pos / 2**30:.1f} GiB — past the "
+            "32-bit stco/mdat limit; encode fewer frames per file or use "
+            "an ffmpeg codec")
 
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, _TIMESCALE, duration)
@@ -90,7 +96,7 @@ def write_mov(out_path: str, frame_paths: List[str], fps: float) -> dict:
         ">IIIIHH", 0, 0, _TIMESCALE, duration, 0x55C4, 0))  # lang 'und'
     hdlr = _full(b"hdlr", 0, 0,
                  b"mhlr" + b"vide" + b"\x00" * 12
-                 + b"\x0bVideoTrack")          # pascal-string name
+                 + b"\x0aVideoTrack")          # pascal-string name (10 ch)
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
                  + _full(b"alis", 0, 1, b""))  # self-contained

@@ -11,6 +11,7 @@ import enum
 import os
 import re
 import shutil
+import struct
 import subprocess
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional
@@ -235,7 +236,7 @@ class VideoEncoder:
             tick(0)
             info = qtpng.write_mov(out, paths, settings.fps)
             tick(len(frames))
-        except (OSError, ValueError) as e:
+        except (OSError, ValueError, struct.error) as e:
             self.progress.error = str(e)
             self.progress.finished = True
             self.progress.encoding = False

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from fractions import Fraction
 from typing import Optional, Tuple, Union
 
@@ -25,40 +23,25 @@ import numpy as np
 
 from .hp import HPFloat
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "liborbit.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
-
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Build (once) and load the native orbit library; None on failure."""
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            # make is a freshness no-op when the .so is current, and
-            # rebuilds it after any orbit.cpp change
-            subprocess.run(["make", "-C", _NATIVE_DIR],
-                           check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB_PATH)
-            u64p = ctypes.POINTER(ctypes.c_uint64)
-            f64p = ctypes.POINTER(ctypes.c_double)
-            lib.orbit_compute_kind2.restype = ctypes.c_long
-            lib.orbit_compute_kind2.argtypes = [
-                u64p, ctypes.c_int, u64p, ctypes.c_int,
-                u64p, ctypes.c_int, u64p, ctypes.c_int,
-                u64p, ctypes.c_int, u64p, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
-                f64p, f64p, ctypes.c_int, ctypes.c_int,
-            ]
-            _lib = lib
-        except Exception:
-            _lib_failed = True
-        return _lib
+    """Load the native orbit library via the shared builder; None on
+    failure (callers fall back to the pure-Python bignum engine)."""
+    from ..utils.native_build import load_native_lib
+
+    def configure(lib):
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.orbit_compute_kind2.restype = ctypes.c_long
+        lib.orbit_compute_kind2.argtypes = [
+            u64p, ctypes.c_int, u64p, ctypes.c_int,
+            u64p, ctypes.c_int, u64p, ctypes.c_int,
+            u64p, ctypes.c_int, u64p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
+            f64p, f64p, ctypes.c_int, ctypes.c_int,
+        ]
+
+    return load_native_lib("liborbit", configure)
 
 
 def _to_limbs(value: Union[str, float, HPFloat], frac_bits: int,

@@ -20,7 +20,7 @@ Hotkey map (every binding in input_handler.h:165-248 mapped or N/A'd):
                    reference's 60 fps frame loop
   r                reset view (:167)
   Tab              next fractal type (:170)
-  s                screenshot -> screenshot_NNN.png (:176)
+  S                screenshot -> screenshot_NNN.png (:176; lowercase s pans)
   Space            toggle status bar (:179 toggled the ImGui UI)
   h                help overlay (:182)
   f                fullscreen: render at the full terminal size (:185)
@@ -128,8 +128,13 @@ def parse_input(buf: bytes) -> Tuple[List[Event], bytes]:
                 btn, cx, cy = (int(p) for p in body[1:].split(";"))
             except ValueError:
                 continue
-            if btn in (64, 65):
-                kind = "wheelup" if btn == 64 else "wheeldown"
+            if btn & 64 and not (btn & 32):
+                # wheel: bit 6 set; shift/meta/ctrl add 4/8/16 — mask the
+                # low 2 bits for direction; 2/3 = horizontal wheel (ignore)
+                sub = btn & 3
+                if sub > 1:
+                    continue
+                kind = "wheelup" if sub == 0 else "wheeldown"
             elif btn & 32:
                 kind = "motion"
             else:
@@ -253,7 +258,10 @@ class LiveSession:
         elif key == "tab":
             idx = _TYPES.index(s.fractal_type)
             self.scene = s.with_(fractal_type=_TYPES[(idx + 1) % len(_TYPES)])
-        elif key == "s":
+        elif key == "S":
+            # the reference's SDLK_s fires screenshot AND pan-down on the
+            # same press (input_handler.h:176 + :224) — a quirk we split:
+            # lowercase pans (held), uppercase takes the screenshot
             self.message = self.screenshot()
         elif key == " ":
             self.show_status = not self.show_status
@@ -334,9 +342,8 @@ class LiveSession:
             elif self.width and self.height:
                 aspect = self.width / self.height
                 # screen up = +imag (the display flips the render)
-                self.scene = s.with_(
-                    center_x=s.center_x - dx / self.width * s.zoom * aspect,
-                    center_y=s.center_y + dy / self.height * s.zoom)
+                self.scene = self._pan(s, -dx / self.width * aspect,
+                                       dy / self.height)
         elif kind == "release":
             self._dragging = False
 
@@ -351,6 +358,16 @@ class LiveSession:
             self.scene = s.zoom_to_point(px, py, self.width, self.height,
                                          zoom_in=zoom_in)
 
+    @staticmethod
+    def _pan(s: Scene, vx: float, vy: float) -> Scene:
+        """Pan by view-relative offsets; deep-zoom scenes route through
+        the exact-rational hp camera (a float center shift is a silent
+        no-op there — rendering reads hp_center_* when set)."""
+        if s.fractal_type == FractalType.DEEP_ZOOM:
+            return s.hp_panned(vx, vy)
+        return s.with_(center_x=s.center_x + s.zoom * vx,
+                       center_y=s.center_y + s.zoom * vy)
+
     # -- per-frame update -------------------------------------------------
     def tick(self, now: float, dt: float) -> None:
         """Continuous input + animations for one frame (the reference's
@@ -361,19 +378,19 @@ class LiveSession:
             del self.held[k]
         s = self.scene
         if self.held:
-            pan = s.zoom * dt * 2.0  # input_handler.h:214
+            vstep = dt * 2.0  # pan = zoom * dt * 2 (input_handler.h:214)
             aspect = self.width / self.height if self.height else 1.0
-            dx = dy = 0.0
+            vx = vy = 0.0
             if "w" in self.held or "up" in self.held:
-                dy += pan  # screen up = +imag in our display orientation
+                vy += vstep  # screen up = +imag in our display orientation
             if "s" in self.held or "down" in self.held:
-                dy -= pan
+                vy -= vstep
             if "a" in self.held or "left" in self.held:
-                dx -= pan * aspect
+                vx -= vstep * aspect
             if "d" in self.held or "right" in self.held:
-                dx += pan * aspect
-            if dx or dy:
-                s = s.with_(center_x=s.center_x + dx, center_y=s.center_y + dy)
+                vx += vstep * aspect
+            if vx or vy:
+                s = self._pan(s, vx, vy)
             zin = "e" in self.held
             zout = "q" in self.held
             if zin != zout:
@@ -471,7 +488,7 @@ class LiveSession:
     HELP = (
         " w a s d / arrows  pan (hold)      q / e  zoom out / in (hold)  ",
         " mouse: wheel zoom, drag pan, dbl-click zoom in, right zoom out ",
-        " r reset   Tab type   s screenshot   f fullscreen   m minimap   ",
+        " r reset   Tab type   S screenshot   f fullscreen   m minimap   ",
         " [ ] iterations   1-6 palette   z/x/c deep-zoom presets         ",
         " o auto-rotate (bulb)   Space status   : command   Esc quit     ",
         " :scene save FILE / :scene load FILE persist the session        ",

@@ -248,6 +248,23 @@ class Scene:
                                _auto_iterations_wheel(zf if zf > 0
                                                       else 0.0)))
 
+    def hp_panned(self, vx: float, vy: float) -> "Scene":
+        """Exact-rational pan by VIEW-relative offsets (center +=
+        zoom * v) — the deep-zoom-safe variant of a float center shift;
+        at depths below f64 range the float zoom is 0 and a plain
+        center_x += pan silently stops moving."""
+        from fractions import Fraction
+
+        cx, cy, zm = self._hp_coords_frac()
+        cx += zm * Fraction(repr(float(vx)))
+        cy += zm * Fraction(repr(float(vy)))
+        digs = self._hp_digits(zm)
+        fx, fy = float(cx), float(cy)
+        return self.with_(
+            hp_center_x=self._frac_str(cx, digs),
+            hp_center_y=self._frac_str(cy, digs),
+            center_x=fx, center_y=fy)
+
     def hp_zoom_to_point(self, px: float, py: float, width: int,
                          height: int, zoom_in: bool) -> "Scene":
         """Zoom keeping the world point under (px, py) fixed, in exact

@@ -201,43 +201,21 @@ def write_png(path: str, image: np.ndarray, bit_depth: int = 8,
             w.write_rows(image)
 
 
-_pngfilter_lib = None
-_pngfilter_failed = False
-_pngfilter_lock = None
-
-
 def _load_pngfilter():
-    """Build (once, via make) and load native/libpngfilter.so; None when
-    the toolchain is unavailable — callers fall back to NumPy loops."""
-    global _pngfilter_lib, _pngfilter_failed, _pngfilter_lock
-    if _pngfilter_lib is not None or _pngfilter_failed:
-        return _pngfilter_lib
-    import threading
-    if _pngfilter_lock is None:
-        _pngfilter_lock = threading.Lock()
-    with _pngfilter_lock:
-        if _pngfilter_lib is not None or _pngfilter_failed:
-            return _pngfilter_lib
-        try:
-            import ctypes
-            import os
-            import subprocess
+    """Load native/libpngfilter.so via the shared loader; None when the
+    toolchain is unavailable — callers fall back to NumPy loops."""
+    import ctypes
 
-            native_dir = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))), "native")
-            subprocess.run(["make", "-C", native_dir], check=True,
-                           capture_output=True, timeout=120)
-            lib = ctypes.CDLL(os.path.join(native_dir, "build",
-                                           "libpngfilter.so"))
-            u8p = ctypes.POINTER(ctypes.c_uint8)
-            lib.png_unfilter.restype = ctypes.c_int
-            lib.png_unfilter.argtypes = [u8p, ctypes.c_int64, u8p,
-                                         ctypes.c_int64, ctypes.c_int64,
-                                         ctypes.c_int]
-            _pngfilter_lib = lib
-        except Exception:
-            _pngfilter_failed = True
-        return _pngfilter_lib
+    from .native_build import load_native_lib
+
+    def configure(lib):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.png_unfilter.restype = ctypes.c_int
+        lib.png_unfilter.argtypes = [u8p, ctypes.c_int64, u8p,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int]
+
+    return load_native_lib("libpngfilter", configure)
 
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:

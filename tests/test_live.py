@@ -357,3 +357,47 @@ def test_deep_zoom_dispatch_reuses_orbit_cache():
     assert s.scene.max_iterations == 2048
     img2 = s.dispatch()
     assert img2 is not None and len(s._orbit_cache) == 1  # orbit reused
+
+
+def test_parse_wheel_with_modifier_bits():
+    """Shift/ctrl-modified wheel events are still wheels, not clicks;
+    horizontal wheel is ignored (review finding)."""
+    ev, _ = parse_input(b"\x1b[<68;3;3M\x1b[<69;3;3M\x1b[<80;3;3M"
+                        b"\x1b[<66;3;3M\x1b[<67;3;3M")
+    kinds = [e[4] for e in ev]
+    assert kinds == ["wheelup", "wheeldown", "wheelup"]
+
+
+def test_screenshot_is_uppercase_s(monkeypatch):
+    """'S' screenshots; lowercase 's' pans (the reference fires both off
+    one key — a quirk we split)."""
+    s = _sess()
+    called = []
+    monkeypatch.setattr(LiveSession, "screenshot",
+                        lambda self: called.append(1) or "saved x")
+    s.handle_event(("key", "s"), 0.0)
+    assert not called and "s" in s.held
+    s.handle_event(("key", "S"), 0.0)
+    assert called == [1]
+
+
+def test_deep_zoom_pan_moves_hp_center():
+    """Held-key pan on a deep-zoom scene moves the hp camera (a float
+    center shift is invisible to the renderer there — review finding)."""
+    from fractions import Fraction
+
+    s = LiveSession(Scene(fractal_type=FractalType.DEEP_ZOOM,
+                          hp_center_x="-0.5", hp_center_y="0",
+                          hp_zoom="1e-20", max_iterations=64,
+                          use_perturbation=True), cols=40, rows=10)
+    cx0 = Fraction(s.scene.hp_center_x)
+    s.handle_event(("key", "d"), 0.0)
+    s.tick(0.01, 0.016)
+    cx1 = Fraction(s.scene.hp_center_x)
+    aspect = s.width / s.height
+    expect = Fraction("1e-20") * Fraction(repr(float(0.016 * 2.0 * aspect)))
+    assert cx1 - cx0 == expect
+    # mouse drag too
+    s.handle_event(("mouse", 0, 10, 5, "press"), 1.0)
+    s.handle_event(("mouse", 0, 12, 5, "motion"), 1.1)
+    assert Fraction(s.scene.hp_center_x) != cx1

@@ -125,8 +125,7 @@ def test_unfilter_python_fallback_matches_native(rng, monkeypatch):
     rows = rng.integers(0, 256, (H, W * bpp), dtype=np.uint8)
     raw = _forward_filter(rows, bpp, [4, 3, 1, 2, 0])
     native = png._unfilter(raw, H, W * bpp, bpp)
-    monkeypatch.setattr(png, "_pngfilter_lib", None)
-    monkeypatch.setattr(png, "_pngfilter_failed", True)
+    monkeypatch.setattr(png, "_load_pngfilter", lambda: None)
     fallback = png._unfilter(raw, H, W * bpp, bpp)
     np.testing.assert_array_equal(native, rows)
     np.testing.assert_array_equal(fallback, rows)

@@ -128,3 +128,12 @@ def test_qtpng_rejects_garbage(tmp_path):
         codec=video.VideoCodec.QTPNG,
         output_filename=str(tmp_path / "o.mov")))
     assert not ok and "No frames" in enc.progress.error
+
+
+def test_mov_rejects_over_4gib(tmp_path, monkeypatch):
+    """stco/mdat are 32-bit in this writer; past 4 GiB the muxer raises
+    a clear ValueError (caught by the encoder) instead of struct.error."""
+    paths = _frames(tmp_path / "f", n=2)
+    monkeypatch.setattr(os.path, "getsize", lambda p: 3 << 30)
+    with pytest.raises(ValueError, match="GiB"):
+        qtpng.write_mov(str(tmp_path / "big.mov"), paths, 30)
