@@ -121,6 +121,9 @@ class Viewer:
                 self.scene = s.with_(max_iterations=int(args[0]))
             elif cmd == "aa":
                 self.scene = s.with_(antialiasing_samples=int(args[0]))
+            elif cmd == "spp":
+                # deep-zoom samples/pixel axis (device-batched stacking)
+                self.scene = s.with_(samples_per_pixel=int(args[0]))
             elif cmd == "e":
                 self.scene = s.with_(orbit_trap_enabled=not s.orbit_trap_enabled)
             elif cmd == "stripes":
