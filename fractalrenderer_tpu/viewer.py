@@ -17,6 +17,9 @@ character cell) and exposes the reference's interaction vocabulary
   p N            palette; i N iterations; aa N; e toggle effects
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
   scene save F / scene load F   persist / restore the session Scene (JSON)
+  key add [T] / key list / key del N / key clear   capture keyframes from
+                 the current view (the reference's timeline UI semantics)
+  anim save F / anim load F / anim fps N / anim info   session animation
   q              quit
 
 For the LIVE raw-terminal loop (continuous held-key pan/zoom, mouse,
@@ -70,6 +73,14 @@ class Viewer:
         tw, th = shutil.get_terminal_size((100, 40))
         self.width = cols or min(tw, 140)
         self.height = (rows or min(th - 4, 44)) * 2  # half blocks
+        self._session_anim = None  # lazy: interactive keyframe capture
+
+    def _anim(self):
+        if self._session_anim is None:
+            from .anim.keyframes import Animation
+
+            self._session_anim = Animation(name="session")
+        return self._session_anim
 
     # -- command handlers --------------------------------------------------
     def handle(self, line: str) -> Optional[str]:
@@ -136,6 +147,61 @@ class Viewer:
                 cr, ci = presets.JULIA_PRESETS[" ".join(args)]
                 self.scene = s.with_(fractal_type=FractalType.JULIA,
                                      julia_c_real=cr, julia_c_imag=ci)
+            elif cmd == "key":
+                # interactive keyframe capture — the reference's animation
+                # timeline semantics (ui_manager.cpp:760-1220: capture
+                # keyframe from the current view, list, delete) as
+                # commands; 'anim save FILE' writes the .franim
+                sub = args[0].lower() if args else "list"
+                anim = self._anim()
+                if sub == "add":
+                    t = (float(args[1]) if len(args) > 1 else
+                         (anim.keyframes[-1].time + 2.0 if anim.keyframes
+                          else 0.0))
+                    anim.add_keyframe(t, s)
+                    return (f"keyframe {len(anim.keyframes) - 1} at "
+                            f"t={t:g}s (zoom={s.zoom:.3g})")
+                if sub == "del":
+                    anim.remove_keyframe(int(args[1]))
+                    return f"{len(anim.keyframes)} keyframes"
+                if sub == "clear":
+                    anim.clear_keyframes()
+                    return "keyframes cleared"
+                if sub == "list":
+                    if not anim.keyframes:
+                        return "no keyframes (key add [T] captures the view)"
+                    return "\n".join(
+                        f"  [{i}] t={k.time:g}s {k.scene.fractal_type.name} "
+                        f"zoom={k.scene.zoom:.3g} "
+                        f"center=({k.scene.center_x:.6g}, "
+                        f"{k.scene.center_y:.6g})"
+                        for i, k in enumerate(anim.keyframes))
+                return f"unknown key subcommand {sub!r}"
+            elif cmd == "anim":
+                from .anim import franim
+
+                sub = args[0].lower()
+                anim = self._anim()
+                if sub == "save":
+                    if not anim.keyframes:
+                        return "no keyframes to save"
+                    franim.save(anim, args[1])
+                    return (f"{len(anim.keyframes)} keyframes, "
+                            f"{anim.duration:g}s -> {args[1]} "
+                            f"(render: cli animate --franim {args[1]})")
+                if sub == "load":
+                    self._session_anim = franim.load(args[1])
+                    return (f"loaded {len(self._session_anim.keyframes)} "
+                            f"keyframes, {self._session_anim.duration:g}s")
+                if sub == "fps":
+                    anim.target_fps = int(args[1])
+                    return f"fps={anim.target_fps}"
+                if sub == "info":
+                    return (f"{len(anim.keyframes)} keyframes, "
+                            f"duration={anim.duration:g}s, "
+                            f"fps={anim.target_fps}, "
+                            f"{anim.export_width}x{anim.export_height}")
+                return f"unknown anim subcommand {sub!r}"
             elif cmd == "scene":
                 # in-session state persistence (the reference resumes via
                 # imgui.ini + clipboard coords; we persist the Scene JSON)

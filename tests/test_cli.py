@@ -280,3 +280,37 @@ def test_viewer_screen_y_conventions():
     v = Viewer(Scene(max_iterations=16, zoom=2.0), cols=24, rows=8)
     v.handle("click 12 0")  # top row of the displayed image
     assert v.scene.center_y > 0.0
+
+
+def test_viewer_keyframe_capture_workflow(tmp_path):
+    """The reference's timeline UI semantics (capture keyframe from the
+    current view, list, delete, save .franim — ui_manager.cpp:760-1220)
+    as REPL commands shared by the REPL and the live ':' line."""
+    from fractalrenderer_tpu.anim import franim
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer()
+    assert "no keyframes" in v.handle("key list")
+    assert "t=0s" in v.handle("key add")
+    v.handle("+")                       # zoom, then capture again
+    msg = v.handle("key add")
+    assert "keyframe 1" in msg and "t=2s" in msg
+    v.handle("key add 5.5")
+    lst = v.handle("key list")
+    assert lst.count("[") == 3 and "t=5.5s" in lst
+    v.handle("key del 2")
+    assert v.handle("key list").count("[") == 2
+    assert "fps=30" in v.handle("anim fps 30")
+
+    path = str(tmp_path / "session.franim")
+    msg = v.handle(f"anim save {path}")
+    assert "2 keyframes" in msg
+    anim = franim.load(path)
+    assert len(anim.keyframes) == 2
+    assert anim.target_fps == 30
+    # the captured zooms differ (first at 2.5, second after one zoom-in)
+    assert anim.keyframes[0].scene.zoom != anim.keyframes[1].scene.zoom
+
+    v2 = Viewer()
+    assert "2 keyframes" in v2.handle(f"anim load {path}")
+    assert "fps=30" in v2.handle("anim info")
