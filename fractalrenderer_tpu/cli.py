@@ -323,7 +323,8 @@ def cmd_encode(args) -> int:
     if not ok:
         print(f"encode failed: {enc.progress.error}", file=sys.stderr)
         return 1
-    print(f"Encoded -> {args.out}")
+    # qtpng corrects the extension to .mov in settings
+    print(f"Encoded -> {settings.output_filename}")
     return 0
 
 
