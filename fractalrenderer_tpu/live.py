@@ -189,6 +189,10 @@ class LiveSession:
         # command-line mode: None = off; a string = the line being typed
         self.cmdline: Optional[str] = None
         self.redraw = True  # recompose overlays without re-rendering
+        # timeline playback (the reference's AnimationSystem::play —
+        # animation_system.cpp:40-80): scene follows interpolate(t)
+        self.playing = False
+        self.play_t = 0.0
 
     # -- geometry ---------------------------------------------------------
     @property
@@ -243,6 +247,12 @@ class LiveSession:
                 self.cmdline += " "
             elif len(key) == 1:
                 self.cmdline += key
+            return
+        if self.playing:
+            # any keystroke stops playback and hands control back (the
+            # reference stops via the timeline UI; a live key is ours)
+            self.playing = False
+            self.message = "playback stopped"
             return
         s = self.scene
         deep = s.fractal_type == FractalType.DEEP_ZOOM
@@ -407,6 +417,14 @@ class LiveSession:
         if self.spin and s.fractal_type == FractalType.MANDELBULB:
             self.scene = self.scene.with_(
                 rotation_y=self.scene.rotation_y + _ROTATION_SPEED * dt)
+        if self.playing:
+            anim = self.viewer._anim()
+            self.play_t += dt
+            if self.play_t >= anim.duration and not anim.loop:
+                self.play_t = anim.duration
+                self.playing = False
+                self.message = "playback done"
+            self.scene = anim.interpolate(self.play_t)
 
     # -- output -----------------------------------------------------------
     def dispatch(self):
@@ -464,6 +482,23 @@ class LiveSession:
 
     def command(self, line: str) -> None:
         """Run one `:`-prefixed command through the REPL vocabulary."""
+        parts = line.strip().split()
+        if parts[:2] == ["anim", "play"]:
+            anim = self.viewer._anim()
+            if len(anim.keyframes) < 2:
+                self.message = "need >= 2 keyframes to play (key add)"
+            else:
+                self.playing = True
+                self.play_t = float(parts[2]) if len(parts) > 2 else 0.0
+                self.message = (f"playing {anim.duration:g}s "
+                                "(any key stops)")
+            self.dirty = True
+            return
+        if parts[:2] == ["anim", "stop"]:
+            self.playing = False
+            self.message = "playback stopped"
+            self.dirty = True
+            return
         msg = self.viewer.handle(line)
         if msg is None:
             self.running = False
@@ -621,7 +656,7 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
             for ev in ui.poll(timeout):
                 sess.handle_event(ev, time.perf_counter())
             sess.tick(time.perf_counter(), dt)
-            animating = bool(sess.held) or (
+            animating = bool(sess.held) or sess.playing or (
                 sess.spin
                 and sess.scene.fractal_type == FractalType.MANDELBULB)
             # FRAME_OVERLAP=2: while frame n is on the device, frame n+1

@@ -401,3 +401,31 @@ def test_deep_zoom_pan_moves_hp_center():
     s.handle_event(("mouse", 0, 10, 5, "press"), 1.0)
     s.handle_event(("mouse", 0, 12, 5, "motion"), 1.1)
     assert Fraction(s.scene.hp_center_x) != cx1
+
+
+def test_anim_playback_in_live_session():
+    """':anim play' follows the session timeline (AnimationSystem::play,
+    animation_system.cpp:40-80); any keystroke stops it."""
+    s = _sess()
+    s.command("key add 0")
+    s.command("anim play")
+    assert not s.playing and "need" in s.message  # 1 keyframe: refuses
+    s.handle_event(("key", "e"), 0.0)
+    s.tick(0.01, 1 / 60)
+    s.held.clear()
+    s.command("key add 4")
+    s.command("anim play")
+    assert s.playing and s.play_t == 0.0
+    z0 = s.scene.zoom
+    s.tick(0.1, 2.0)  # halfway
+    assert s.playing and s.scene.zoom != z0
+    zmid = s.scene.zoom
+    for _ in range(40):  # dt clamps at 0.25 s; walk past the 5 s end
+        s.tick(0.2, 0.25)
+    assert not s.playing and "done" in s.message
+    assert s.scene.zoom != zmid
+    # keystroke stops playback
+    s.command("anim play")
+    assert s.playing
+    s.handle_event(("key", "w"), 1.0)
+    assert not s.playing and not s.held
