@@ -516,6 +516,9 @@ class LiveSession:
                  f"{self.stats.ms:.1f} ms/frame"]
         if self.spin:
             parts.append("spin")
+        if self.playing:
+            dur = self.viewer._anim().duration
+            parts.append(f"play {self.play_t:.1f}/{dur:g}s")
         if self.message:
             parts.append("| " + self.message)
         return "  ".join(parts)
