@@ -68,6 +68,12 @@ SCENES = {
         hp_center_x="-1.7623025", hp_center_y="-0.028000625",
         hp_zoom="1e-10", max_iterations=1500, use_perturbation=True,
         palette_mode=3),
+    # floatexp (ARBITRARY) tier for a beyond-reference family: the ship
+    # antenna tip at 1e-40 — twenty decades past the old family gates
+    "deep_ship_floatexp_1e40": fr.Scene(
+        fractal_type=fr.FractalType.DEEP_ZOOM, deep_zoom_ship=True,
+        hp_center_x="-2", hp_center_y="0", hp_zoom="1e-40",
+        max_iterations=600, use_perturbation=True, palette_mode=6),
 }
 
 
