@@ -530,6 +530,7 @@ class LiveSession:
         " [ ] iterations   1-6 palette   z/x/c deep-zoom presets         ",
         " o auto-rotate (bulb)   Space status   : command   Esc quit     ",
         " :scene save FILE / :scene load FILE persist the session        ",
+        " :key add  :anim save F  :anim play   capture + play keyframes  ",
     )
 
 
