@@ -196,11 +196,32 @@ class Viewer:
                 if sub == "fps":
                     anim.target_fps = int(args[1])
                     return f"fps={anim.target_fps}"
+                if sub == "dur":
+                    anim.duration = float(args[1])
+                    return f"duration={anim.duration:g}s"
                 if sub == "info":
                     return (f"{len(anim.keyframes)} keyframes, "
                             f"duration={anim.duration:g}s, "
                             f"fps={anim.target_fps}, "
                             f"{anim.export_width}x{anim.export_height}")
+                if sub == "render":
+                    # the timeline's export button (ui_manager.cpp:
+                    # 1040-1136): render the session animation to PNG
+                    # frames; size defaults to the view
+                    from .anim.renderer import AnimationRenderer
+
+                    if len(anim.keyframes) < 2:
+                        return "need >= 2 keyframes to render"
+                    out_dir = args[1]
+                    w = int(args[2]) if len(args) > 2 else self.width
+                    h = int(args[3]) if len(args) > 3 else self.height
+                    r = AnimationRenderer()
+                    ok = r.start_render(anim, out_dir, w, h)
+                    if not ok:
+                        return f"render failed: {r.progress.status.name}"
+                    return (f"{anim.total_frames} frames ({w}x{h}) -> "
+                            f"{out_dir} (encode: cli encode {out_dir} "
+                            f"--codec qtpng)")
                 return f"unknown anim subcommand {sub!r}"
             elif cmd == "scene":
                 # in-session state persistence (the reference resumes via

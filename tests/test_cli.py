@@ -314,3 +314,30 @@ def test_viewer_keyframe_capture_workflow(tmp_path):
     v2 = Viewer()
     assert "2 keyframes" in v2.handle(f"anim load {path}")
     assert "fps=30" in v2.handle("anim info")
+
+
+def test_viewer_anim_render_from_session(tmp_path):
+    """':anim render DIR [W H]' — the timeline's export button: render
+    the captured keyframes to frames, encodable with the built-in
+    qtpng codec."""
+    from fractalrenderer_tpu.anim import video
+    from fractalrenderer_tpu.utils.png import read_png
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer()
+    v.scene = v.scene.with_(max_iterations=24)
+    v.handle("key add 0")
+    v.handle("+")
+    v.handle("key add 0.05")
+    v.handle("anim fps 40")
+    v.handle("anim dur 0.05")  # 0.05s * 40 fps = 2 frames
+    out = str(tmp_path / "fr")
+    msg = v.handle(f"anim render {out} 32 16")
+    assert "-> " in msg and "2 frames" in msg
+    files = sorted(os.listdir(out))
+    assert files == ["frame_000000.png", "frame_000001.png"]
+    assert read_png(os.path.join(out, files[0])).shape == (16, 32, 3)
+    enc = video.VideoEncoder()
+    assert enc.encode(out, video.VideoEncodeSettings(
+        output_filename=str(tmp_path / "clip.mov"),
+        codec=video.VideoCodec.QTPNG, fps=40))
