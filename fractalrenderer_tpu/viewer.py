@@ -19,7 +19,8 @@ character cell) and exposes the reference's interaction vocabulary
   scene save F / scene load F   persist / restore the session Scene (JSON)
   key add [T] / key list / key del N / key clear   capture keyframes from
                  the current view (the reference's timeline UI semantics)
-  anim save F / anim load F / anim fps N / anim info   session animation
+  anim save/load F, fps N, dur S, info, render DIR [W H]   session
+                 animation export; ':anim play' (live mode) plays it
   q              quit
 
 For the LIVE raw-terminal loop (continuous held-key pan/zoom, mouse,
