@@ -200,6 +200,9 @@ class Viewer:
                 if sub == "dur":
                     anim.duration = float(args[1])
                     return f"duration={anim.duration:g}s"
+                if sub in ("play", "stop"):
+                    return ("playback runs in the live viewer "
+                            "(cli interactive on a TTY)")
                 if sub == "info":
                     return (f"{len(anim.keyframes)} keyframes, "
                             f"duration={anim.duration:g}s, "
