@@ -140,3 +140,25 @@ def test_hp_camera_from_float_scene():
     z = s.hp_zoomed(True)
     assert z.hp_zoom is not None and float(z.hp_zoom) > 0
     assert z.zoom == float(z.hp_zoom)
+
+
+def test_hp_panned_exact_and_below_f64_range():
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="-0.5",
+              hp_center_y="0.25", hp_zoom="1e-30")
+    p = s.hp_panned(0.5, -0.25)
+    assert (Fraction(p.hp_center_x) - Fraction("-0.5")
+            == Fraction("1e-30") * Fraction("0.5"))
+    assert (Fraction(p.hp_center_y) - Fraction("0.25")
+            == Fraction("1e-30") * Fraction("-0.25"))
+    # float mirrors track for the status line
+    assert p.center_x == float(Fraction(p.hp_center_x))
+    # below f64's range the exact pan still moves the center
+    deep = Scene(fractal_type=FractalType.DEEP_ZOOM, hp_center_x="0",
+                 hp_center_y="0", hp_zoom="1e-400")
+    d = deep.hp_panned(1.0, 0.0)
+    assert Fraction(d.hp_center_x) == Fraction("1e-400")
+    assert Fraction(d.hp_center_x) != 0
