@@ -21,13 +21,22 @@ import jax.numpy as jnp
 
 
 def _install_watchdog(seconds: int = 1800) -> None:
-    """The tunneled device can wedge (every execution blocks forever at
-    the value fetch); emit a failure record instead of hanging the
-    driver.  30 min covers the worst observed cold-compile total."""
-    import os
-    import signal
+    """The tunneled device can wedge (client creation or any execution
+    blocks forever inside a PJRT C call); emit a failure record instead
+    of hanging the driver.  30 min covers the worst observed
+    cold-compile total.
 
-    def bail(signum, frame):
+    Must NOT rely on signals: the main thread is stuck in C and never
+    re-enters the interpreter, so a Python SIGALRM handler would never
+    run (observed during the 2026-08-17 outage).  A daemon thread works
+    whenever the blocked call releases the GIL (PJRT calls do); a
+    faulthandler timer backstops the GIL-held case (its watchdog thread
+    is pure C and exits without needing the interpreter at all)."""
+    import faulthandler
+    import os
+    import threading
+
+    def bail():
         print(json.dumps({
             "metric": "mandelbrot_1080p_256iter_render", "value": 0.0,
             "unit": "Mpix/s/chip", "vs_baseline": 0.0,
@@ -36,11 +45,13 @@ def _install_watchdog(seconds: int = 1800) -> None:
             flush=True)
         os._exit(3)
 
-    try:
-        signal.signal(signal.SIGALRM, bail)
-        signal.alarm(seconds)
-    except (ValueError, OSError):
-        pass  # non-main thread / platform without SIGALRM
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    try:  # GIL-held backstop: C-level exit, 60 s after the JSON path
+        faulthandler.dump_traceback_later(seconds + 60, exit=True)
+    except (ValueError, OSError, RuntimeError):
+        pass
 
 
 def main() -> None:

@@ -73,7 +73,7 @@ SCENES = {
     "deep_ship_floatexp_1e40": fr.Scene(
         fractal_type=fr.FractalType.DEEP_ZOOM, deep_zoom_ship=True,
         hp_center_x="-2", hp_center_y="0", hp_zoom="1e-40",
-        max_iterations=600, use_perturbation=True, palette_mode=6),
+        max_iterations=600, use_perturbation=True, palette_mode=2),
 }
 
 

@@ -190,9 +190,23 @@ class LiveSession:
         self.cmdline: Optional[str] = None
         self.redraw = True  # recompose overlays without re-rendering
         # timeline playback (the reference's AnimationSystem::play —
-        # animation_system.cpp:40-80): scene follows interpolate(t)
-        self.playing = False
-        self.play_t = 0.0
+        # animation_system.cpp:40-80): scene follows a keyframes.Playback
+        # clock (None = not playing), which owns end-of-timeline and
+        # loop-wrap semantics
+        self.playback = None
+
+    # -- playback ---------------------------------------------------------
+    @property
+    def playing(self) -> bool:
+        return self.playback is not None and self.playback.playing
+
+    @property
+    def play_t(self) -> float:
+        return self.playback.current_time if self.playback else 0.0
+
+    def _stop_playback(self, message: str) -> None:
+        self.playback = None
+        self.message = message
 
     # -- geometry ---------------------------------------------------------
     @property
@@ -228,6 +242,13 @@ class LiveSession:
         if ev[0] == "key":
             self._handle_key(ev[1], now)
         else:
+            if self.playing and self.cmdline is None:
+                # mouse input hands control back too (same contract as a
+                # keystroke — otherwise a wheel/drag fights the timeline,
+                # its scene change overwritten by the next tick)
+                self._stop_playback("playback stopped")
+                self.redraw = True
+                return
             self._handle_mouse(ev, now)
 
     def _handle_key(self, key: str, now: float) -> None:
@@ -251,8 +272,7 @@ class LiveSession:
         if self.playing:
             # any keystroke stops playback and hands control back (the
             # reference stops via the timeline UI; a live key is ours)
-            self.playing = False
-            self.message = "playback stopped"
+            self._stop_playback("playback stopped")
             return
         s = self.scene
         deep = s.fractal_type == FractalType.DEEP_ZOOM
@@ -417,14 +437,12 @@ class LiveSession:
         if self.spin and s.fractal_type == FractalType.MANDELBULB:
             self.scene = self.scene.with_(
                 rotation_y=self.scene.rotation_y + _ROTATION_SPEED * dt)
-        if self.playing:
-            anim = self.viewer._anim()
-            self.play_t += dt
-            if self.play_t >= anim.duration and not anim.loop:
-                self.play_t = anim.duration
-                self.playing = False
-                self.message = "playback done"
-            self.scene = anim.interpolate(self.play_t)
+        if self.playback is not None:
+            frame = self.playback.update(dt)
+            if frame is not None:
+                self.scene = frame
+            if not self.playback.playing:  # non-loop timeline ended
+                self._stop_playback("playback done")
 
     # -- output -----------------------------------------------------------
     def dispatch(self):
@@ -484,19 +502,27 @@ class LiveSession:
         """Run one `:`-prefixed command through the REPL vocabulary."""
         parts = line.strip().split()
         if parts[:2] == ["anim", "play"]:
+            from .anim.keyframes import Playback
+
             anim = self.viewer._anim()
             if len(anim.keyframes) < 2:
                 self.message = "need >= 2 keyframes to play (key add)"
             else:
-                self.playing = True
-                self.play_t = float(parts[2]) if len(parts) > 2 else 0.0
+                try:
+                    t0 = float(parts[2]) if len(parts) > 2 else 0.0
+                except ValueError:
+                    self.message = f"bad start time: {parts[2]!r}"
+                    self.dirty = True
+                    return
+                self.playback = Playback(anim)
+                self.playback.play()
+                self.playback.seek(t0)
                 self.message = (f"playing {anim.duration:g}s "
                                 "(any key stops)")
             self.dirty = True
             return
         if parts[:2] == ["anim", "stop"]:
-            self.playing = False
-            self.message = "playback stopped"
+            self._stop_playback("playback stopped")
             self.dirty = True
             return
         msg = self.viewer.handle(line)
@@ -517,7 +543,7 @@ class LiveSession:
         if self.spin:
             parts.append("spin")
         if self.playing:
-            dur = self.viewer._anim().duration
+            dur = self.playback.animation.duration
             parts.append(f"play {self.play_t:.1f}/{dur:g}s")
         if self.message:
             parts.append("| " + self.message)

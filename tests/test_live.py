@@ -429,3 +429,30 @@ def test_anim_playback_in_live_session():
     assert s.playing
     s.handle_event(("key", "w"), 1.0)
     assert not s.playing and not s.held
+
+
+def test_anim_playback_loop_mouse_and_bad_time():
+    """Looping timelines wrap (keyframes.Playback semantics), mouse input
+    stops playback like a keystroke, and a non-numeric start time is a
+    message, not a crash."""
+    s = _sess()
+    s.command("key add 0")
+    s.handle_event(("key", "e"), 0.0)
+    s.tick(0.01, 1 / 60)
+    s.held.clear()
+    s.command("key add 4")
+    # non-numeric seek: friendly message, session intact
+    s.command("anim play now")
+    assert not s.playing and "bad start time" in s.message
+    # loop=True wraps instead of freezing at the end
+    s.viewer._anim().loop = True
+    s.command("anim play")
+    for _ in range(40):  # 10 s of 0.25 s ticks over a 5 s timeline
+        s.tick(0.2, 0.25)
+    assert s.playing  # still looping
+    assert 0.0 <= s.play_t <= s.playback.animation.duration
+    # mouse input hands control back, and the event is swallowed
+    z = s.scene.zoom
+    s.handle_event(("mouse", 64, 10, 5, "press"), 1.0)  # wheel up
+    assert not s.playing and "stopped" in s.message
+    assert s.scene.zoom == z
