@@ -19,7 +19,7 @@ character cell) and exposes the reference's interaction vocabulary
   scene save F / scene load F   persist / restore the session Scene (JSON)
   key add [T] / key list / key del N / key clear   capture keyframes from
                  the current view (the reference's timeline UI semantics)
-  anim save/load F, fps N, dur S, info, render DIR [W H]   session
+  anim save/load F, fps N, dur S, loop, info, render DIR [W H]   session
                  animation export; ':anim play' (live mode) plays it
   q              quit
 
@@ -200,6 +200,11 @@ class Viewer:
                 if sub == "dur":
                     anim.duration = float(args[1])
                     return f"duration={anim.duration:g}s"
+                if sub == "loop":
+                    # the timeline's loop checkbox (ui_manager.cpp:828):
+                    # live ':anim play' wraps instead of stopping
+                    anim.loop = not anim.loop
+                    return f"loop {'on' if anim.loop else 'off'}"
                 if sub in ("play", "stop"):
                     return ("playback runs in the live viewer "
                             "(cli interactive on a TTY)")

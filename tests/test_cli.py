@@ -301,6 +301,9 @@ def test_viewer_keyframe_capture_workflow(tmp_path):
     v.handle("key del 2")
     assert v.handle("key list").count("[") == 2
     assert "fps=30" in v.handle("anim fps 30")
+    assert "loop on" in v.handle("anim loop")
+    assert v._anim().loop
+    assert "loop off" in v.handle("anim loop")
 
     path = str(tmp_path / "session.franim")
     msg = v.handle(f"anim save {path}")
