@@ -438,11 +438,11 @@ class LiveSession:
             self.scene = self.scene.with_(
                 rotation_y=self.scene.rotation_y + _ROTATION_SPEED * dt)
         if self.playback is not None:
-            frame = self.playback.update(dt)
+            frame = self.playback.update(dt)  # None while paused
             if frame is not None:
                 self.scene = frame
-            if not self.playback.playing:  # non-loop timeline ended
-                self._stop_playback("playback done")
+                if not self.playback.playing:  # non-loop timeline ended
+                    self._stop_playback("playback done")
 
     # -- output -----------------------------------------------------------
     def dispatch(self):
@@ -507,6 +507,12 @@ class LiveSession:
             anim = self.viewer._anim()
             if len(anim.keyframes) < 2:
                 self.message = "need >= 2 keyframes to play (key add)"
+            elif (len(parts) == 2 and self.playback is not None
+                    and not self.playback.playing):
+                # bare play after pause resumes (the timeline's ▶/⏸
+                # toggle, ui_manager.cpp:817-834)
+                self.playback.play()
+                self.message = f"resumed at {self.playback.current_time:.1f}s"
             else:
                 try:
                     t0 = float(parts[2]) if len(parts) > 2 else 0.0
@@ -519,6 +525,15 @@ class LiveSession:
                 self.playback.seek(t0)
                 self.message = (f"playing {anim.duration:g}s "
                                 "(any key stops)")
+            self.dirty = True
+            return
+        if parts[:2] == ["anim", "pause"]:
+            if self.playback is not None and self.playback.playing:
+                self.playback.pause()
+                self.message = (f"paused at {self.playback.current_time:.1f}s"
+                                " (:anim play resumes)")
+            else:
+                self.message = "nothing playing"
             self.dirty = True
             return
         if parts[:2] == ["anim", "stop"]:
@@ -545,6 +560,8 @@ class LiveSession:
         if self.playing:
             dur = self.playback.animation.duration
             parts.append(f"play {self.play_t:.1f}/{dur:g}s")
+        elif self.playback is not None:
+            parts.append(f"paused {self.play_t:.1f}s")
         if self.message:
             parts.append("| " + self.message)
         return "  ".join(parts)

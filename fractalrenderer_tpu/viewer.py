@@ -17,10 +17,12 @@ character cell) and exposes the reference's interaction vocabulary
   p N            palette; i N iterations; aa N; e toggle effects
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
   scene save F / scene load F   persist / restore the session Scene (JSON)
-  key add [T] / key list / key del N / key clear   capture keyframes from
-                 the current view (the reference's timeline UI semantics)
+  key add [T] / key list / key del N / key update N / key jump N /
+                 key clear   capture keyframes from the current view
+                 (the reference's timeline UI incl. its context menu)
   anim save/load F, fps N, dur S, loop, info, render DIR [W H]   session
-                 animation export; ':anim play' (live mode) plays it
+                 animation export; ':anim play/pause/stop' (live mode)
+                 plays it
   q              quit
 
 For the LIVE raw-terminal loop (continuous held-key pan/zoom, mouse,
@@ -165,6 +167,23 @@ class Viewer:
                 if sub == "del":
                     anim.remove_keyframe(int(args[1]))
                     return f"{len(anim.keyframes)} keyframes"
+                if sub == "update":
+                    # context menu "Update with current view"
+                    # (ui_manager.cpp:987-993)
+                    i = int(args[1])
+                    if not 0 <= i < len(anim.keyframes):
+                        return f"no keyframe {i}"
+                    anim.update_keyframe(i, s)
+                    return f"keyframe {i} updated (zoom={s.zoom:.3g})"
+                if sub == "jump":
+                    # context menu "Jump to this keyframe"
+                    # (ui_manager.cpp:981-985): view snaps to its scene
+                    i = int(args[1])
+                    if not 0 <= i < len(anim.keyframes):
+                        return f"no keyframe {i}"
+                    self.scene = anim.keyframes[i].scene
+                    return (f"jumped to keyframe {i} "
+                            f"(t={anim.keyframes[i].time:g}s)")
                 if sub == "clear":
                     anim.clear_keyframes()
                     return "keyframes cleared"

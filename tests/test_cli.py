@@ -344,3 +344,25 @@ def test_viewer_anim_render_from_session(tmp_path):
     assert enc.encode(out, video.VideoEncodeSettings(
         output_filename=str(tmp_path / "clip.mov"),
         codec=video.VideoCodec.QTPNG, fps=40))
+
+
+def test_keyframe_update_jump_commands():
+    """'key update N' / 'key jump N' — the timeline context menu's
+    "Update with current view" / "Jump to this keyframe"
+    (ui_manager.cpp:981-993)."""
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer(cols=24, rows=12)
+    v.handle("key add 0")
+    v.handle("+")
+    v.handle("key add 4")
+    z1 = v._anim().keyframes[1].scene.zoom
+    v.handle("+")                        # zoom further, then overwrite kf 1
+    assert "updated" in v.handle("key update 1")
+    assert v._anim().keyframes[1].scene.zoom != z1
+    assert v._anim().keyframes[1].time == 4.0   # time preserved
+    # jump restores the view of keyframe 0
+    assert "jumped" in v.handle("key jump 0")
+    assert v.scene.zoom == v._anim().keyframes[0].scene.zoom
+    assert "no keyframe 7" in v.handle("key jump 7")
+    assert "no keyframe 7" in v.handle("key update 7")

@@ -456,3 +456,33 @@ def test_anim_playback_loop_mouse_and_bad_time():
     s.handle_event(("mouse", 64, 10, 5, "press"), 1.0)  # wheel up
     assert not s.playing and "stopped" in s.message
     assert s.scene.zoom == z
+
+
+def test_anim_pause_resume():
+    """':anim pause' keeps the clock; bare ':anim play' resumes from it
+    (the timeline's play/pause toggle, ui_manager.cpp:817-834)."""
+    s = _sess()
+    s.command("key add 0")
+    s.handle_event(("key", "e"), 0.0)
+    s.tick(0.01, 1 / 60)
+    s.held.clear()
+    s.command("key add 4")
+    s.command("anim pause")
+    assert "nothing playing" in s.message
+    s.command("anim play")
+    for _ in range(10):                  # dt clamps; walk the clock to 2 s
+        s.tick(0.1, 0.2)
+    s.command("anim pause")
+    assert not s.playing and "paused at 2.0" in s.message
+    t_paused = s.play_t
+    z = s.scene.zoom
+    s.tick(0.2, 0.5)                     # paused: clock and scene hold
+    assert s.play_t == t_paused and s.scene.zoom == z
+    assert "paused" in s.status_line()
+    s.handle_event(("key", "]"), 1.0)    # hotkeys work while paused
+    assert s.playback is not None
+    s.command("anim play")
+    assert s.playing and "resumed at 2.0" in s.message
+    for _ in range(40):  # default 10 s timeline from t=2
+        s.tick(0.2, 0.25)
+    assert not s.playing and s.playback is None and "done" in s.message
