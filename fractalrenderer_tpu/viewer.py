@@ -14,7 +14,8 @@ character cell) and exposes the reference's interaction vocabulary
   w/a/s/d        pan (w = up on screen; zoom-proportional step,
                  input_handler.h:211-248)
   tab / type T   cycle / set fractal type
-  p N            palette; i N iterations; aa N; e toggle effects
+  p N            palette; i N|auto iterations; aa N; e toggle effects;
+                 enhance reset|brightness/saturation/contrast V; coords
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
   scene save F / scene load F   persist / restore the session Scene (JSON)
   key add [T] / key list / key del N / key update N / key jump N /
@@ -132,6 +133,14 @@ class Viewer:
             elif cmd == "p":
                 self.scene = s.with_(palette_mode=int(args[0]))
             elif cmd == "i":
+                if args and args[0].lower() == "auto":
+                    # the iterations slider's "Auto" button
+                    # (ui_manager.cpp:447-451): pick from the zoom ladder
+                    from .scene import _auto_iterations_wheel
+
+                    self.scene = s.with_(
+                        max_iterations=_auto_iterations_wheel(s.zoom))
+                    return f"iterations={self.scene.max_iterations} (auto)"
                 self.scene = s.with_(max_iterations=int(args[0]))
             elif cmd == "aa":
                 self.scene = s.with_(antialiasing_samples=int(args[0]))
@@ -140,6 +149,21 @@ class Viewer:
                 self.scene = s.with_(samples_per_pixel=int(args[0]))
             elif cmd == "e":
                 self.scene = s.with_(orbit_trap_enabled=not s.orbit_trap_enabled)
+            elif cmd == "enhance":
+                # "Reset Enhancement" (ui_manager.cpp:517-522) or set one
+                # of the three color sliders: enhance reset |
+                # enhance brightness/saturation/contrast V
+                if args and args[0] == "reset":
+                    self.scene = s.with_(color_brightness=1.0,
+                                         color_saturation=1.0,
+                                         color_contrast=1.0)
+                    return "enhancement reset"
+                field = {"brightness": "color_brightness",
+                         "saturation": "color_saturation",
+                         "contrast": "color_contrast"}.get(args[0])
+                if field is None:
+                    return f"unknown enhance field {args[0]!r}"
+                self.scene = s.with_(**{field: float(args[1])})
             elif cmd == "stripes":
                 self.scene = s.with_(stripe_enabled=not s.stripe_enabled)
             elif cmd in ("r", "reset"):
@@ -275,6 +299,13 @@ class Viewer:
             elif cmd in ("m", "minimap"):
                 return self.minimap()
             elif cmd == "coords":
+                # "Copy Coordinates" (ui_manager.cpp:671-675): hp strings
+                # win when present — past ~1e-16 the f64 round-trip would
+                # not reproduce the view
+                if (s.fractal_type == FractalType.DEEP_ZOOM
+                        and s.hp_center_x is not None):
+                    return (f"center=({s.hp_center_x}, {s.hp_center_y}) "
+                            f"zoom={s.hp_zoom} iters={s.max_iterations}")
                 return (f"center=({s.center_x!r}, {s.center_y!r}) "
                         f"zoom={s.zoom!r} iters={s.max_iterations}")
             elif cmd in ("h", "help", "?"):

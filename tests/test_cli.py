@@ -366,3 +366,32 @@ def test_keyframe_update_jump_commands():
     assert v.scene.zoom == v._anim().keyframes[0].scene.zoom
     assert "no keyframe 7" in v.handle("key jump 7")
     assert "no keyframe 7" in v.handle("key update 7")
+
+
+def test_auto_iterations_enhance_and_hp_coords():
+    """'i auto' (the slider's Auto button), 'enhance reset' and slider
+    sets (ui_manager.cpp:447-451, 517-522), and hp-string 'coords' for
+    deep zoom (the Copy Coordinates export)."""
+    from fractalrenderer_tpu.viewer import Viewer
+    from fractalrenderer_tpu.scene import Scene, FractalType
+
+    v = Viewer(Scene(zoom=1e-5, max_iterations=64), cols=16, rows=8)
+    assert "auto" in v.handle("i auto")
+    auto_iters = v.scene.max_iterations
+    assert auto_iters > 64  # deep view raises the ladder
+    assert v.scene.zoom == 1e-5  # unlike the reference's zoom-in/out trick
+
+    v.handle("enhance brightness 1.5")
+    v.handle("enhance contrast 0.8")
+    assert v.scene.color_brightness == 1.5 and v.scene.color_contrast == 0.8
+    assert "unknown" in v.handle("enhance gamma 2")
+    assert "reset" in v.handle("enhance reset")
+    assert (v.scene.color_brightness, v.scene.color_saturation,
+            v.scene.color_contrast) == (1.0, 1.0, 1.0)
+
+    d = Viewer(Scene(fractal_type=FractalType.DEEP_ZOOM,
+                     hp_center_x="-0.74364388703715158",
+                     hp_center_y="0.13182590420531198",
+                     hp_zoom="1e-32"), cols=16, rows=8)
+    msg = d.handle("coords")
+    assert "-0.74364388703715158" in msg and "1e-32" in msg
