@@ -37,12 +37,27 @@ def _install_watchdog(seconds: int = 1800) -> None:
     import threading
 
     def bail():
-        print(json.dumps({
+        rec = {
             "metric": "mandelbrot_1080p_256iter_render", "value": 0.0,
             "unit": "Mpix/s/chip", "vs_baseline": 0.0,
             "error": f"device unresponsive for {seconds}s "
-                     "(watchdog; see BENCH history for real numbers)"}),
-            flush=True)
+                     "(watchdog; see BENCH history for real numbers)"}
+        try:  # context for the reader: the last recorded healthy run
+            import glob
+            import re
+            prior = sorted(glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_r*.json")))
+            for path in reversed(prior):
+                last = json.load(open(path)).get("parsed") or {}
+                if last.get("value"):
+                    rec["last_good"] = {
+                        "round": int(re.search(r"r(\d+)", path).group(1)),
+                        "value": last["value"], "unit": last.get("unit")}
+                    break
+        except Exception:
+            pass
+        print(json.dumps(rec), flush=True)
         os._exit(3)
 
     t = threading.Timer(seconds, bail)
