@@ -32,6 +32,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
     def configure(lib):
         u64p = ctypes.POINTER(ctypes.c_uint64)
         f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
         lib.orbit_compute_kind2.restype = ctypes.c_long
         lib.orbit_compute_kind2.argtypes = [
             u64p, ctypes.c_int, u64p, ctypes.c_int,
@@ -39,6 +40,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
             u64p, ctypes.c_int, u64p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
             f64p, f64p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.orbit_compute_kind2_fx.restype = ctypes.c_long
+        lib.orbit_compute_kind2_fx.argtypes = [
+            u64p, ctypes.c_int, u64p, ctypes.c_int,
+            u64p, ctypes.c_int, u64p, ctypes.c_int,
+            u64p, ctypes.c_int, u64p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
+            f64p, f64p, i32p, i32p, ctypes.c_int, ctypes.c_int,
         ]
 
     return load_native_lib("liborbit", configure)
@@ -71,7 +80,7 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
                          z0y: Union[str, float, HPFloat, None] = None,
                          emit_rel: bool = False,
                          kind: int = 0, pp: float = 0.0,
-                         rr: float = 0.0) -> np.ndarray:
+                         rr: float = 0.0, emit_fx: bool = False):
     """Pure-Python bignum fallback — bit-identical to the native path: each
     product is truncated toward zero after the fixed-point shift (Python's
     ``>>`` floors negatives toward -inf, so the cross term shifts the
@@ -93,6 +102,7 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
     ppm, rrm = to_man(float(pp)), to_man(float(rr))
     przr = przi = 0  # phoenix z_{n-1}
     out = np.empty((max_iter, 2), np.float64)
+    exps = np.zeros((max_iter, 2), np.int32) if emit_fx else None
     stored = 0
     import math
 
@@ -113,10 +123,34 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
             d += math.ldexp((m >> ((n - 3) * 64)) & mask, exp_msl - 128)
         return sign * d
 
+    def to_fx(man: int):
+        # Mirror native/orbit.cpp to_double_fx exactly: frexp-style
+        # (mantissa, exponent) with |mantissa| in [0.5, 1) summed from the
+        # top three limbs BIT-aligned to the magnitude's leading bit, so
+        # drift values beyond f64's range keep full relative precision.
+        if man == 0:
+            return 0.0, 0
+        sign = -1.0 if man < 0 else 1.0
+        m = abs(man)
+        magbits = m.bit_length()
+        n = (magbits + 63) // 64
+        top_bits = magbits - (n - 1) * 64
+        mask = 0xFFFFFFFFFFFFFFFF
+        d = math.ldexp((m >> ((n - 1) * 64)) & mask, -top_bits)
+        if n >= 2:
+            d += math.ldexp((m >> ((n - 2) * 64)) & mask, -top_bits - 64)
+        if n >= 3:
+            d += math.ldexp((m >> ((n - 3) * 64)) & mask, -top_bits - 128)
+        return sign * d, magbits - bits
+
     for i in range(max_iter):
         dre = to_f64(zr)
         dim = to_f64(zi)
-        if emit_rel:
+        if emit_fx:
+            mre, mim = (zr - z0r, zi - z0i) if emit_rel else (zr, zi)
+            out[i, 0], exps[i, 0] = to_fx(mre)
+            out[i, 1], exps[i, 1] = to_fx(mim)
+        elif emit_rel:
             out[i] = (to_f64(zr - z0r), to_f64(zi - z0i))
         else:
             out[i] = (dre, dim)
@@ -138,6 +172,8 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
             nzi += tm(ppm, zi) + tm(rrm, przi)
             przr, przi = zr, zi
         zr, zi = nzr, nzi
+    if emit_fx:
+        return out[:stored], exps[:stored]
     return out[:stored]
 
 
@@ -149,7 +185,8 @@ def compute_orbit(cx: Union[str, float, HPFloat],
                   z0x: Union[str, float, HPFloat, None] = None,
                   z0y: Union[str, float, HPFloat, None] = None,
                   emit_rel: bool = False, kind: int = 0,
-                  pp: float = 0.0, rr: float = 0.0) -> np.ndarray:
+                  pp: float = 0.0, rr: float = 0.0,
+                  emit_fx: bool = False):
     """Returns an (L, 2) float64 array of the orbit z <- z^2 + c from z0
     (default 0 — the Mandelbrot critical orbit; Julia references pass the
     view center), trimmed at escape (L <= max_iter).
@@ -157,6 +194,11 @@ def compute_orbit(cx: Union[str, float, HPFloat],
     ``emit_rel=True`` emits the DRIFT D_i = z_i - z0 instead of z_i,
     computed in fixed point so tiny drifts near a periodic start survive
     the f64 conversion (deep-Julia kernels reconstruct Z = Z0 + D).
+    ``emit_fx=True`` returns a pair (mantissas (L, 2) f64, exponents
+    (L, 2) i32) with each entry = m * 2^e and |m| in [0.5, 1) — full
+    53-bit relative precision at ANY magnitude, where the plain f64
+    emission flushes drifts below ~1e-308 to subnormals/zero (this is
+    what floored the deep-zoom julia tier at ~1e-290).
     ``kind``: 0 = z^2+c; 1 = Burning Ship ((|x|+i|y|)^2 + c);
     2 = Phoenix (z^2 + c + pp*z_n + rr*z_{n-1}, carried z_{n-1})."""
     precision_bits = max(64, int(precision_bits))
@@ -165,7 +207,7 @@ def compute_orbit(cx: Union[str, float, HPFloat],
         return compute_orbit_python(cx, cy, precision_bits, max_iter,
                                     escape_mag_sq, z0x=z0x, z0y=z0y,
                                     emit_rel=emit_rel, kind=kind,
-                                    pp=pp, rr=rr)
+                                    pp=pp, rr=rr, emit_fx=emit_fx)
     # 8 integer bits of headroom (|z| <= 2 pre-escape, c within ±2)
     frac_bits = precision_bits
     n_limbs = (frac_bits + 8 + 63) // 64
@@ -184,6 +226,20 @@ def compute_orbit(cx: Union[str, float, HPFloat],
     out_im = np.empty(max_iter, np.float64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     f64p = ctypes.POINTER(ctypes.c_double)
+    if emit_fx:
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        exp_re = np.zeros(max_iter, np.int32)
+        exp_im = np.zeros(max_iter, np.int32)
+        n = lib.orbit_compute_kind2_fx(
+            cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
+            zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,
+            pp_l.ctypes.data_as(u64p), spp, rr_l.ctypes.data_as(u64p), srr,
+            n_limbs, frac_bits, max_iter, escape_mag_sq,
+            out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
+            exp_re.ctypes.data_as(i32p), exp_im.ctypes.data_as(i32p),
+            1 if emit_rel else 0, int(kind))
+        return (np.stack([out_re[:n], out_im[:n]], axis=1),
+                np.stack([exp_re[:n], exp_im[:n]], axis=1))
     n = lib.orbit_compute_kind2(
         cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
         zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,

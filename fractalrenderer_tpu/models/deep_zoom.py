@@ -122,7 +122,8 @@ def render_fields(scene: Scene, width: int, height: int,
     # Every family reaches the floatexp (ARBITRARY) tier: Mandelbrot and
     # Phoenix via scaled deltas over absolute dd orbit tables, Burning
     # Ship via floatexp diffabs, Julia via per-entry floatexp drift
-    # tables (floor ~1e-290 — the f64 drift-emission range).
+    # tables emitted as mantissa+exponent straight from the bignum engine
+    # (compute_orbit emit_fx) — no depth floor for any family.
     if julia:
         assert rebasing, "deep-zoom julia requires the rebasing pipeline"
     if ship:
@@ -157,16 +158,21 @@ def render_fields(scene: Scene, width: int, height: int,
         key = (_ckey(ocx), _ckey(ocy), bits, max_iter, julia, jc if julia
                else None, ship, phoenix,
                (float(scene.phoenix_p), float(scene.phoenix_r))
-               if phoenix else None)
+               if phoenix else None,
+               scaled if julia else None)  # drift emission format
         if orbit_cache is not None and key in orbit_cache:
             return orbit_cache[key]
         if julia:
             # julia reference: z0 = the point itself, c = the shared julia
             # constant; the table holds the drift D = Z - Z0 so tiny
-            # excursions near periodic points keep full precision
+            # excursions near periodic points keep full precision.  At the
+            # scaled (ARBITRARY) tier the drift is emitted as floatexp
+            # (mantissa, exponent) pairs straight from fixed point, so no
+            # zoom depth can underflow it.
             o = orbit_mod.compute_orbit(jc[0], jc[1], bits, max_iter + 1,
                                         force_python=force_python_orbit,
-                                        z0x=ocx, z0y=ocy, emit_rel=True)
+                                        z0x=ocx, z0y=ocy, emit_rel=True,
+                                        emit_fx=scaled)
         else:
             o = orbit_mod.compute_orbit(
                 ocx, ocy, bits, max_iter + 1,
@@ -185,6 +191,8 @@ def render_fields(scene: Scene, width: int, height: int,
         # shift = (scene center - ref), exactly like a secondary reference.
         rcx_s, rcy_s = ref_center
         orbit = cached_orbit(rcx_s, rcy_s)
+        orbit, orbit_exp = orbit if isinstance(orbit, tuple) else (orbit,
+                                                                   None)
         center_x_dd = dd_from_string(rcx_s)
         center_y_dd = dd_from_string(rcy_s)
         sx_s = (HPFloat(str(cx), hp_bits)
@@ -197,6 +205,8 @@ def render_fields(scene: Scene, width: int, height: int,
         orbit_center = (rcx_s, rcy_s)
     else:
         orbit = cached_orbit(cx, cy)
+        orbit, orbit_exp = orbit if isinstance(orbit, tuple) else (orbit,
+                                                                   None)
         orbit_center = (cx, cy)
 
     series = None
@@ -233,6 +243,7 @@ def render_fields(scene: Scene, width: int, height: int,
         julia_z0=((float(Fraction(str(orbit_center[0]))),
                    float(Fraction(str(orbit_center[1]))))
                   if julia else None),
+        **({"orbit_exp": orbit_exp} if orbit_exp is not None else {}),
         **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])

@@ -1280,9 +1280,16 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         phoenix_p: float = 0.0, phoenix_r: float = 0.0,
                         interpret: Optional[bool] = None,
                         aa_spp: int = 1,
+                        orbit_exp: Optional[np.ndarray] = None,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
     ((L, 2) float64 from deepzoom.orbit).  Returns n/zx/zy/glitch fields.
+
+    ``orbit_exp`` (julia + scaled_delta only): per-entry binary exponents
+    for a floatexp-emitted drift table (compute_orbit(emit_fx=True) —
+    ``orbit`` then holds frexp mantissas).  Lifts the ~1e-290 f64
+    drift-emission floor: the exponent stream carries magnitudes f64
+    cannot represent.
 
     ``ref_shift_*`` is (scene_center - orbit_center) as dd, used when
     re-rendering glitched pixels against a secondary reference.
@@ -1349,13 +1356,15 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         zoom_fr = Fraction(zoom_frac)
     else:
         zoom_fr = Fraction(zoom_dd[0]) + Fraction(zoom_dd[1])
-    if julia and scaled_delta and 0 < zoom_fr < Fraction(1, 10 ** 290):
-        # the drift tables are emitted through f64 (deepzoom/orbit.py
-        # emit_rel) whose range ends near 1e-308; drifts at pixel scale
-        # below that collapse to 0 and the floatexp table cannot help
-        raise NotImplementedError(
-            "deep-zoom julia supports zoom >= ~1e-290 (f64 drift-emission "
-            "floor); deeper zooms need a floatexp drift emitter")
+    if julia and scaled_delta and orbit_exp is None \
+            and 0 < zoom_fr < Fraction(1, 10 ** 290):
+        # a plain f64-emitted drift table (compute_orbit emit_rel without
+        # emit_fx) ends near 1e-308; drifts at pixel scale below that
+        # collapse to 0.  The model layer always passes the floatexp
+        # emission (orbit_exp) here — this guards direct callers.
+        raise ValueError(
+            "deep-zoom julia below ~1e-290 needs the floatexp drift "
+            "emission: compute_orbit(emit_fx=True) + orbit_exp=")
     step_fr = zoom_fr * 4 / (step_h * step_h)
     s_exp = 0
     if scaled_delta:
@@ -1408,17 +1417,22 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     orbit_re_ex = np.zeros(1, np.float32)
     orbit_im_ex = np.zeros(1, np.float32)
     if julia_fx:
-        # Per-entry floatexp drift tables: each f64 drift D becomes a dd
+        # Per-entry floatexp drift tables: each drift D becomes a dd
         # mantissa (hi+lo f32) + per-component exponent stream, so drifts
         # at pixel scale (the orbit returning near its start) keep full
-        # relative precision at ANY zoom the f64 emission can reach —
-        # f32-pair tables underflow at 1e-38 and floored the julia tier
-        # at ~1e-25.
-        def fx_streams(vals):
-            m, e = np.frexp(vals)  # D = m * 2^e, |m| in [0.5, 1)
+        # relative precision — f32-pair tables underflow at 1e-38 and
+        # floored the julia tier at ~1e-25.  With orbit_exp (floatexp
+        # emission from the bignum engine) the table is exact at ANY
+        # depth; the frexp fallback covers f64-emitted tables (identical
+        # bits in f64's normal range).
+        def fx_streams(vals, exps=None):
+            if exps is None:
+                m, e = np.frexp(vals)  # D = m * 2^e, |m| in [0.5, 1)
+            else:
+                m, e = vals, exps.astype(np.int64)
             hi = m.astype(np.float32)
             lo = (m - hi.astype(np.float64)).astype(np.float32)
-            ex = np.where(vals == 0.0, float(E_ZERO),
+            ex = np.where(m == 0.0, float(E_ZERO),
                           e.astype(np.float64)).astype(np.float32)
             return hi, lo, ex
 
@@ -1426,10 +1440,13 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         orbit_im_lo = np.zeros(cap, np.float32)
         orbit_re_ex = np.full(cap, float(E_ZERO), np.float32)
         orbit_im_ex = np.full(cap, float(E_ZERO), np.float32)
+        exp_tab = orbit_exp if orbit_exp is not None else None
         (orbit_re[:L], orbit_re_lo[:L],
-         orbit_re_ex[:L]) = fx_streams(orbit[:L, 0])
+         orbit_re_ex[:L]) = fx_streams(
+             orbit[:L, 0], None if exp_tab is None else exp_tab[:L, 0])
         (orbit_im[:L], orbit_im_lo[:L],
-         orbit_im_ex[:L]) = fx_streams(orbit[:L, 1])
+         orbit_im_ex[:L]) = fx_streams(
+             orbit[:L, 1], None if exp_tab is None else exp_tab[:L, 1])
     else:
         orbit_re[:L] = orbit[:L, 0].astype(np.float32)
         orbit_im[:L] = orbit[:L, 1].astype(np.float32)

@@ -143,6 +143,25 @@ double to_double(const Big& a, int frac_bits) {
     return a.sign < 0 ? -d : d;
 }
 
+// Floatexp conversion: value = mantissa * 2^exp with |mantissa| in
+// [0.5, 1) (np.frexp convention).  The exponent is returned separately so
+// magnitudes far outside f64's range (drift entries at zooms beyond
+// ~1e-308) keep their full 53-bit relative precision — to_double would
+// flush them to subnormals or 0.  Identical rounding to to_double in the
+// representable range: the three-limb ldexp sum rounds at the same
+// value-relative position, only the binary exponent is factored out.
+double to_double_fx(const Big& a, int frac_bits, int32_t* exp_out) {
+    if (a.sign == 0) { *exp_out = 0; return 0.0; }
+    size_t n = a.m.size();
+    int top_bits = 64 - __builtin_clzll(a.m[n - 1]);
+    long magbits = (long)(n - 1) * 64 + top_bits;
+    *exp_out = (int32_t)(magbits - frac_bits);
+    double d = std::ldexp((double)a.m[n - 1], -top_bits);
+    if (n >= 2) d += std::ldexp((double)a.m[n - 2], -top_bits - 64);
+    if (n >= 3) d += std::ldexp((double)a.m[n - 3], -top_bits - 128);
+    return a.sign < 0 ? -d : d;
+}
+
 }  // namespace
 
 namespace {
@@ -155,39 +174,22 @@ Big big_from(const u64* limbs, int sign, int n_limbs) {
     return v;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Compute the orbit z <- z^2 + c from an arbitrary start z0 (Julia
-// references start at the view center; Mandelbrot's critical orbit passes
-// z0 = 0), storing z (as doubles) BEFORE each update and stopping when
-// |z|^2 > escape_mag_sq (the escaped z is the last stored entry), exactly
-// like deep_zoom_system.cpp:294-323/391-419.
-//
-// All coordinates are fixed-point magnitudes (little-endian u64 limbs,
-// n_limbs each) with separate signs; value = sign * limbs / 2^frac_bits.
-// Returns the stored orbit length (<= max_iter).
-// emit_rel=1 writes out the DRIFT from the start point, D_i = z_i - z0,
-// instead of z_i — computed in fixed point, so tiny drifts near a
-// periodic start keep full relative precision in the f64 outputs (the
-// julia perturbation kernel reconstructs Z = Z0 + D in double-double).
-// fractal_kind: 0 = z^2 + c (Mandelbrot/Julia); 1 = Burning Ship
-// ((|x|+i|y|)^2 + c, i.e. x' = x^2 - y^2 + cx, y' = 2|x*y| + cy);
-// 2 = Phoenix (z^2 + c + p*z_n + r*z_{n-1}, carried z_{n-1} starts at 0).
-// p/r arrive as fixed-point limbs (pp_limbs/rr_limbs; ignored for kinds
-// 0/1, may be null there) so the host does the one exact float→fixed
-// conversion and both engines share it bit-for-bit.
-long orbit_compute_kind2(const u64* cx_limbs, int sign_x,
-                         const u64* cy_limbs, int sign_y,
-                         const u64* z0x_limbs, int sign_z0x,
-                         const u64* z0y_limbs, int sign_z0y,
-                         const u64* pp_limbs, int sign_pp,
-                         const u64* rr_limbs, int sign_rr,
-                         int n_limbs, int frac_bits,
-                         long max_iter, double escape_mag_sq,
-                         double* out_re, double* out_im, int emit_rel,
-                         int fractal_kind) {
+// Shared orbit loop.  out_exp_re/out_exp_im non-null selects floatexp
+// emission: each stored entry is a frexp-style mantissa in out_re/out_im
+// plus a binary exponent in the int32 streams (value = m * 2^e), so drift
+// magnitudes beyond f64's range survive (see to_double_fx).  Null
+// pointers keep the plain-double emission.
+long orbit_impl(const u64* cx_limbs, int sign_x,
+                const u64* cy_limbs, int sign_y,
+                const u64* z0x_limbs, int sign_z0x,
+                const u64* z0y_limbs, int sign_z0y,
+                const u64* pp_limbs, int sign_pp,
+                const u64* rr_limbs, int sign_rr,
+                int n_limbs, int frac_bits,
+                long max_iter, double escape_mag_sq,
+                double* out_re, double* out_im,
+                int32_t* out_exp_re, int32_t* out_exp_im,
+                int emit_rel, int fractal_kind) {
     Big cx = big_from(cx_limbs, sign_x, n_limbs);
     Big cy = big_from(cy_limbs, sign_y, n_limbs);
     Big zr = big_from(z0x_limbs, sign_z0x, n_limbs);
@@ -212,8 +214,16 @@ long orbit_compute_kind2(const u64* cx_limbs, int sign_x,
         if (emit_rel) {
             add_signed(zr, z0r, t1);  // z - z0 (exact fixed point)
             add_signed(zi, z0i, t2);
-            out_re[i] = to_double(t1, frac_bits);
-            out_im[i] = to_double(t2, frac_bits);
+            if (out_exp_re) {
+                out_re[i] = to_double_fx(t1, frac_bits, &out_exp_re[i]);
+                out_im[i] = to_double_fx(t2, frac_bits, &out_exp_im[i]);
+            } else {
+                out_re[i] = to_double(t1, frac_bits);
+                out_im[i] = to_double(t2, frac_bits);
+            }
+        } else if (out_exp_re) {
+            out_re[i] = to_double_fx(zr, frac_bits, &out_exp_re[i]);
+            out_im[i] = to_double_fx(zi, frac_bits, &out_exp_im[i]);
         } else {
             out_re[i] = dre;
             out_im[i] = dim;
@@ -262,6 +272,72 @@ long orbit_compute_kind2(const u64* cx_limbs, int sign_x,
         zi = ni;
     }
     return stored;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compute the orbit z <- z^2 + c from an arbitrary start z0 (Julia
+// references start at the view center; Mandelbrot's critical orbit passes
+// z0 = 0), storing z (as doubles) BEFORE each update and stopping when
+// |z|^2 > escape_mag_sq (the escaped z is the last stored entry), exactly
+// like deep_zoom_system.cpp:294-323/391-419.
+//
+// All coordinates are fixed-point magnitudes (little-endian u64 limbs,
+// n_limbs each) with separate signs; value = sign * limbs / 2^frac_bits.
+// Returns the stored orbit length (<= max_iter).
+// emit_rel=1 writes out the DRIFT from the start point, D_i = z_i - z0,
+// instead of z_i — computed in fixed point, so tiny drifts near a
+// periodic start keep full relative precision in the f64 outputs (the
+// julia perturbation kernel reconstructs Z = Z0 + D in double-double).
+// fractal_kind: 0 = z^2 + c (Mandelbrot/Julia); 1 = Burning Ship
+// ((|x|+i|y|)^2 + c, i.e. x' = x^2 - y^2 + cx, y' = 2|x*y| + cy);
+// 2 = Phoenix (z^2 + c + p*z_n + r*z_{n-1}, carried z_{n-1} starts at 0).
+// p/r arrive as fixed-point limbs (pp_limbs/rr_limbs; ignored for kinds
+// 0/1, may be null there) so the host does the one exact float→fixed
+// conversion and both engines share it bit-for-bit.
+long orbit_compute_kind2(const u64* cx_limbs, int sign_x,
+                         const u64* cy_limbs, int sign_y,
+                         const u64* z0x_limbs, int sign_z0x,
+                         const u64* z0y_limbs, int sign_z0y,
+                         const u64* pp_limbs, int sign_pp,
+                         const u64* rr_limbs, int sign_rr,
+                         int n_limbs, int frac_bits,
+                         long max_iter, double escape_mag_sq,
+                         double* out_re, double* out_im, int emit_rel,
+                         int fractal_kind) {
+    return orbit_impl(cx_limbs, sign_x, cy_limbs, sign_y,
+                      z0x_limbs, sign_z0x, z0y_limbs, sign_z0y,
+                      pp_limbs, sign_pp, rr_limbs, sign_rr,
+                      n_limbs, frac_bits, max_iter, escape_mag_sq,
+                      out_re, out_im, nullptr, nullptr,
+                      emit_rel, fractal_kind);
+}
+
+// Floatexp emission: like orbit_compute_kind2, but every stored entry is
+// a frexp-style mantissa (|m| in [0.5, 1), written to out_re/out_im) plus
+// a binary exponent (out_exp_re/out_exp_im, int32) with value = m * 2^e.
+// With emit_rel=1 this keeps drift entries exact at ANY zoom depth — the
+// plain-double emission flushes drifts below ~1e-308 to subnormals/zero,
+// which floored the deep-zoom julia tier at ~1e-290.
+long orbit_compute_kind2_fx(const u64* cx_limbs, int sign_x,
+                            const u64* cy_limbs, int sign_y,
+                            const u64* z0x_limbs, int sign_z0x,
+                            const u64* z0y_limbs, int sign_z0y,
+                            const u64* pp_limbs, int sign_pp,
+                            const u64* rr_limbs, int sign_rr,
+                            int n_limbs, int frac_bits,
+                            long max_iter, double escape_mag_sq,
+                            double* out_re, double* out_im,
+                            int32_t* out_exp_re, int32_t* out_exp_im,
+                            int emit_rel, int fractal_kind) {
+    return orbit_impl(cx_limbs, sign_x, cy_limbs, sign_y,
+                      z0x_limbs, sign_z0x, z0y_limbs, sign_z0y,
+                      pp_limbs, sign_pp, rr_limbs, sign_rr,
+                      n_limbs, frac_bits, max_iter, escape_mag_sq,
+                      out_re, out_im, out_exp_re, out_exp_im,
+                      emit_rel, fractal_kind);
 }
 
 // Backward-compatible entry without Phoenix coefficients (kinds 0/1).

@@ -1005,14 +1005,15 @@ _JZSTAR = (
     "-0.137230514250178732651450854196740117783619435441039716507673181503075677979")
 
 
-def _hp_julia_oracle_counts(zoom, W, H, MI, bits, bail=4.0):
+def _hp_julia_oracle_counts(zoom, W, H, MI, bits, bail=4.0, center=None):
     from fractions import Fraction
 
     from fractalrenderer_tpu.deepzoom.hp import HPFloat
 
+    center = center if center is not None else _JZSTAR
     step = Fraction(zoom) * 4 / (H * H)
-    cxh = HPFloat(_JZSTAR[0], bits)
-    cyh = HPFloat(_JZSTAR[1], bits)
+    cxh = HPFloat(center[0], bits)
+    cyh = HPFloat(center[1], bits)
     bail2 = bail * bail
     n = np.zeros((H, W), np.int64)
     for py in range(H):
@@ -1053,6 +1054,121 @@ def test_deep_julia_matches_exact_oracle(mode_kw, zoom, MI, bits):
     # precision-hypersensitive; everything else must agree exactly
     exact = (n == nref).mean()
     assert exact >= 0.9, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def _julia_fixed_point(digits):
+    """The repelling fixed point z* = (1 + sqrt(1-4c))/2 of z^2+c for
+    c = -0.7+0.27015i, as decimal strings with ``digits`` digits —
+    exact-rational complex Newton for w = sqrt(1-4c) (quadratic
+    convergence from the f64 seed; each step rounded to a dyadic grid a
+    few hundred bits past the target so Fraction sizes stay bounded)."""
+    import cmath
+    from fractions import Fraction
+
+    cr, ci = Fraction(_JC[0]), Fraction(_JC[1])
+    tr, ti = 1 - 4 * cr, -4 * ci
+    w = cmath.sqrt(complex(float(tr), float(ti)))
+    wr, wi = Fraction(w.real), Fraction(w.imag)
+    scale = 1 << (int(digits * 3.33) + 256)
+
+    def rnd(x):
+        return Fraction(round(x * scale), scale)
+
+    for _ in range(16):
+        m2 = wr * wr + wi * wi
+        qr = (tr * wr + ti * wi) / m2  # t / w = t * conj(w) / |w|^2
+        qi = (ti * wr - tr * wi) / m2
+        wr, wi = rnd((wr + qr) / 2), rnd((wi + qi) / 2)
+    zr, zi = (1 + wr) / 2, wi / 2
+    # z* is a fixed point: residual of z^2 + c - z must be at target scale
+    resr = zr * zr - zi * zi + cr - zr
+    resi = 2 * zr * zi + ci - zi
+    assert abs(resr) < Fraction(1, 10 ** (digits - 2))
+    assert abs(resi) < Fraction(1, 10 ** (digits - 2))
+
+    def dec(x):
+        sign = "-" if x < 0 else ""
+        x = abs(x)
+        ip = int(x)
+        fp = int((x - ip) * 10 ** digits)
+        return f"{sign}{ip}.{fp:0{digits}d}"
+
+    return dec(zr), dec(zi)
+
+
+def test_julia_fixed_point_matches_jzstar():
+    # the Newton helper reproduces the hard-coded 75-digit constant
+    zr, zi = _julia_fixed_point(80)
+    assert zr[:70] == _JZSTAR[0][:70]
+    assert zi[:70] == _JZSTAR[1][:70]
+
+
+@pytest.mark.parametrize("zoom,MI,bits,digits", [
+    ("1e-320", 900, 1200, 360),   # past f64's entire range (min ~5e-324)
+    ("1e-400", 1150, 1500, 450),
+])
+def test_deep_julia_below_f64_floor_matches_exact_oracle(zoom, MI, bits,
+                                                         digits):
+    """Julia drift tables emitted as floatexp (compute_orbit emit_fx)
+    carry drift magnitudes f64 cannot represent — the tier that was
+    floored at ~1e-290 by the plain f64 emission.  Center = the repelling
+    fixed point to ``digits`` digits (ON the Julia set, so the
+    neighborhood keeps structure at any depth)."""
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H = 12, 8
+    zc = _julia_fixed_point(digits)
+    orb, oexp = orbit.compute_orbit(_JC[0], _JC[1], bits, MI + 1,
+                                    z0x=zc[0], z0y=zc[1],
+                                    emit_rel=True, emit_fx=True)
+    assert int(oexp.min()) < -1062, "drift below f64 range exercised"
+    f = perturbation_fields(
+        orb, W, H, center_x_dd=(0.0, 0.0), center_y_dd=(0.0, 0.0),
+        max_iter=MI, float_continuation=False, rebase=True, julia=True,
+        julia_z0=(float(zc[0][:20]), float(zc[1][:20])),
+        scaled_delta=True, zoom_frac=zoom, orbit_exp=oexp)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_julia_oracle_counts(zoom, W, H, MI, bits, center=zc)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.9, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_deep_julia_f64_drift_below_floor_raises():
+    # a plain f64-emitted drift table cannot represent sub-1e-290 zooms;
+    # the kernel layer refuses it with an actionable error
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    orb = orbit.compute_orbit(_JC[0], _JC[1], 300, 50,
+                              z0x=_JZSTAR[0], z0y=_JZSTAR[1], emit_rel=True)
+    with pytest.raises(ValueError, match="floatexp drift"):
+        perturbation_fields(
+            orb, 8, 6, center_x_dd=(0.0, 0.0), center_y_dd=(0.0, 0.0),
+            max_iter=49, float_continuation=False, rebase=True, julia=True,
+            julia_z0=(float(_JZSTAR[0]), float(_JZSTAR[1])),
+            scaled_delta=True, zoom_frac="1e-320")
+
+
+def test_deep_julia_model_below_f64_floor():
+    """Scene-level deep julia at 1e-320: the model layer selects the
+    floatexp drift emission automatically (no depth floor)."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    zc = _julia_fixed_point(360)
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, deep_zoom_julia=True,
+              julia_c_real=-0.7, julia_c_imag=0.27015,
+              hp_center_x=zc[0], hp_center_y=zc[1], hp_zoom="1e-320",
+              max_iterations=900, use_perturbation=True)
+    n, zx, zy, g, info = deep_zoom.render_fields(s, 12, 8)
+    assert info["precision_mode"] == "ARBITRARY"
+    assert info["precision_bits"] > 1070
+    assert info["glitched_pixels_remaining"] == 0
+    nref = _hp_julia_oracle_counts("1e-320", 12, 8, 900,
+                                   info["precision_bits"], center=zc)
+    assert len(np.unique(nref)) > 3
+    assert (np.asarray(n) == nref).mean() >= 0.9
 
 
 def test_deep_julia_model_and_scene():
