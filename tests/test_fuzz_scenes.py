@@ -89,3 +89,25 @@ def test_fuzz_deep_zoom_families_finite():
         assert img.shape == (6, 10, 3), (s, zoom)
         assert np.isfinite(img).all(), (s, zoom)
         assert info["glitched_pixels_remaining"] == 0, (s, zoom)
+
+
+def test_fuzz_deep_zoom_below_f64_floor_finite():
+    """Depths past f64's entire range (zoom < ~5e-324) stay finite and
+    glitch-free for the families that reach them — mandelbrot (scaled
+    deltas) and julia (floatexp drift emission)."""
+    from fractalrenderer_tpu.models import deep_zoom
+
+    rng = np.random.default_rng(20260818)
+    for fam in ({}, dict(deep_zoom_julia=True, julia_c_real=-0.7,
+                         julia_c_imag=0.27015)):
+        zoom = f"1e-{int(rng.integers(310, 340))}"
+        s = fr.Scene(
+            fractal_type=fr.FractalType.DEEP_ZOOM,
+            hp_center_x="0", hp_center_y="1", hp_zoom=zoom,
+            max_iterations=int(rng.integers(16, 120)),
+            use_perturbation=True, **fam)
+        img, info = deep_zoom.render(s, 10, 6, return_info=True)
+        img = np.asarray(img)
+        assert info["precision_mode"] == "ARBITRARY", (fam, zoom)
+        assert np.isfinite(img).all(), (fam, zoom)
+        assert info["glitched_pixels_remaining"] == 0, (fam, zoom)
