@@ -24,7 +24,7 @@ PHASES = {
     "deepzoom_oracles": [
         "tests/test_deepzoom.py", "-k",
         ("rebase_matches_exact_oracle or scaled_delta_matches or "
-         "deep_julia_matches or deep_ship or "
+         "deep_julia_matches or below_f64_floor or deep_ship or "
          "deep_phoenix or series_skip_scaled or stacked_aa")],
     "mandelbulb": [
         "tests/test_mandelbulb.py", "-k",
