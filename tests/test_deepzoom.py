@@ -1567,6 +1567,80 @@ def test_deep_phoenix_floatexp_matches_exact_oracle():
     assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
 
 
+def test_deep_ship_below_f64_floor_matches_exact_oracle():
+    """Burning Ship at the antenna tip, zoom 1e-320 — past f64's entire
+    range.  The ship's orbit table holds absolute Z values (O(1), f64-
+    safe) and every delta/diffabs term runs scaled floatexp, so unlike
+    julia no new emission machinery is needed — this pins the no-floor
+    property with an exact oracle."""
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    W, H, MI, bits, zoom = 12, 8, 620, 1200, "1e-320"
+    orb = orbit.compute_orbit("-2", "0", bits, MI + 1, kind=1)
+    assert len(orb) == MI + 1
+    f = perturbation_fields(orb, W, H, center_x_dd=(-2.0, 0.0),
+                            center_y_dd=(0.0, 0.0), max_iter=MI,
+                            float_continuation=False, rebase=True,
+                            ship=True, scaled_delta=True, zoom_frac=zoom)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_ship_oracle_counts("-2", "0", zoom, W, H, MI, bits)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
+
+
+def test_deep_phoenix_below_f64_floor_matches_exact_oracle():
+    """Phoenix at 1e-320: bisect the escape-set boundary to within
+    ~1e-326 with exact rationals (native orbits make the ~1050 probes
+    cheap), so the neighborhood keeps varied counts and the center orbit
+    stays interior past f64's range."""
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.hp import HPFloat
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    PP, RR = 0.0, -0.5
+    W, H, MI, bits, zoom = 12, 8, 1800, 1300, "1e-320"
+    cy = Fraction("0.05")
+
+    def interior(cxf):
+        o = orbit.compute_orbit(HPFloat(cxf, bits), HPFloat(cy, bits),
+                                bits, MI + 1, kind=2, pp=PP, rr=RR)
+        return len(o) == MI + 1
+
+    a = Fraction("0.5334632772339566")
+    b = a + Fraction(1, 10 ** 8)
+    assert interior(a) and not interior(b)
+    # bisect 20 decades PAST the view scale so the center stays interior
+    # while the escape band (~5 iterations/decade here) crosses the view
+    while b - a > Fraction(1, 10 ** 340):
+        m = (a + b) / 2
+        if interior(m):
+            a = m
+        else:
+            b = m
+    cxh = HPFloat(a, bits)
+    orb = orbit.compute_orbit(cxh, HPFloat(cy, bits), bits, MI + 1,
+                              kind=2, pp=PP, rr=RR)
+    assert len(orb) == MI + 1
+    f = perturbation_fields(orb, W, H,
+                            center_x_dd=dd_from_string(cxh.to_string(40)),
+                            center_y_dd=dd_from_string("0.05"),
+                            max_iter=MI, float_continuation=False,
+                            rebase=True, phoenix=True, phoenix_p=PP,
+                            phoenix_r=RR, scaled_delta=True,
+                            zoom_frac=zoom)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_phoenix_oracle_counts(str(cxh.to_string(340)), "0.05", zoom,
+                                     W, H, MI, bits, PP, RR)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
+
+
 def test_families_reach_floatexp_through_model():
     """models.deep_zoom routes every family through the scaled tier (the
     old NotImplementedError gates are gone); info reports scaled_delta

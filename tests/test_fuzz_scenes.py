@@ -93,13 +93,17 @@ def test_fuzz_deep_zoom_families_finite():
 
 def test_fuzz_deep_zoom_below_f64_floor_finite():
     """Depths past f64's entire range (zoom < ~5e-324) stay finite and
-    glitch-free for the families that reach them — mandelbrot (scaled
-    deltas) and julia (floatexp drift emission)."""
+    glitch-free for EVERY family — mandelbrot/ship/phoenix (scaled
+    deltas over absolute orbit tables) and julia (floatexp drift
+    emission)."""
     from fractalrenderer_tpu.models import deep_zoom
 
     rng = np.random.default_rng(20260818)
     for fam in ({}, dict(deep_zoom_julia=True, julia_c_real=-0.7,
-                         julia_c_imag=0.27015)):
+                         julia_c_imag=0.27015),
+                dict(deep_zoom_ship=True),
+                dict(deep_zoom_phoenix=True, phoenix_p=0.0,
+                     phoenix_r=-0.5)):
         zoom = f"1e-{int(rng.integers(310, 340))}"
         s = fr.Scene(
             fractal_type=fr.FractalType.DEEP_ZOOM,
