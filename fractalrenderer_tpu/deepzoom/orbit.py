@@ -72,6 +72,31 @@ def _to_limbs(value: Union[str, float, HPFloat], frac_bits: int,
     return limbs, sign
 
 
+def fx_from_man(man: int, frac_bits: int):
+    """Mirror native/orbit.cpp to_double_fx exactly: frexp-style
+    (mantissa, exponent) with |mantissa| in [0.5, 1) summed from the
+    top three limbs BIT-aligned to the magnitude's leading bit, so
+    drift values beyond f64's range keep full relative precision."""
+    import math
+    if man == 0:
+        return 0.0, 0
+    sign = -1.0 if man < 0 else 1.0
+    m = abs(man)
+    magbits = m.bit_length()
+    n = (magbits + 63) // 64
+    top_bits = magbits - (n - 1) * 64
+    mask = 0xFFFFFFFFFFFFFFFF
+    d = math.ldexp((m >> ((n - 1) * 64)) & mask, -top_bits)
+    if n >= 2:
+        d += math.ldexp((m >> ((n - 2) * 64)) & mask, -top_bits - 64)
+    if n >= 3:
+        d += math.ldexp((m >> ((n - 3) * 64)) & mask, -top_bits - 128)
+    e = magbits - frac_bits
+    if d == 1.0:  # top 54+ bits all ones round up; keep |m| in [0.5,1)
+        d, e = 0.5, e + 1
+    return sign * d, e
+
+
 def compute_orbit_python(cx: Union[str, float, HPFloat],
                          cy: Union[str, float, HPFloat],
                          precision_bits: int, max_iter: int,
@@ -124,24 +149,7 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
         return sign * d
 
     def to_fx(man: int):
-        # Mirror native/orbit.cpp to_double_fx exactly: frexp-style
-        # (mantissa, exponent) with |mantissa| in [0.5, 1) summed from the
-        # top three limbs BIT-aligned to the magnitude's leading bit, so
-        # drift values beyond f64's range keep full relative precision.
-        if man == 0:
-            return 0.0, 0
-        sign = -1.0 if man < 0 else 1.0
-        m = abs(man)
-        magbits = m.bit_length()
-        n = (magbits + 63) // 64
-        top_bits = magbits - (n - 1) * 64
-        mask = 0xFFFFFFFFFFFFFFFF
-        d = math.ldexp((m >> ((n - 1) * 64)) & mask, -top_bits)
-        if n >= 2:
-            d += math.ldexp((m >> ((n - 2) * 64)) & mask, -top_bits - 64)
-        if n >= 3:
-            d += math.ldexp((m >> ((n - 3) * 64)) & mask, -top_bits - 128)
-        return sign * d, magbits - bits
+        return fx_from_man(man, bits)
 
     for i in range(max_iter):
         dre = to_f64(zr)

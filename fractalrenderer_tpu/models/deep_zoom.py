@@ -191,8 +191,6 @@ def render_fields(scene: Scene, width: int, height: int,
         # shift = (scene center - ref), exactly like a secondary reference.
         rcx_s, rcy_s = ref_center
         orbit = cached_orbit(rcx_s, rcy_s)
-        orbit, orbit_exp = orbit if isinstance(orbit, tuple) else (orbit,
-                                                                   None)
         center_x_dd = dd_from_string(rcx_s)
         center_y_dd = dd_from_string(rcy_s)
         sx_s = (HPFloat(str(cx), hp_bits)
@@ -205,9 +203,9 @@ def render_fields(scene: Scene, width: int, height: int,
         orbit_center = (rcx_s, rcy_s)
     else:
         orbit = cached_orbit(cx, cy)
-        orbit, orbit_exp = orbit if isinstance(orbit, tuple) else (orbit,
-                                                                   None)
         orbit_center = (cx, cy)
+    # emit_fx orbits come back as (mantissas, exponents); plain ones bare.
+    orbit, orbit_exp = orbit if isinstance(orbit, tuple) else (orbit, None)
 
     series = None
     if scene.use_series_approximation and max(scene.bailout, 2.0) >= 4.0 \

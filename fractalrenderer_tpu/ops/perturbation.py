@@ -1365,6 +1365,14 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         raise ValueError(
             "deep-zoom julia below ~1e-290 needs the floatexp drift "
             "emission: compute_orbit(emit_fx=True) + orbit_exp=")
+    if orbit_exp is not None and not (julia and scaled_delta):
+        # Only the julia floatexp path consumes exponent streams; anywhere
+        # else the [0.5,1) mantissas would silently render as literal
+        # drift values.
+        raise ValueError(
+            "orbit_exp is only valid with julia=True and scaled_delta="
+            "True (the floatexp drift-table path); pass a plain f64 "
+            "orbit table otherwise")
     step_fr = zoom_fr * 4 / (step_h * step_h)
     s_exp = 0
     if scaled_delta:
@@ -1440,13 +1448,12 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         orbit_im_lo = np.zeros(cap, np.float32)
         orbit_re_ex = np.full(cap, float(E_ZERO), np.float32)
         orbit_im_ex = np.full(cap, float(E_ZERO), np.float32)
-        exp_tab = orbit_exp if orbit_exp is not None else None
         (orbit_re[:L], orbit_re_lo[:L],
          orbit_re_ex[:L]) = fx_streams(
-             orbit[:L, 0], None if exp_tab is None else exp_tab[:L, 0])
+             orbit[:L, 0], None if orbit_exp is None else orbit_exp[:L, 0])
         (orbit_im[:L], orbit_im_lo[:L],
          orbit_im_ex[:L]) = fx_streams(
-             orbit[:L, 1], None if exp_tab is None else exp_tab[:L, 1])
+             orbit[:L, 1], None if orbit_exp is None else orbit_exp[:L, 1])
     else:
         orbit_re[:L] = orbit[:L, 0].astype(np.float32)
         orbit_im[:L] = orbit[:L, 1].astype(np.float32)

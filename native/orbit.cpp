@@ -155,10 +155,12 @@ double to_double_fx(const Big& a, int frac_bits, int32_t* exp_out) {
     size_t n = a.m.size();
     int top_bits = 64 - __builtin_clzll(a.m[n - 1]);
     long magbits = (long)(n - 1) * 64 + top_bits;
-    *exp_out = (int32_t)(magbits - frac_bits);
+    int32_t e = (int32_t)(magbits - frac_bits);
     double d = std::ldexp((double)a.m[n - 1], -top_bits);
     if (n >= 2) d += std::ldexp((double)a.m[n - 2], -top_bits - 64);
     if (n >= 3) d += std::ldexp((double)a.m[n - 3], -top_bits - 128);
+    if (d == 1.0) { d = 0.5; ++e; }  // top 54+ bits all ones round up
+    *exp_out = e;
     return a.sign < 0 ? -d : d;
 }
 

@@ -1135,6 +1135,43 @@ def test_deep_julia_below_f64_floor_matches_exact_oracle(zoom, MI, bits,
     assert exact >= 0.9, f"only {exact:.2%}\n{n}\n{nref}"
 
 
+def test_fx_from_man_frexp_invariant_on_allones_mantissa():
+    # a magnitude whose top 54+ bits are all ones rounds the three-limb
+    # ldexp sum up to exactly 1.0; the conversion must renormalize to
+    # keep the np.frexp contract |m| in [0.5, 1)
+    import math
+    for magbits in (60, 100, 128, 200):
+        man = (1 << magbits) - 1
+        for sign in (1, -1):
+            m, e = orbit.fx_from_man(sign * man, 300)
+            assert 0.5 <= abs(m) < 1.0, (magbits, sign, m)
+            # value is preserved: m * 2^e == man * 2^-300 (as f64)
+            assert math.ldexp(m, e) == math.ldexp(float(sign * man), -300)
+    # and in f64's normal range it is bit-identical to np.frexp
+    for v in (0.3, -1.75, 123.456, 2 ** -40 * 0.7):
+        man = round(v * (1 << 300))
+        m, e = orbit.fx_from_man(man, 300)
+        mw, ew = np.frexp(np.float64(v))
+        assert (m, e) == (float(mw), int(ew))
+
+
+def test_orbit_exp_rejected_outside_julia_fx_path():
+    # exponent streams only mean something on the julia floatexp path;
+    # anywhere else the [0.5,1) mantissas would silently render as
+    # literal drift values
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    orb, oexp = orbit.compute_orbit(_JC[0], _JC[1], 300, 50,
+                                    z0x=_JZSTAR[0], z0y=_JZSTAR[1],
+                                    emit_rel=True, emit_fx=True)
+    with pytest.raises(ValueError, match="orbit_exp is only valid"):
+        perturbation_fields(
+            orb, 8, 6, center_x_dd=(0.0, 0.0), center_y_dd=(0.0, 0.0),
+            max_iter=49, float_continuation=False, rebase=True, julia=True,
+            julia_z0=(float(_JZSTAR[0]), float(_JZSTAR[1])),
+            scaled_delta=False, zoom_frac="1e-12", orbit_exp=oexp)
+
+
 def test_deep_julia_f64_drift_below_floor_raises():
     # a plain f64-emitted drift table cannot represent sub-1e-290 zooms;
     # the kernel layer refuses it with an actionable error
