@@ -818,6 +818,29 @@ def test_zoom_path_shared_reference_orbit():
         deep_zoom.orbit_mod.compute_orbit = orig
 
 
+@pytest.mark.parametrize("fam_kw,cx,cy", [
+    (dict(deep_zoom_ship=True), "-1.7443359374999999", "-0.017451171875"),
+    (dict(deep_zoom_phoenix=True), "-0.1465", "0.2115"),
+    (dict(deep_zoom_julia=True, julia_c_real=-0.7, julia_c_imag=0.27015),
+     "-0.2", "0.65"),
+], ids=["ship", "phoenix", "julia"])
+def test_ref_center_shift_exact_for_every_family(fam_kw, cx, cy):
+    # the zoom-path shift mechanism (c = ref + delta + (center - ref)) is
+    # not mandelbrot-specific: a render against a reference orbit at a
+    # nearby off-center point must be bit-identical to the standalone
+    # render for every deep-zoom family
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x=cx, hp_center_y=cy, hp_zoom="1e-9",
+              max_iterations=400, **fam_kw)
+    n0, *_ = deep_zoom.render_fields(s, 16, 12)
+    rc = (repr(float(cx) + 2e-9), repr(float(cy) - 1e-9))
+    n1, *_ = deep_zoom.render_fields(s, 16, 12, ref_center=rc)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+
 # ---------------------------------------------------------------------------
 # per-pixel rebasing (Zhuoran's method) — the default deep-zoom algorithm
 # ---------------------------------------------------------------------------
