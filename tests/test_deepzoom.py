@@ -619,6 +619,44 @@ def test_python_orbit_bit_identical_to_native():
     np.testing.assert_array_equal(o_native, o_python)
 
 
+def test_native_python_orbit_fuzz_all_kinds_and_emissions():
+    # randomized parity sweep: both bignum engines must agree BIT-FOR-BIT
+    # across recurrence kinds, precisions, z0 seeds, and every emission
+    # format (plain, relative drift, floatexp mantissa+exponent)
+    if orbit._load_native() is None:
+        pytest.skip("native orbit lib unavailable")
+    rng = np.random.default_rng(20260817)
+    for trial in range(12):
+        bits = int(rng.choice([96, 192, 320, 640]))
+        kind = int(rng.integers(0, 3))
+        mi = int(rng.integers(40, 240))
+        cx = repr(float(rng.uniform(-2.0, 0.6)))
+        cy = repr(float(rng.uniform(-1.2, 1.2)))
+        kw = dict(kind=kind)
+        if kind == 2:
+            kw.update(pp=float(rng.uniform(-0.6, 0.6)),
+                      rr=float(rng.uniform(-0.6, 0.6)))
+        if rng.random() < 0.5:
+            kw.update(z0x=repr(float(rng.uniform(-0.5, 0.5))),
+                      z0y=repr(float(rng.uniform(-0.5, 0.5))))
+        emit = int(rng.integers(0, 3)) if kind == 0 else 0
+        if emit >= 1:
+            kw["emit_rel"] = True
+            kw.setdefault("z0x", cx)
+            kw.setdefault("z0y", cy)
+        if emit == 2:
+            kw["emit_fx"] = True
+        o_n = orbit.compute_orbit(cx, cy, bits, mi, **kw)
+        o_p = orbit.compute_orbit_python(cx, cy, bits, mi, **kw)
+        if emit == 2:
+            assert len(o_n[0]) == len(o_p[0]), (trial, kw)
+            np.testing.assert_array_equal(o_n[0], o_p[0], err_msg=str(kw))
+            np.testing.assert_array_equal(o_n[1], o_p[1], err_msg=str(kw))
+        else:
+            assert len(o_n) == len(o_p), (trial, kw)
+            np.testing.assert_array_equal(o_n, o_p, err_msg=str(kw))
+
+
 # ---------------------------------------------------------------------------
 # zero-glitch guarantee (config #4: "correct (glitch-free)")
 # ---------------------------------------------------------------------------
