@@ -492,8 +492,13 @@ class LiveSession:
 
         self._shot_n += 1
         path = f"screenshot_{self._shot_n:03d}.png"
+        # the orbit cache is keyed by center/bits/max_iter (resolution-
+        # independent), so the 8x deep-zoom render reuses the session's
+        # reference orbit instead of freezing on a fresh HP loop
+        kw = {"orbit_cache": self._orbit_cache} \
+            if self.scene.fractal_type == FractalType.DEEP_ZOOM else {}
         img = np.asarray(models.render(self.scene, self.width * 8,
-                                       self.height * 8))
+                                       self.height * 8, **kw))
         write_png(path, to_export_orientation(img),
                   metadata=self.scene.metadata_summary())
         return f"saved {path}"

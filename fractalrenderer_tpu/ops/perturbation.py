@@ -724,15 +724,22 @@ def _make_kernel(width: int, height: int, map_height: int,
                         nmr = dd.dd_add(jnp, nmr, scl(dcx, fC))
                         nmi = dd.dd_add(jnp, nmi, scl(dcy, fC))
                         if phoenix:
+                            # dd_mul_float keeps the two-prod error term:
+                            # a componentwise (pp_*hi, pp_*lo) product
+                            # would degrade p*dz and r*dz_prev to f32
+                            # (~2^-24) relative accuracy — the same error
+                            # class the dd tier exists to prevent
                             nmr = dd.dd_add(jnp, nmr, scl(
-                                (pp_ * mr[0], pp_ * mr[1]), fA))
+                                dd.dd_mul_float(jnp, mr, pp_), fA))
                             nmi = dd.dd_add(jnp, nmi, scl(
-                                (pp_ * mi[0], pp_ * mi[1]), fA))
+                                dd.dd_mul_float(jnp, mi, pp_), fA))
                             fR = _pow2(pex_old - emax)
                             nmr = dd.dd_add(jnp, nmr, scl(
-                                (rr_ * s["prh"], rr_ * s["prl"]), fR))
+                                dd.dd_mul_float(
+                                    jnp, (s["prh"], s["prl"]), rr_), fR))
                             nmi = dd.dd_add(jnp, nmi, scl(
-                                (rr_ * s["pih"], rr_ * s["pil"]), fR))
+                                dd.dd_mul_float(
+                                    jnp, (s["pih"], s["pil"]), rr_), fR))
                         # renormalize mantissa hi into [1, 2)
                         mag = jnp.maximum(jnp.abs(nmr[0]), jnp.abs(nmi[0]))
                         zero = mag == 0.0

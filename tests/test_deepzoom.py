@@ -1665,6 +1665,64 @@ def test_deep_phoenix_floatexp_matches_exact_oracle():
     assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
 
 
+def test_deep_phoenix_floatexp_nondyadic_r_matches_exact_oracle():
+    """Same recipe with r = -0.51 — NOT a power of two.  Every other
+    phoenix oracle test uses r = -0.5 / p = 0, for which a componentwise
+    f32 coefficient product is exact by accident; this pins the
+    dd_mul_float (two-prod) coefficient path in the floatexp tier with a
+    coefficient that actually rounds."""
+    from fractions import Fraction
+
+    from fractalrenderer_tpu.deepzoom.hp import HPFloat
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    PP, RR = 0.0, -0.51
+    W, H, MI, bits, zoom = 12, 8, 400, 300, "1e-50"
+    cy = Fraction("0.05")
+
+    def interior(cxf):
+        o = orbit.compute_orbit(HPFloat(cxf, bits), HPFloat(cy, bits),
+                                bits, MI + 1, kind=2, pp=PP, rr=RR)
+        return len(o) == MI + 1
+
+    xs = [Fraction("0.5334632772339566") + Fraction(repr(float(d)))
+          for d in np.linspace(-0.02, 0.02, 41)]
+    prev = None
+    for x in xs:
+        cur = interior(x)
+        if prev is not None and cur != prev[1]:
+            a, b = (prev[0], x) if prev[1] else (x, prev[0])
+            break
+        prev = (x, cur)
+    else:
+        pytest.fail("no boundary transition found")
+    for _ in range(180):
+        m = (a + b) / 2
+        if interior(m):
+            a = m
+        else:
+            b = m
+    cxh = HPFloat(a, bits)
+    orb = orbit.compute_orbit(cxh, HPFloat(cy, bits), bits, MI + 1,
+                              kind=2, pp=PP, rr=RR)
+    assert len(orb) == MI + 1
+    f = perturbation_fields(orb, W, H,
+                            center_x_dd=dd_from_string(cxh.to_string(70)),
+                            center_y_dd=dd_from_string("0.05"),
+                            max_iter=MI, float_continuation=False,
+                            rebase=True, phoenix=True, phoenix_p=PP,
+                            phoenix_r=RR, scaled_delta=True,
+                            zoom_frac=zoom)
+    n = np.asarray(f["n"])
+    assert not (np.asarray(f["want"]) > 0.5).any()
+    nref = _hp_phoenix_oracle_counts(str(cxh.to_string(70)), "0.05", zoom,
+                                     W, H, MI, bits, PP, RR)
+    assert len(np.unique(nref)) > 3
+    exact = (n == nref).mean()
+    assert exact >= 0.95, f"only {exact:.2%}\n{n}\n{nref}"
+
+
 def test_deep_ship_below_f64_floor_matches_exact_oracle():
     """Burning Ship at the antenna tip, zoom 1e-320 — past f64's entire
     range.  The ship's orbit table holds absolute Z values (O(1), f64-
