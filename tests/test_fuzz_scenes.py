@@ -48,6 +48,64 @@ def test_fuzz_2d_families_finite():
         assert (img >= 0).all() and (img <= 1).all(), s
 
 
+def test_fuzz_random_configs_match_golden_counts():
+    """Randomized golden-equality sweep: iteration counts from the Pallas
+    kernel must stay consistent with the numpy golden (exact on TPU,
+    boundary-ulp fraction off-TPU) across random families, viewports,
+    bailouts, and AA offsets — not just the handful of hand-picked
+    configs in test_golden_vs_kernel.py."""
+    from fractalrenderer_tpu.ops.escape import escape_fields
+    from fractalrenderer_tpu.reference import golden
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(20260819)
+    W, H = 48, 32  # power-of-two height: exact-mapping regime
+    for k in range(10):
+        fam = ["mandelbrot", "julia", "burning_ship", "phoenix"][k % 4]
+        cx = float(rng.uniform(-2.0, 1.0))
+        cy = float(rng.uniform(-1.5, 1.5))
+        zoom = float(10 ** rng.uniform(-4, 0.8))
+        mi = int(rng.integers(32, 200))
+        bail = float(rng.uniform(2.0, 16.0))
+        off = (float(rng.choice([0.0, 0.25, -0.25])),
+               float(rng.choice([0.0, 0.25])))
+        kw = dict(center_x=cx, center_y=cy, zoom=zoom, max_iter=mi,
+                  offset=off)
+        if fam == "mandelbrot":
+            f = escape_fields(fam, W, H, bailout=bail, **kw)
+            n, *_ = golden.mandelbrot_fields(W, H, cx, cy, zoom, mi, bail,
+                                             off=off)
+        elif fam == "julia":
+            c = (float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+            f = escape_fields(fam, W, H, bailout=bail, julia_c=c, **kw)
+            n, *_ = golden.julia_fields(W, H, cx, cy, zoom, c[0], c[1],
+                                        mi, bail, off=off)
+        elif fam == "burning_ship":
+            style = int(rng.integers(0, 4))
+            f = escape_fields(fam, W, H, bailout=bail, **kw)
+            n, *_ = golden.burning_ship_fields(W, H, cx, cy, zoom, mi,
+                                               bail, False, 0.5, False,
+                                               10.0, style, off=off)
+        else:
+            pp = float(rng.uniform(-0.6, 0.6))
+            pr = float(rng.uniform(-0.6, 0.6))
+            c = (float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+            f = escape_fields(fam, W, H, julia_c=c, phoenix_p=pp,
+                              phoenix_r=pr, use_julia=False, **kw)
+            n, *_ = golden.phoenix_fields(W, H, cx, cy, zoom, mi, c,
+                                          False, pp, pr, off=off)
+        mism = (np.asarray(f["n"]) != n).mean()
+        cfg = (fam, cx, cy, zoom, mi, bail, off)
+        if on_tpu:
+            assert mism == 0.0, cfg
+        else:
+            # chaotic-boundary-heavy random views flip more ulp pixels
+            # than the curated configs; the contract off-TPU is the
+            # FRACTION stays small
+            assert mism <= 0.02, (mism, cfg)
+
+
 def test_fuzz_extreme_view_params():
     # zero/NaN zoom, huge centers — the validator must repair them
     for kw in (dict(zoom=0.0), dict(zoom=float("nan")),
