@@ -20,7 +20,10 @@ import sys
 import time
 
 PHASES = {
-    "golden_exact": ["tests/test_golden_vs_kernel.py"],
+    "golden_exact": [
+        "tests/test_golden_vs_kernel.py",
+        "tests/test_fuzz_scenes.py::"
+        "test_fuzz_random_configs_match_golden_counts"],
     "deepzoom_oracles": [
         "tests/test_deepzoom.py", "-k",
         ("rebase_matches_exact_oracle or scaled_delta_matches or "
