@@ -417,7 +417,9 @@ def cmd_sweep(args) -> int:
 
 def cmd_interactive(args) -> int:
     scene = scene_from_args(args)
-    if args.zoom is None and args.scene is None and args.preset is None:
+    no_explicit_view = (args.zoom is None and args.scene is None
+                        and args.preset is None)
+    if no_explicit_view:
         scene = scene.with_(zoom=2.5)
     # Live raw-terminal loop on a TTY (the reference's real-time event
     # loop); line-based REPL when piped or forced with --repl.
@@ -425,8 +427,12 @@ def cmd_interactive(args) -> int:
     if live_mode:
         from . import live
 
+        # the reference resumes where you left it (imgui.ini persists
+        # next to the binary); explicit view args or --fresh start clean
         return live.run_live(scene, cols=args.cols, rows=args.rows,
-                             spin=args.spin, max_frames=args.max_frames)
+                             spin=args.spin, max_frames=args.max_frames,
+                             resume_last=no_explicit_view and not args.fresh,
+                             persist=not args.fresh)
     from . import viewer
 
     return viewer.run(scene, cols=args.cols, rows=args.rows)
@@ -614,6 +620,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(vk_engine.cpp:713)")
     p.add_argument("--max-frames", type=int, default=None,
                    help="exit after N drawn frames (for testing)")
+    p.add_argument("--fresh", action="store_true",
+                   help="don't resume the previous session or persist "
+                        "this one (default resumes like the reference's "
+                        "imgui.ini)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("presets", help="list all preset tables")

@@ -77,6 +77,39 @@ _ROTATION_SPEED = 0.5  # fractal_state.h:68
 Event = Tuple  # ("key", name) | ("mouse", btn, cx, cy, kind)
 
 
+def _session_file() -> str:
+    """Where the last session's Scene persists (the reference resumes
+    implicitly via imgui.ini next to the binary; we keep the analog under
+    XDG config).  FRACTAL_TPU_SESSION_FILE overrides (tests)."""
+    return os.environ.get("FRACTAL_TPU_SESSION_FILE") or os.path.join(
+        os.path.expanduser("~"), ".config", "fractalrenderer_tpu",
+        "last_session.json")
+
+
+def load_last_session() -> Optional[Scene]:
+    """Best-effort restore of the previous session's Scene (None if no
+    file, unreadable, or stale-format)."""
+    try:
+        with open(_session_file()) as fh:
+            return Scene.from_json(fh.read())
+    except Exception:
+        return None
+
+
+def save_last_session(scene: Scene) -> None:
+    """Best-effort persist; atomic so a crash mid-write can't corrupt the
+    resume file."""
+    try:
+        path = _session_file()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(scene.to_json(indent=2))
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def parse_input(buf: bytes) -> Tuple[List[Event], bytes]:
     """Parse raw terminal bytes into events; returns (events, remainder).
 
@@ -689,11 +722,20 @@ class TermUI:
 def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
              rows: Optional[int] = None, spin: bool = False,
              max_frames: Optional[int] = None, infile=None,
-             outfile=None) -> int:
+             outfile=None, resume_last: bool = False,
+             persist: bool = False) -> int:
     """The event loop: poll input → continuous update → async dispatch →
-    fetch+draw, with up to two frames in flight (FRAME_OVERLAP=2)."""
+    fetch+draw, with up to two frames in flight (FRAME_OVERLAP=2).
+
+    ``resume_last``: start from the previous session's persisted Scene
+    (the reference resumes implicitly via imgui.ini); ``persist``: save
+    the Scene on exit so the next launch can."""
     from collections import deque
 
+    if resume_last:
+        prev = load_last_session()
+        if prev is not None:
+            scene = prev
     sess = LiveSession(scene, cols=cols, rows=rows, spin=spin)
     ui = TermUI(infile=infile, outfile=outfile)
     frames = 0
@@ -738,4 +780,6 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
                 sess.redraw = False
                 ui.fout.write(compose_frame(sess, last_img))
                 ui.fout.flush()
+    if persist:
+        save_last_session(sess.scene)
     return 0

@@ -282,6 +282,32 @@ def test_quit_keys():
 
 # ---- pty end-to-end ------------------------------------------------------
 
+def test_session_auto_persist_and_resume(tmp_path, monkeypatch):
+    """The imgui.ini analog: a live session persists its Scene on exit and
+    the next default launch resumes it (cli: default on, --fresh off)."""
+    sess_file = tmp_path / "last_session.json"
+    monkeypatch.setenv("FRACTAL_TPU_SESSION_FILE", str(sess_file))
+
+    def run(data: bytes, **kw):
+        r, w = os.pipe()
+        os.write(w, data)
+        os.close(w)
+        with open(r, "rb", buffering=0) as fin, \
+                open(os.devnull, "w") as fout:
+            live.run_live(infile=fin, outfile=fout, cols=16, rows=5, **kw)
+
+    run(b"eee\x1b", persist=True)          # zoom in, quit
+    saved = json.loads(sess_file.read_text())
+    assert saved["zoom"] < Scene().zoom    # the zooms persisted
+    # next launch with no explicit view resumes the saved state
+    run(b"\x1b", resume_last=True, persist=True, max_frames=1)
+    resumed = json.loads(sess_file.read_text())
+    assert resumed["zoom"] == saved["zoom"]
+    # a missing/corrupt file falls back to the default scene
+    sess_file.write_text("{not json")
+    assert live.load_last_session() is None
+
+
 def test_live_session_over_pty(tmp_path):
     """Boot the real CLI live loop on a pty, steer it, persist the scene,
     and quit — the reference's interactive session end to end."""
@@ -289,6 +315,7 @@ def test_live_session_over_pty(tmp_path):
 
     env = cpu_subprocess_env()
     env["PYTHONPATH"] = REPO
+    env["FRACTAL_TPU_SESSION_FILE"] = str(tmp_path / "pty_last.json")
     scene_file = tmp_path / "sess.json"
     m, sl = pty.openpty()
     p = subprocess.Popen(
