@@ -20,6 +20,56 @@ import jax
 import jax.numpy as jnp
 
 
+def _failure_record(msg: str) -> dict:
+    """The zero-value bench record emitted when the device is wedged,
+    annotated with the last recorded healthy number for the reader."""
+    import glob
+    import os
+    import re
+
+    rec = {
+        "metric": "mandelbrot_1080p_256iter_render", "value": 0.0,
+        "unit": "Mpix/s/chip", "vs_baseline": 0.0, "error": msg}
+    try:
+        prior = sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")))
+        for path in reversed(prior):
+            last = json.load(open(path)).get("parsed") or {}
+            if last.get("value"):
+                rec["last_good"] = {
+                    "round": int(re.search(r"r(\d+)", path).group(1)),
+                    "value": last["value"], "unit": last.get("unit")}
+                break
+    except Exception:
+        pass
+    return rec
+
+
+def _preflight_ok(timeout_s: int = 150) -> bool:
+    """Probe the device in a SUBPROCESS before committing to the run: a
+    wedged tunnel blocks make_c_api_client itself (first jax.devices() of
+    a fresh process, observed 2026-08-17), so a failed probe means the
+    main process would hang for the full watchdog window.  The child
+    self-exits via faulthandler's C-level watchdog (works even with the
+    GIL held); the op is a trivial device_put+sum so an interrupted probe
+    never leaves meaningful in-flight device work."""
+    import subprocess
+    import sys
+
+    code = ("import faulthandler\n"
+            f"faulthandler.dump_traceback_later({timeout_s - 10}, "
+            "exit=True)\n"
+            "import jax, jax.numpy as jnp\n"
+            "print(float((jax.device_put(jnp.arange(4.0)) + 1).sum()))\n")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return p.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def _install_watchdog(seconds: int = 1800) -> None:
     """The tunneled device can wedge (client creation or any execution
     blocks forever inside a PJRT C call); emit a failure record instead
@@ -37,26 +87,9 @@ def _install_watchdog(seconds: int = 1800) -> None:
     import threading
 
     def bail():
-        rec = {
-            "metric": "mandelbrot_1080p_256iter_render", "value": 0.0,
-            "unit": "Mpix/s/chip", "vs_baseline": 0.0,
-            "error": f"device unresponsive for {seconds}s "
-                     "(watchdog; see BENCH history for real numbers)"}
-        try:  # context for the reader: the last recorded healthy run
-            import glob
-            import re
-            prior = sorted(glob.glob(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_r*.json")))
-            for path in reversed(prior):
-                last = json.load(open(path)).get("parsed") or {}
-                if last.get("value"):
-                    rec["last_good"] = {
-                        "round": int(re.search(r"r(\d+)", path).group(1)),
-                        "value": last["value"], "unit": last.get("unit")}
-                    break
-        except Exception:
-            pass
+        rec = _failure_record(
+            f"device unresponsive for {seconds}s "
+            "(watchdog; see BENCH history for real numbers)")
         print(json.dumps(rec), flush=True)
         os._exit(3)
 
@@ -70,6 +103,12 @@ def _install_watchdog(seconds: int = 1800) -> None:
 
 
 def main() -> None:
+    if not _preflight_ok():
+        print(json.dumps(_failure_record(
+            "device preflight failed (PJRT client creation or a trivial "
+            "op blocked >150s in a probe subprocess; see BENCH history "
+            "for real numbers)")), flush=True)
+        raise SystemExit(3)
     _install_watchdog()
     from fractalrenderer_tpu.models import common
     from fractalrenderer_tpu.scene import Scene
