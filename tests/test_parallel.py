@@ -131,6 +131,29 @@ def test_deep_zoom_sharded_matches_single():
                                   np.asarray(single["glitch"]))
 
 
+def test_deep_zoom_sharded_floatexp_matches_single():
+    # the ARBITRARY (scaled/floatexp) tier shards like the f32/dd tiers:
+    # the extra exponent operands replicate with the orbit streams and
+    # the row bands stay bit-identical to the single-device render
+    from fractalrenderer_tpu.deepzoom import orbit as om
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+    from fractalrenderer_tpu.parallel import make_render_mesh
+    from fractalrenderer_tpu.parallel.tiled import perturbation_fields_sharded
+
+    cx, cy = "-0.743643887037151", "0.13182590420533"
+    orb = om.compute_orbit(cx, cy, 300, 401)
+    kw = dict(center_x_dd=dd_from_string(cx), center_y_dd=dd_from_string(cy),
+              max_iter=400, float_continuation=False, rebase=True,
+              scaled_delta=True, zoom_frac="1e-40")
+    single = perturbation_fields(orb, 64, 32, **kw)
+    sharded = perturbation_fields_sharded(orb, 64, 32,
+                                          mesh=make_render_mesh(), **kw)
+    np.testing.assert_array_equal(sharded["n"], np.asarray(single["n"]))
+    np.testing.assert_array_equal(sharded["zx"], np.asarray(single["zx"]))
+    assert not (np.asarray(sharded["want"]) > 0.5).any()
+
+
 def test_deep_zoom_model_sharded():
     from fractalrenderer_tpu.models import deep_zoom
     from fractalrenderer_tpu.parallel import make_render_mesh
