@@ -154,6 +154,29 @@ def test_deep_zoom_sharded_floatexp_matches_single():
     assert not (np.asarray(sharded["want"]) > 0.5).any()
 
 
+@pytest.mark.parametrize("fam_kw,cx,cy", [
+    (dict(deep_zoom_julia=True, julia_c_real=-0.7, julia_c_imag=0.27015),
+     "-0.2", "0.65"),
+    (dict(deep_zoom_ship=True), "-1.7443359374999999", "-0.017451171875"),
+    (dict(deep_zoom_phoenix=True), "-0.1465", "0.2115"),
+], ids=["julia", "ship", "phoenix"])
+def test_deep_zoom_families_sharded_match_single(fam_kw, cx, cy):
+    # every beyond-reference deep-zoom family renders over the row-band
+    # mesh bit-identically to the single-device path
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.parallel import make_render_mesh
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x=cx, hp_center_y=cy, hp_zoom="1e-9",
+              max_iterations=300, **fam_kw)
+    n1, zx1, *_ = deep_zoom.render_fields(s, 32, 16)
+    n2, zx2, *_ = deep_zoom.render_fields(s, 32, 16,
+                                          mesh=make_render_mesh())
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(zx1), np.asarray(zx2))
+
+
 def test_deep_zoom_model_sharded():
     from fractalrenderer_tpu.models import deep_zoom
     from fractalrenderer_tpu.parallel import make_render_mesh
