@@ -1886,6 +1886,30 @@ def test_stacked_aa_deep_families_and_fallback():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_stacked_aa_julia_floatexp_tier():
+    """aa_spp composes with the julia floatexp (ARBITRARY) tier — the
+    6-stream drift tables stack across subpixel segments like the
+    4-stream families, each sample bit-identical to a sequential
+    offset render."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              deep_zoom_julia=True, julia_c_real=-0.7,
+              julia_c_imag=0.27015, hp_center_x="-0.2",
+              hp_center_y="0.65", hp_zoom="1e-40",
+              max_iterations=300, samples_per_pixel=2)
+    W, H = 12, 8
+    n2, _, _, g, info = deep_zoom.render_fields(s, W, H, aa_spp=2)
+    assert n2.shape == (4, H, W)
+    assert info["precision_mode"] == "ARBITRARY"
+    assert info["glitched_pixels_remaining"] == 0
+    for smp in range(4):
+        off = ((smp % 2) / 2, (smp // 2) / 2)
+        n1, *_ = deep_zoom.render_fields(s, W, H, offset=off)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2[smp]))
+
+
 def test_julia_scaled_hbm_streaming_matches_smem():
     """Julia-scaled drift tables carry 6 streams; past the (reduced) SMEM
     cap they stream from HBM with the exponent streams double-buffered
