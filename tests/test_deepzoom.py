@@ -1937,6 +1937,35 @@ def test_julia_scaled_hbm_streaming_matches_smem():
                                   np.asarray(f_hbm["zx"]))
 
 
+@pytest.mark.parametrize("name,kw_extra,orb_kw,cx,cy", [
+    ("ship", dict(ship=True), dict(kind=1), "-2", "0"),
+    ("phoenix", dict(phoenix=True, phoenix_p=0.0, phoenix_r=-0.5),
+     dict(kind=2, pp=0.0, rr=-0.5), "0.5334632772339566", "0.05"),
+], ids=["ship", "phoenix"])
+def test_scaled_hbm_streaming_ship_phoenix(name, kw_extra, orb_kw, cx, cy):
+    # the ship/phoenix floatexp tiers stream their orbit tables from HBM
+    # past the SMEM cap with results identical to the SMEM path (julia's
+    # 6-stream variant has its own test above)
+    from fractalrenderer_tpu.ops import perturbation as pert
+
+    W, H, MI, bits, zoom = 8, 6, 200, 300, "1e-40"
+    orb = orbit.compute_orbit(cx, cy, bits, MI + 1, **orb_kw)
+    kw = dict(center_x_dd=(float(cx), 0.0), center_y_dd=(float(cy), 0.0),
+              max_iter=MI, float_continuation=False, rebase=True,
+              scaled_delta=True, zoom_frac=zoom, **kw_extra)
+    f_smem = pert.perturbation_fields(orb, W, H, **kw)
+    old = pert.MAX_ORBIT_SMEM
+    pert.MAX_ORBIT_SMEM = 96
+    try:
+        f_hbm = pert.perturbation_fields(orb, W, H, **kw)
+    finally:
+        pert.MAX_ORBIT_SMEM = old
+    np.testing.assert_array_equal(np.asarray(f_smem["n"]),
+                                  np.asarray(f_hbm["n"]))
+    np.testing.assert_array_equal(np.asarray(f_smem["zx"]),
+                                  np.asarray(f_hbm["zx"]))
+
+
 def test_stacked_aa_with_hbm_streamed_orbit():
     """aa_spp stacking multiplies grid rows; combined with HBM orbit
     streaming the per-tile DMA pattern is unchanged — fields equal the
