@@ -37,7 +37,7 @@ PHASES = {
     # DMA from HBM, and the giant-still band render/quantize/stream
     "hbm_orbit": [
         "tests/test_deepzoom.py", "-k",
-        "hbm_orbit_streaming or rebase_with_hbm"],
+        "hbm_orbit_streaming or rebase_with_hbm or scaled_hbm"],
     "giant_band": [
         "tests/test_parallel.py", "-k",
         "giant_still_resume or giant_still_sharded"],
