@@ -64,12 +64,27 @@ DYN_KEYS = ("center_x", "center_y", "zoom", "bailout", "iter_limit",
             "stripe_density", "brightness", "saturation", "contrast")
 
 
+def _iter_bucket(max_iter: int) -> int:
+    """Round the static compile cap up to a power of two (min 256).
+
+    The escape kernel's loop is bounded by the TRACED iter_limit; the
+    static max_iter only feeds the Pallas cost estimate, so every
+    iteration count in a bucket shares ONE compiled executable — the
+    viewer's [ / ] hotkeys (±64/step) and auto-iteration ladders would
+    otherwise recompile an identical kernel on every step (the tunneled
+    compile service costs seconds-to-minutes per executable)."""
+    b = 256
+    while b < max_iter:
+        b *= 2
+    return b
+
+
 def scene_static_cfg(scene: Scene, width: int, height: int,
                      family: str, aa_convention: str, clamp_mins: bool,
                      **kw) -> StaticCfg:
     return StaticCfg(
         family=family, width=width, height=height,
-        max_iter=int(scene.max_iterations),
+        max_iter=_iter_bucket(int(scene.max_iterations)),
         aa=max(int(scene.antialiasing_samples), 1),
         palette_mode=int(scene.palette_mode),
         interior_style=int(scene.interior_style),

@@ -231,6 +231,27 @@ def test_jit_cache_discipline():
     assert common.compiled_render_fn(cfg) is fn
 
 
+def test_iteration_counts_share_compile_bucket():
+    # the static compile cap is bucketed (the kernel loop is bounded by
+    # the TRACED iter_limit) so the viewer's [ / ] steps and ladders
+    # reuse one executable per power-of-two bucket; counts still honor
+    # the exact limit
+    from fractalrenderer_tpu import Scene
+    from fractalrenderer_tpu.models import common
+
+    fns = {id(common.compiled_render_fn(common.scene_static_cfg(
+        Scene(max_iterations=mi), 32, 16, "mandelbrot", "centered", False)))
+        for mi in (300, 364, 428, 492)}
+    assert len(fns) == 1
+    f = escape_fields("mandelbrot", 48, 32, center_x=-0.5, center_y=0.0,
+                      zoom=3.0, max_iter=512, iter_limit=300)
+    n = np.asarray(f["n"])
+    assert n.max() == 300  # interior reports the exact traced limit
+    from fractalrenderer_tpu.reference import golden
+    nref, *_ = golden.mandelbrot_fields(48, 32, -0.5, 0.0, 3.0, 300, 4.0)
+    assert_counts_consistent(f["n"], nref)
+
+
 @pytest.mark.parametrize("scene_kw", [
     dict(orbit_trap_enabled=True, orbit_trap_radius=0.3),
     dict(stripe_enabled=True, stripe_density=7.0),
