@@ -1421,8 +1421,18 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     orbit_hbm = max_iter + 1 > smem_cap
     bailout = max(2.0, float(bailout))  # comp:114
 
-    cap = int(max(max_iter + 1, 2)) if orbit_hbm \
-        else int(min(max(max_iter + 1, 2), smem_cap))
+    if orbit_hbm:
+        cap = int(max(max_iter + 1, 2))
+    else:
+        # Bucket the SMEM orbit cap to a power of two (bounded by the
+        # SMEM budget): cap is a static kernel argument, so without
+        # bucketing every max_iter change recompiles an identical kernel
+        # (the iteration bound itself is the TRACED Q_LIMIT param and
+        # zeros past the stored orbit are the normal trimmed-orbit case).
+        b = 256
+        while b < max_iter + 1:
+            b *= 2
+        cap = int(min(b, smem_cap))
     # Clamp to cap: reusing one deep orbit across frames with smaller
     # iteration caps legitimately passes len(orbit) > max_iter + 1.
     L = int(min(len(orbit), cap))
