@@ -178,7 +178,12 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
         offx = params_ref[0, P_OFFX]
         offy = params_ref[0, P_OFFY]
         bail2 = params_ref[0, P_BAIL2]
-        limit = params_ref[0, P_LIMIT].astype(jnp.int32)
+        # the static cap is REAL: the traced limit is clamped to it (and
+        # to the f32 counter ceiling), so an oversized iter_limit can't
+        # saturate the f32 nf counter into wrong counts
+        limit = jnp.minimum(
+            params_ref[0, P_LIMIT],
+            jnp.float32(min(max_iter_cap, (1 << 24) - 1))).astype(jnp.int32)
         a0 = params_ref[0, P_A0]
         a1 = params_ref[0, P_A1]
         a2 = params_ref[0, P_A2]
@@ -459,6 +464,10 @@ def escape_fields(family: str, width: int, height: int, *,
         assert family in ("mandelbrot", "julia", "burning_ship") \
             and not track_trap and not track_stripe and not track_deriv, \
             "fused coloring needs a plain (no trap/stripe/deriv) render"
+        assert not (family == "mandelbrot" and int(fused_color[1]) == 2), \
+            "mandelbrot interior_style 2 (trap glow) reads the tracked " \
+            "trap field — the fused path feeds a placeholder; use the " \
+            "unfused pipeline (models/common gates this automatically)"
         fused_color = (int(fused_color[0]), int(fused_color[1]),
                        bool(fused_color[2]),
                        bool(fused_color[3]) if len(fused_color) > 3

@@ -7,9 +7,11 @@ reference (BASELINE.json demands a *correct, glitch-free* render):
    ``z_full = orbit[i] + dz_{i+1}`` (test_deep_zoom.comp:165), mixing orbit
    step i with delta step i+1; we test against ``orbit[i+1]``.
 2. Glitch detection (Pauldelbrot criterion): a pixel whose full value
-   collapses to ``|z| < tol * |Z_ref|`` has lost all relative precision and
-   is flagged; the deep-zoom model re-renders flagged pixels against a
-   secondary reference orbit (models/deep_zoom.py).  The reference shipped
+   collapses to ``|z|^2 < glitch_tol * |Z_ref|^2`` (i.e. ``|z| <
+   sqrt(glitch_tol) * |Z_ref|`` — the default 1e-6 is the standard 1e-3
+   magnitude threshold) has lost all relative precision and is flagged;
+   the deep-zoom model re-renders flagged pixels against a secondary
+   reference orbit (models/deep_zoom.py).  The reference shipped
    detection only in its unused shader (mandelbrot_deep_zoom.comp:253-259).
 
 Coordinate mapping (test_deep_zoom.comp:117-143): uv = texel/size;
@@ -243,7 +245,7 @@ def _dd_diffabs(X, d):
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int], chunk: int,
                  float_continuation: bool, dd_delta: bool = False,
-                 orbit_hbm: bool = False, orbit_cap: int = 0,
+                 orbit_hbm: bool = False,
                  scaled: bool = False, rebase: bool = False,
                  julia: bool = False, ship: bool = False,
                  phoenix: bool = False, aa_stack=None):
@@ -460,13 +462,15 @@ def _make_kernel(width: int, height: int, map_height: int,
         ar, ai = params_ref[0, Q_AR], params_ref[0, Q_AI]
         br, bi = params_ref[0, Q_BR], params_ref[0, Q_BI]
         cr3, ci3 = params_ref[0, Q_CR], params_ref[0, Q_CI]
-        tr, ti = cr3, ci3
-        tr, ti = (tr * delta_r - ti * delta_i + br,
-                  tr * delta_i + ti * delta_r + bi)
-        tr, ti = (tr * delta_r - ti * delta_i + ar,
-                  tr * delta_i + ti * delta_r + ai)
-        dz0r = tr * delta_r - ti * delta_i
-        dz0i = tr * delta_i + ti * delta_r
+        # horner accumulator (hr/hi, NOT tr/ti: `ti` is the tile-row
+        # program id above and must stay visible to later tile logic)
+        hr, hi = cr3, ci3
+        hr, hi = (hr * delta_r - hi * delta_i + br,
+                  hr * delta_i + hi * delta_r + bi)
+        hr, hi = (hr * delta_r - hi * delta_i + ar,
+                  hr * delta_i + hi * delta_r + ai)
+        dz0r = hr * delta_r - hi * delta_i
+        dz0i = hr * delta_i + hi * delta_r
         # In rebase mode the iteration budget is tracked per pixel (nf),
         # not by the shared index, so the orbit range is the only cap.
         pert_end = (ref_len - 1) if rebase \
@@ -1157,9 +1161,12 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  aa_stack=None):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
+    # orbit_cap is NOT consumed by the kernel body (the orbit bound comes
+    # from the operand shapes and Q_REFLEN); it stays a jit static only so
+    # the cache key names the bucket explicitly.
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
-                          orbit_cap, scaled, rebase, julia, ship, phoenix,
+                          scaled, rebase, julia, ship, phoenix,
                           aa_stack)
     comps = _state_comps(dd_delta, scaled, phoenix)
     n_state = 4 + len(comps) if rebase else 0
@@ -1406,6 +1413,12 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         # per-pixel counters (and LIMIT/REFLEN params) are f32: n+1 == n
         # past 2^24, which would wedge the interior latch
         raise ValueError("max_iter must be < 2^24 (f32 counter precision)")
+    if iter_limit is not None and int(iter_limit) >= 1 << 24:
+        # the f32 Q_LIMIT slot / nf counter saturate at 2^24: in rebase
+        # mode a stalled nf would then never reach the limit and every
+        # interior lane would burn max_passes before the HP fallback
+        raise ValueError("iter_limit must be < 2^24 (f32 counter "
+                         "precision)")
     if series is not None and max(bailout, 2.0) < 4.0:
         raise ValueError(
             "series skip requires bailout >= 4 (its escape-exactness "

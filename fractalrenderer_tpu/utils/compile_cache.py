@@ -25,6 +25,31 @@ _DEFAULT_DIR = os.path.join(
 _MAX_SIZE_BYTES = 2 * 1024**3
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    XLA:CPU AOT cache entries embed the compile machine's features; a
+    cache written on a different host loads with feature-mismatch
+    warnings and can SIGILL/SIGABRT mid-execution (observed: a pty-driven
+    CLI subprocess dying with SIGABRT when the home-dir cache carried
+    another container's entries).  Keying the directory by the host's
+    own features makes entries host-pure; a new host simply recompiles
+    into its own subdir."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    ident += line
+                    break
+    except OSError:
+        ident += platform.processor()
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def configure_persistent_cache() -> str | None:
     """Enable JAX's persistent compilation cache; return the dir in use.
 
@@ -42,7 +67,7 @@ def configure_persistent_cache() -> str | None:
         if already:
             return already
         cache_dir = (os.environ.get("FRACTAL_TPU_COMPILE_CACHE")
-                     or _DEFAULT_DIR)
+                     or os.path.join(_DEFAULT_DIR, _host_fingerprint()))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

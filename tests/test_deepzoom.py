@@ -1216,6 +1216,20 @@ def test_fx_from_man_frexp_invariant_on_allones_mantissa():
         assert (m, e) == (float(mw), int(ew))
 
 
+def test_iter_limit_f32_ceiling_rejected():
+    # Q_LIMIT and the per-pixel nf counter are f32; past 2^24 a stalled
+    # nf never reaches the limit and rebase lanes would burn max_passes
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    orb = orbit.compute_orbit("-0.75", "0.05", 128, 50)
+    with pytest.raises(ValueError, match="iter_limit"):
+        perturbation_fields(orb, 8, 6, center_x_dd=(-0.75, 0.0),
+                            center_y_dd=(0.05, 0.0),
+                            zoom_dd=(1e-9, 0.0), max_iter=49,
+                            iter_limit=1 << 24,
+                            float_continuation=False, rebase=True)
+
+
 def test_orbit_exp_rejected_outside_julia_fx_path():
     # exponent streams only mean something on the julia floatexp path;
     # anywhere else the [0.5,1) mantissas would silently render as

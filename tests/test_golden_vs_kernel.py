@@ -231,6 +231,19 @@ def test_jit_cache_discipline():
     assert common.compiled_render_fn(cfg) is fn
 
 
+def test_oversized_iter_limit_clamps_to_static_cap():
+    # the traced limit is clamped in-kernel to the static cap (and the
+    # f32 counter ceiling), so an oversized iter_limit cannot saturate
+    # the f32 counter into wrong counts
+    f = escape_fields("mandelbrot", 32, 16, center_x=-0.5, center_y=0.0,
+                      zoom=3.0, max_iter=96, iter_limit=10 ** 8)
+    n = np.asarray(f["n"])
+    assert n.max() == 96
+    f2 = escape_fields("mandelbrot", 32, 16, center_x=-0.5, center_y=0.0,
+                       zoom=3.0, max_iter=96)
+    np.testing.assert_array_equal(n, np.asarray(f2["n"]))
+
+
 def test_iteration_counts_share_compile_bucket():
     # the static compile cap is bucketed (the kernel loop is bounded by
     # the TRACED iter_limit) so the viewer's [ / ] steps and ladders
