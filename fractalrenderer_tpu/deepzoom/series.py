@@ -12,8 +12,10 @@ with host-side recurrences (complex doubles, O(L) work):
     B_{n+1} = 2·Z_n·B_n + A_n²
     C_{n+1} = 2·Z_n·C_n + 2·A_n·B_n
 
-``n_skip`` is the largest n where the truncation term stays below ``tol``
-of the series value for the largest |δc| in the view AND |δ_n| stays small.
+``n_skip`` is the largest n where the cubic truncation term stays below
+``tol`` of the LINEAR term (|C·δc³| <= tol·|A·δc| — stricter than
+relative-to-the-sum, since |A·δc| <= |δ_est|) for the largest |δc| in the
+view AND |δ_n| stays small.
 With bailout ≥ 4 and |Z_n| ≤ 2 pre-escape, |z| ≤ |Z| + |δ| < bailout, so no
 pixel can escape during the skipped iterations — the skip is *exact* with
 respect to iteration counts.

@@ -76,7 +76,10 @@ def _iter_bucket(max_iter: int) -> int:
     b = 256
     while b < max_iter:
         b *= 2
-    return b
+    # the kernel layer rejects caps >= 2^24 (f32 counter exactness); a
+    # legal max_iterations in (2^23, 2^24) must not bucket into the
+    # rejected value
+    return min(b, (1 << 24) - 1)
 
 
 def scene_static_cfg(scene: Scene, width: int, height: int,
@@ -129,9 +132,13 @@ def _track_flags(cfg: StaticCfg) -> Tuple[bool, bool]:
 def _color_params(cfg: StaticCfg, dyn: dict) -> ColorParams:
     # Traced floats are fine inside ColorParams for the jnp backend.
     # max_iterations follows the (possibly per-frame) iteration limit, not
-    # the static compile cap, so batched animation frames color correctly.
+    # the static compile cap, so batched animation frames color correctly —
+    # clamped to the cap exactly like the kernel clamps n, so an oversized
+    # limit can't make the interior test (n >= max_iterations) unreachable.
     return ColorParams(
-        max_iterations=dyn["iter_limit"],
+        max_iterations=jnp.minimum(jnp.asarray(dyn["iter_limit"],
+                                               jnp.float32),
+                                   jnp.float32(cfg.max_iter)),
         bailout=dyn["bailout"],
         palette_mode=cfg.palette_mode,
         color_offset=dyn["color_offset"],

@@ -33,13 +33,6 @@ def two_sum(xp, a, b):
     return s, e
 
 
-def fast_two_sum(xp, a, b):
-    """Dekker fast two-sum; requires |a| >= |b|."""
-    s = a + b
-    e = b - (s - a)
-    return s, e
-
-
 def split(xp, a):
     """Veltkamp split of an f32 into 12+12-bit halves (hi + lo == a)."""
     c = f32(xp, _SPLIT) * a
@@ -65,17 +58,50 @@ def dd_from_float(xp, v):
     return f32(xp, v), xp.zeros_like(f32(xp, v))
 
 
-def dd_from_fraction(frac) -> Tuple[float, float]:
-    """Exact rational → (hi, lo) f32 pair: hi is the f32 rounding of the
-    value, lo the f32 rounding of the exact residual.  The single split
-    implementation behind dd_from_string/dd_from_double and the
-    perturbation parameter packing."""
+def _f32_round_fraction(frac) -> float:
+    """Correctly-rounded (half-even) f32 of an exact Fraction.
+
+    Routing through ``float(frac)`` first double-rounds: a value inside
+    the f64 tie region of an f32 half-ulp boundary (needs > 53 bits to
+    resolve) lands one f32 ulp off.  Rounding straight from the rational
+    keeps hi canonical, so |lo| <= 0.5 ulp(hi) always holds."""
     import numpy as np
     from fractions import Fraction
 
-    hi = np.float32(float(frac))
-    lo = np.float32(float(frac - Fraction(float(hi))))
-    return float(hi), float(lo)
+    frac = Fraction(frac)
+    if frac == 0:
+        return 0.0
+    sign = -1.0 if frac < 0 else 1.0
+    m = abs(frac)
+    k = m.numerator.bit_length() - m.denominator.bit_length()
+    e = k if m >= Fraction(2) ** k else k - 1  # 2^e <= m < 2^(e+1)
+    if e > 128:
+        return float(np.float32(sign * np.inf))
+    shift = (23 - e) if e >= -126 else 149  # subnormal grid at 2^-149
+    scaled = m * (1 << shift) if shift >= 0 else m / (1 << -shift)
+    n = scaled.numerator // scaled.denominator
+    rem2 = 2 * (scaled - n)
+    if rem2 > 1 or (rem2 == 1 and n % 2 == 1):
+        n += 1
+    # n <= 2^24, exactly representable in f64; scaling by a power of two
+    # onto the f32 grid converts exactly
+    return float(np.float32(sign * np.ldexp(np.float64(n), -shift)))
+
+
+def dd_from_fraction(frac) -> Tuple[float, float]:
+    """Exact rational → (hi, lo) f32 pair: hi is the correctly-rounded
+    f32 of the value, lo the correctly-rounded f32 of the exact residual.
+    The single split implementation behind dd_from_string/dd_from_double
+    and the perturbation parameter packing."""
+    import math
+    from fractions import Fraction
+
+    frac = Fraction(frac)
+    hi = _f32_round_fraction(frac)
+    if not math.isfinite(hi):
+        return hi, 0.0
+    lo = _f32_round_fraction(frac - Fraction(hi))
+    return hi, lo
 
 
 def dd_from_double(v: float) -> Tuple[float, float]:

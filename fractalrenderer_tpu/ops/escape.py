@@ -181,9 +181,10 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
         # the static cap is REAL: the traced limit is clamped to it (and
         # to the f32 counter ceiling), so an oversized iter_limit can't
         # saturate the f32 nf counter into wrong counts
-        limit = jnp.minimum(
+        limit_f = jnp.minimum(
             params_ref[0, P_LIMIT],
-            jnp.float32(min(max_iter_cap, (1 << 24) - 1))).astype(jnp.int32)
+            jnp.float32(min(max_iter_cap, (1 << 24) - 1)))
+        limit = limit_f.astype(jnp.int32)
         a0 = params_ref[0, P_A0]
         a1 = params_ref[0, P_A1]
         a2 = params_ref[0, P_A2]
@@ -327,8 +328,10 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
             from . import coloring as _col
 
             palette_mode, interior_style, clamp_mins, with_post = fused_color
+            # the clamped limit, matching the n the loop produced — an
+            # oversized traced limit must not unmoor the interior test
             cp = _col.ColorParams(
-                max_iterations=params_ref[0, P_LIMIT],
+                max_iterations=limit_f,
                 bailout=params_ref[0, P_BAILOUT],
                 palette_mode=palette_mode,
                 color_offset=params_ref[0, P_COFF],

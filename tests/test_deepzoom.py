@@ -70,6 +70,52 @@ def test_dd_from_string_beats_double():
     assert err_dd < Fraction(1, 10 ** 13)
 
 
+def test_dd_from_fraction_correct_rounding():
+    # hi must be the round-half-even f32 of the exact value, NOT of its
+    # f64 rounding: 1 + 2^-24 + 2^-60 sits above the f32 half-ulp tie,
+    # so correct rounding gives 1 + 2^-23 — routing through float() first
+    # collapses to the exact tie in f64 and half-even rounds DOWN to 1.0
+    from fractions import Fraction
+
+    v = Fraction(1) + Fraction(1, 2 ** 24) + Fraction(1, 2 ** 60)
+    hi, lo = dd.dd_from_fraction(v)
+    assert hi == float(np.float32(1.0 + 2.0 ** -23))
+    assert np.float32(float(v)) == np.float32(1.0)  # the double-round trap
+    # the pair still reconstructs the value to dd precision, canonically
+    assert abs(Fraction(hi) + Fraction(lo) - v) < Fraction(1, 2 ** 47)
+    assert abs(lo) <= 2.0 ** -24 * abs(hi) * 1.0001  # |lo| <= 0.5 ulp(hi)
+    # random sweep: hi/lo always within a half-ulp split, value preserved
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        f = (Fraction(int(rng.integers(-10 ** 12, 10 ** 12)))
+             / Fraction(int(rng.integers(1, 10 ** 12))))
+        hi, lo = dd.dd_from_fraction(f)
+        assert hi == float(np.float32(np.float64(hi)))
+        assert abs(Fraction(hi) + Fraction(lo) - f) \
+            <= abs(f) * Fraction(1, 2 ** 45) + Fraction(1, 2 ** 120)
+    # subnormal and zero edges
+    assert dd.dd_from_fraction(0) == (0.0, 0.0)
+    tiny = Fraction(1, 2 ** 140)
+    hi, lo = dd.dd_from_fraction(tiny)
+    assert hi == float(np.float32(2.0 ** -140))
+
+
+def test_dd_add_float_matches_reference_semantics(rng):
+    # dd + plain f32 (the reference's dd_add_sf): value-identical to
+    # dd_add with a zero-lo pair, error below dd precision
+    va = rng.uniform(-2, 2, 128)
+    b = rng.uniform(-2, 2, 128).astype(np.float32)
+    ah = va.astype(np.float32)
+    al = (va - ah.astype(np.float64)).astype(np.float32)
+    h1, l1 = dd.dd_add_float(np, (ah, al), b)
+    h2, l2 = dd.dd_add(np, (ah, al), (b, np.zeros_like(b)))
+    got = h1.astype(np.float64) + l1.astype(np.float64)
+    want = va + b.astype(np.float64)
+    assert np.abs(got - want).max() < 2 ** -40
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(l1, l2)
+
+
 def test_dd_complex_square_add():
     # (1.5 + 0.25i)^2 + (0.1 + 0.2i) = 2.1875 + 0.95i
     zr = dd.dd_from_float(np, np.float32(1.5))

@@ -231,6 +231,41 @@ def test_jit_cache_discipline():
     assert common.compiled_render_fn(cfg) is fn
 
 
+def test_iter_bucket_stays_below_f32_ceiling():
+    # a legal max_iterations in (2^23, 2^24) must not bucket into the
+    # rejected 2^24 cap (regression: _iter_bucket(9M) returned 1<<24,
+    # which escape_fields rejects)
+    from fractalrenderer_tpu import Scene
+    from fractalrenderer_tpu.models import common
+
+    assert common._iter_bucket(9_000_000) == (1 << 24) - 1
+    # renders (all-escaping viewport so the 9M limit costs nothing)
+    s = Scene(max_iterations=9_000_000, center_x=10.0, center_y=10.0)
+    cfg = common.scene_static_cfg(s, 16, 8, "mandelbrot", "centered", False)
+    out = np.asarray(common.compiled_render_fn(cfg)(
+        common.scene_dyn_params(s)))
+    assert np.isfinite(out).all()
+
+
+def test_oversized_iter_limit_colors_interior_consistently():
+    # coloring clamps max_iterations exactly like the kernel clamps n:
+    # a frame whose iter_limit exceeds the static cap must color interior
+    # pixels identically to the in-cap limit, not route them through the
+    # exterior path
+    from fractalrenderer_tpu import Scene
+    from fractalrenderer_tpu.models import common
+
+    s = Scene(max_iterations=96)
+    cfg = common.scene_static_cfg(s, 32, 16, "mandelbrot", "centered",
+                                  False)
+    fn = common.compiled_render_fn(cfg)
+    dyn_ok = common.scene_dyn_params(s)
+    dyn_over = dict(dyn_ok, iter_limit=float(cfg.max_iter) + 1000.0)
+    np.testing.assert_array_equal(
+        np.asarray(fn(dyn_over)),
+        np.asarray(fn(dict(dyn_ok, iter_limit=float(cfg.max_iter)))))
+
+
 def test_oversized_iter_limit_clamps_to_static_cap():
     # the traced limit is clamped in-kernel to the static cap (and the
     # f32 counter ceiling), so an oversized iter_limit cannot saturate
