@@ -54,8 +54,16 @@ def render_fields(scene: Scene, width: int, height: int,
                   orbit_cache: dict = None, mesh=None,
                   ref_center: Tuple[str, str] = None,
                   rebasing: bool = True, max_passes: int = 256,
-                  aa_spp: int = 1):
+                  aa_spp: int = 1,
+                  row_band: Tuple[int, int] = None):
     """Returns (n, zx, zy, glitch_remaining, info dict).
+
+    ``row_band``: optional (row0, band_h) — render only ``band_h`` rows of
+    the full ``height``-tall image starting at global row ``row0`` (the
+    pixel mapping, series bound, and HP fallback all keep the full-image
+    geometry).  The giant-still exporter (parallel/tiled.py) streams
+    poster-size deep zooms band by band through this, sharing one
+    reference orbit via ``orbit_cache``.
 
     ``orbit_cache``: optional dict keyed by HP center strings; lets
     supersampled renders and zoom animations reuse reference orbits across
@@ -77,6 +85,16 @@ def render_fields(scene: Scene, width: int, height: int,
     if aa_spp > 1:
         assert rebasing and mesh is None and offset == (0.0, 0.0), \
             "aa_spp needs the rebasing pipeline, no mesh, default offset"
+        assert row_band is None, \
+            "aa_spp does not combine with banded rendering (tiled.py " \
+            "giants render subpixel offsets sequentially per band)"
+    band_kw = {}
+    row_off = 0
+    if row_band is not None:
+        row_off, band_h = int(row_band[0]), int(row_band[1])
+        band_kw = {"row0": float(row_off), "map_height": height}
+    else:
+        band_h = height
     if mesh is not None:
         import functools
 
@@ -230,7 +248,7 @@ def render_fields(scene: Scene, width: int, height: int,
             series = compute_series_skip(orbit, dc_max)
 
     f = field_fn(
-        orbit, width, height, center_x_dd=center_x_dd,
+        orbit, width, band_h, center_x_dd=center_x_dd,
         center_y_dd=center_y_dd, zoom_dd=zoom_dd, max_iter=max_iter,
         bailout=scene.bailout, glitch_tol=glitch_tol, offset=offset,
         float_continuation=(float_cont and not julia), series=series,
@@ -242,7 +260,7 @@ def render_fields(scene: Scene, width: int, height: int,
                    float(Fraction(str(orbit_center[1]))))
                   if julia else None),
         **({"orbit_exp": orbit_exp} if orbit_exp is not None else {}),
-        **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **shift_kw)
+        **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **band_kw, **shift_kw)
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
@@ -273,9 +291,11 @@ def render_fields(scene: Scene, width: int, height: int,
     step_fr = Fraction(str(zoom)) * 4 / (height * height)
 
     def pixel_c(py, px, off=None):
+        # py is band-local when row_band is set; the mapping is global
         off = offset if off is None else off
         dcx = step_fr * (Fraction(px + off[0]) - Fraction(width, 2))
-        dcy = step_fr * (Fraction(py + off[1]) - Fraction(height, 2))
+        dcy = step_fr * (Fraction(py + row_off + off[1])
+                         - Fraction(height, 2))
         return (cx_hp + HPFloat(dcx, hp_bits), cy_hp + HPFloat(dcy, hp_bits))
 
     refs = 1
@@ -307,7 +327,7 @@ def render_fields(scene: Scene, width: int, height: int,
         sx_str = (cx_hp - ref_cx).to_string(digs)
         sy_str = (cy_hp - ref_cy).to_string(digs)
         f2 = field_fn(
-            orbit2, width, height,
+            orbit2, width, band_h,
             center_x_dd=dd_from_string(ref_cx.to_string(40)),
             center_y_dd=dd_from_string(ref_cy.to_string(40)),
             zoom_dd=zoom_dd, max_iter=max_iter, bailout=scene.bailout,
@@ -316,7 +336,7 @@ def render_fields(scene: Scene, width: int, height: int,
             ref_shift_y=dd_from_string(sy_str),
             offset=offset, float_continuation=float_cont, dd_delta=dd_delta,
             scaled_delta=scaled, zoom_frac=str(zoom),
-            ref_shift_x_frac=sx_str, ref_shift_y_frac=sy_str)
+            ref_shift_x_frac=sx_str, ref_shift_y_frac=sy_str, **band_kw)
         n2 = np.asarray(f2["n"])
         zx2 = np.asarray(f2["zx"])
         zy2 = np.asarray(f2["zy"])

@@ -306,6 +306,49 @@ def render(scene: Scene, width: int, height: int,
     return fn({k: getattr(p, k) for k in _DYN_FIELDS})
 
 
+def band_render_fn(scene: Scene, width: int, band_h: int, full_h: int,
+                   pallas_march: bool = True):
+    """Build ``fn(dyn, row0)`` rendering ``band_h`` local rows whose global
+    first row is the traced scalar ``row0`` — the same signature as
+    models.common.band_render_fn, so the mesh shards (render_sharded) and
+    the giant-still exporter (parallel/tiled.py) drive the bulb through
+    the identical band pipeline as the 2D families.  ``dyn`` is the
+    traced-f32 dict from :func:`dyn_params`."""
+    p = _bulb_params(scene)
+    int_power = _static_int_power(p)
+
+    def fn(dyn, row0):
+        # identical traced-f32 parameter plumbing to the single-device
+        # _compiled path, so banded output stays bit-comparable to it
+        pt = bm.BulbParams(
+            max_iterations=p.max_iterations, palette_mode=p.palette_mode,
+            aa_samples=p.aa_samples,
+            **{k: jnp.asarray(dyn[k], jnp.float32) for k in _DYN_FIELDS})
+        acc = jnp.zeros((band_h, width, 3), jnp.float32)
+        aa = p.aa_samples
+        for sy in range(aa):
+            for sx in range(aa):
+                acc = acc + _render_sample(
+                    jnp, _de_jax, width, band_h, pt, (sx / aa, sy / aa),
+                    pallas_march=pallas_march,
+                    kernel_shading=pallas_march, row0=row0,
+                    map_height=full_h, int_power=int_power)
+        color = acc / jnp.float32(aa * aa)
+        color = coloring.enhance_color(jnp, color, pt.brightness,
+                                       pt.saturation, pt.contrast)
+        color = coloring.aces_tonemap(jnp, color)
+        return coloring.gamma_correct(jnp, color)
+
+    return fn
+
+
+def dyn_params(scene: Scene) -> dict:
+    """The traced-parameter dict consumed by :func:`band_render_fn` (host
+    floats; callers lift to jnp.float32)."""
+    p = _bulb_params(scene)
+    return {k: float(getattr(p, k)) for k in _DYN_FIELDS}
+
+
 def render_sharded(scene: Scene, width: int, height: int, mesh=None,
                    pallas_march: bool = True) -> np.ndarray:
     """Row-band-sharded bulb render (gather-free, same decomposition as the
@@ -320,37 +363,19 @@ def render_sharded(scene: Scene, width: int, height: int, mesh=None,
     n_rows = mesh.shape["rows"]
     h_pad = pad_to_multiple(height, n_rows)
     band_h = h_pad // n_rows
-    p = _bulb_params(scene)
-    int_power = _static_int_power(p)
+    band_fn = band_render_fn(scene, width, band_h, height,
+                             pallas_march=pallas_march)
 
     def shard_body(dyn):
-        # identical traced-f32 parameter plumbing to the single-device
-        # _compiled path, so sharded output stays bit-comparable to it
-        pt = bm.BulbParams(
-            max_iterations=p.max_iterations, palette_mode=p.palette_mode,
-            aa_samples=p.aa_samples, **dyn)
         ridx = jax.lax.axis_index("rows")
         row0 = (ridx * band_h).astype(jnp.float32)
-        acc = jnp.zeros((band_h, width, 3), jnp.float32)
-        aa = p.aa_samples
-        for sy in range(aa):
-            for sx in range(aa):
-                acc = acc + _render_sample(
-                    jnp, _de_jax, width, band_h, pt, (sx / aa, sy / aa),
-                    pallas_march=pallas_march,
-                    kernel_shading=pallas_march, row0=row0,
-                    map_height=height, int_power=int_power)
-        color = acc / jnp.float32(aa * aa)
-        color = coloring.enhance_color(jnp, color, pt.brightness,
-                                       pt.saturation, pt.contrast)
-        color = coloring.aces_tonemap(jnp, color)
-        return coloring.gamma_correct(jnp, color)
+        return band_fn(dyn, row0)
 
     fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=({k: P() for k in _DYN_FIELDS},),
         out_specs=P("rows"), check_vma=False))
-    out = fn({k: jnp.float32(getattr(p, k)) for k in _DYN_FIELDS})
+    out = fn({k: jnp.float32(v) for k, v in dyn_params(scene).items()})
     return np.asarray(out)[:height]
 
 

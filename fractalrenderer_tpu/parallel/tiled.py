@@ -35,6 +35,16 @@ from .mesh import make_render_mesh, pad_to_multiple
 _FAMILY = common.family_map()
 
 
+def _quantize_host(x: np.ndarray, bit_depth: int) -> np.ndarray:
+    """Identical clip/scale/round-truncate to the on-device ``_quantize``
+    in render_giant_still (and utils.png._prepare_rows), for bands whose
+    producer returns host f32 (the deep-zoom path)."""
+    x = np.clip(x, 0.0, 1.0)
+    if bit_depth == 8:
+        return (x * 255.0 + 0.5).astype(np.uint8)
+    return (x * 65535.0 + 0.5).astype(np.uint16)
+
+
 def render_sharded(scene: Scene, width: int, height: int,
                    mesh: Optional[Mesh] = None) -> np.ndarray:
     """Render one frame with its rows sharded across the mesh's 'rows' axis
@@ -122,17 +132,22 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
     n_rows = mesh.shape["rows"]
     h_pad = pad_to_multiple(height, n_rows)
     band_h = h_pad // n_rows
+    # A giant-still band render (models/deep_zoom.render_fields row_band)
+    # may itself be a window of a taller image: its global row offset and
+    # the full map height compose with the per-device sub-banding here.
+    row0_base = float(pert_kw.pop("row0", 0.0))
+    map_h = int(pert_kw.pop("map_height", height))
 
     # Build the replicated operands once on host (row0 patched per shard).
     operands, call_kw = pert.perturbation_fields(
-        orbit, width, band_h, map_height=height, _build_only=True, **pert_kw)
+        orbit, width, band_h, map_height=map_h, _build_only=True, **pert_kw)
 
     rebase = "max_passes" in call_kw
 
     def shard_body(params, ore, oim, om2, orel, oiml, orex, oimx):
         ridx = jax.lax.axis_index("rows")
         p2 = params.at[0, pert.Q_ROW0].set(
-            (ridx * band_h).astype(jnp.float32))
+            jnp.float32(row0_base) + (ridx * band_h).astype(jnp.float32))
         if rebase:
             n, zx, zy, g, want, k = pert._pert_rebase_call(
                 p2, ore, oim, om2, orel, oiml, orex, oimx, **call_kw)
@@ -175,6 +190,13 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
     ``band_%05d.png`` in ``tile_dir``, and finally assembled into one PNG by
     streaming scanlines — peak host memory is one band.  With ``resume``,
     completed bands are skipped on restart (manifest.json tracks geometry).
+
+    Every fractal family is supported, matching the reference's
+    print-export of whatever fractal is active (vk_engine.cpp:1796-2232):
+    the 2D escape families and the mandelbulb render device-side through
+    their shared ``(dyn, row0)`` band pipelines; DEEP_ZOOM scenes stream
+    through ``models.deep_zoom.render_fields(row_band=...)`` with one
+    reference orbit shared across all bands.
     """
     tile_dir = tile_dir or out_path + ".tiles"
     os.makedirs(tile_dir, exist_ok=True)
@@ -198,33 +220,92 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         json.dump(manifest, f)
     os.replace(tmp_manifest, manifest_path)
 
-    fam, conv, clamp = _FAMILY[scene.fractal_type]
-    cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)
+    from ..scene import FractalType
+
     n_bands = -(-height // band_rows)
     rendered = 0
     skipped = 0
+    ft = scene.fractal_type
+    deep = ft == FractalType.DEEP_ZOOM
 
-    if use_mesh:
-        if mesh is None:
+    if deep:
+        # Deep-zoom giants: one reference orbit (orbit_cache) serves every
+        # band; render_fields(row_band=...) windows the full-image mapping
+        # so each band is bit-identical to the same rows of a full render.
+        # The producer is host-driven (multi-pass rebase + host coloring),
+        # so bands return as ready-quantized numpy instead of device
+        # arrays — the streaming/emit pipeline below is shared.
+        if use_mesh and mesh is None:
             mesh = make_render_mesh()
-        n_rows = mesh.shape["rows"]
-        sub_h = pad_to_multiple(band_rows, n_rows) // n_rows
-        band_fn = common.band_render_fn(cfg, sub_h, height)
+        from ..models import deep_zoom as _dz
+        from ..ops import coloring as _coloring
+        from ..ops.coloring import ColorParams
+        from ..utils.diag import validate_scene
 
-        def shard_body(dyn, band_row0):
-            ridx = jax.lax.axis_index("rows")
-            row0 = band_row0 + (ridx * sub_h).astype(jnp.float32)
-            return band_fn(dyn, row0)
+        dz_scene = validate_scene(scene)
+        spp = max(int(dz_scene.samples_per_pixel), 1)
+        dz_cp = ColorParams(
+            max_iterations=dz_scene.max_iterations,
+            bailout=dz_scene.bailout,
+            palette_mode=dz_scene.palette_mode,
+            color_offset=dz_scene.color_offset,
+            color_scale=dz_scene.color_scale)
+        dz_cache: Dict = {}
 
-        sharded = jax.jit(jax.shard_map(
-            shard_body, mesh=mesh,
-            in_specs=(P(), P()), out_specs=P("rows"),
-            check_vma=False))
+        def produce_band(row0: int):
+            acc = np.zeros((band_rows, width, 3), np.float32)
+            for sy in range(spp):
+                for sx in range(spp):
+                    off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
+                    n, zx, zy, _g, _i = _dz.render_fields(
+                        dz_scene, width, height, offset=off,
+                        orbit_cache=dz_cache, row_band=(row0, band_rows),
+                        mesh=mesh if use_mesh else None)
+                    acc += np.asarray(
+                        _coloring.color_deep_zoom(np, n, zx, zy, dz_cp))
+            if row0 + band_rows > height:
+                # rows past the image bottom are padding (possibly NaN
+                # from unmapped lanes) — they are sliced off downstream
+                acc[height - row0:] = 0.0
+            return _quantize_host(acc / np.float32(spp * spp), bit_depth)
     else:
-        band_fn = common.band_render_fn(cfg, band_rows, height)
-        sharded = jax.jit(band_fn)
+        if ft == FractalType.MANDELBULB:
+            from ..models import mandelbulb as _mb
 
-    dyn = {k: jnp.float32(v) for k, v in common.scene_dyn_params(scene).items()}
+            def make_band_fn(bh):
+                return _mb.band_render_fn(scene, width, bh, height)
+
+            dyn_host = _mb.dyn_params(scene)
+        else:
+            fam, conv, clamp = _FAMILY[ft]
+            cfg = common.scene_static_cfg(scene, width, height, fam, conv,
+                                          clamp)
+
+            def make_band_fn(bh):
+                return common.band_render_fn(cfg, bh, height)
+
+            dyn_host = common.scene_dyn_params(scene)
+
+        if use_mesh:
+            if mesh is None:
+                mesh = make_render_mesh()
+            n_rows = mesh.shape["rows"]
+            sub_h = pad_to_multiple(band_rows, n_rows) // n_rows
+            band_fn = make_band_fn(sub_h)
+
+            def shard_body(dyn, band_row0):
+                ridx = jax.lax.axis_index("rows")
+                row0 = band_row0 + (ridx * sub_h).astype(jnp.float32)
+                return band_fn(dyn, row0)
+
+            sharded = jax.jit(jax.shard_map(
+                shard_body, mesh=mesh,
+                in_specs=(P(), P()), out_specs=P("rows"),
+                check_vma=False))
+        else:
+            sharded = jax.jit(make_band_fn(band_rows))
+
+        dyn = {k: jnp.float32(v) for k, v in dyn_host.items()}
 
     # Fully pipelined export: bands render in FINAL scanline order
     # (reversed — export orientation is a vertical flip), dispatching band
@@ -305,11 +386,14 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                 emit(png.read_png(tile_path))
                 continue
             row0 = b * band_rows
-            arr = _quantize(sharded(dyn, jnp.float32(row0)))
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass  # not every backend exposes async D2H
+            if deep:
+                arr = produce_band(row0)  # host numpy, already quantized
+            else:
+                arr = _quantize(sharded(dyn, jnp.float32(row0)))
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass  # not every backend exposes async D2H
             inflight.append((b, arr, row0, tile_path))
             if len(inflight) >= 2:
                 drain_one()

@@ -254,3 +254,63 @@ def test_animation_renderer_mesh_equals_single(tmp_path):
         np.testing.assert_array_equal(
             read_png(os.path.join(single_dir, f)),
             read_png(os.path.join(mesh_dir, f)))
+
+
+def test_giant_still_mandelbulb(tmp_path):
+    # The bulb joins the giant-still exporter through the same
+    # (dyn, row0) band pipeline as the 2D families — banded output is
+    # bit-identical to a monolithic render (per-lane predicated updates
+    # make the march independent of tile grouping).
+    from fractalrenderer_tpu.models import mandelbulb
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(fractal_type=FractalType.MANDELBULB, max_iterations=24)
+    out = str(tmp_path / "bulb.png")
+    info = render_giant_still(s, 64, 48, out, band_rows=16, bit_depth=8,
+                              dpi=None)
+    assert info["rendered"] == 3
+    img = read_png(out)
+    ref = np.asarray(mandelbulb.render(s, 64, 48))[::-1]
+    ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(img, ref8)
+
+
+def test_giant_still_deep_zoom(tmp_path):
+    # Deep-zoom giants: one reference orbit serves every band
+    # (render_fields row_band windows the full-image mapping), so the
+    # streamed 16-bit PNG equals a monolithic deep-zoom render exactly.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300)
+    out = str(tmp_path / "deep.png")
+    info = render_giant_still(s, 48, 40, out, band_rows=16, bit_depth=16,
+                              dpi=None)
+    assert info["rendered"] == 3
+    img = read_png(out)
+    assert img.shape == (40, 48, 3)
+    ref = np.asarray(deep_zoom.render(s, 48, 40))[::-1]
+    ref16 = (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(img, ref16)
+
+
+def test_giant_still_deep_zoom_mesh(tmp_path):
+    # use_mesh composes with deep-zoom banding: the giant band's global
+    # row offset and the per-device sub-bands add up inside
+    # perturbation_fields_sharded — still bit-identical.
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300)
+    plain = str(tmp_path / "deep.png")
+    meshed = str(tmp_path / "deep_mesh.png")
+    render_giant_still(s, 48, 32, plain, band_rows=16, bit_depth=16,
+                       dpi=None)
+    render_giant_still(s, 48, 32, meshed, band_rows=16, bit_depth=16,
+                       dpi=None, use_mesh=True)
+    np.testing.assert_array_equal(read_png(plain), read_png(meshed))
