@@ -402,6 +402,22 @@ def distance_estimate(xp, n, zx, zy, dzx, dzy, max_iterations):
 def color_deep_zoom(xp, n, zx, zy, p: ColorParams):
     """test_deep_zoom.comp:73-103.  No post chain (the reference's deep-zoom
     shader writes raw palette colors)."""
+    import contextlib
+
+    import numpy as _np
+
+    # Interior lanes carry poison-latched |z| ~ f32-max; their inf/NaN
+    # smooth values are masked by `inside` below, but host numpy warns on
+    # the way there (the device path is warning-free).  Keep the exact
+    # sqrt(x^2+y^2) formula (hypot would differ by ulps from the shader's
+    # f32 length()) and silence only the numpy path.
+    ctx = _np.errstate(over="ignore", invalid="ignore") \
+        if xp is _np else contextlib.nullcontext()
+    with ctx:
+        return _color_deep_zoom(xp, n, zx, zy, p)
+
+
+def _color_deep_zoom(xp, n, zx, zy, p: ColorParams):
     max_iter = _f32(xp, p.max_iterations)
     nf = n.astype(xp.float32)
     lenz = xp.maximum(xp.sqrt(zx * zx + zy * zy), 1e-12)
