@@ -207,15 +207,44 @@ def cmd_render(args) -> int:
     return 0
 
 
+# Above this many rendered pixels (supersampling included) export-print
+# streams through the banded giant-still path instead of materializing
+# one frame — the reference's single-staging-buffer export simply fails
+# there (vk_engine.cpp:1939-2003); here the 32000-cap presets stay
+# reachable on one chip.
+_BANDED_EXPORT_PIXELS = 1 << 27  # 134M px ≈ 1.6 GB f32 RGB
+
+
 def cmd_export_print(args) -> int:
     """16-bit print export (vk_engine.cpp:1796-2232): renders at 2x when
-    supersampling and embeds gAMA/sRGB/300DPI/tEXt metadata."""
+    supersampling and embeds gAMA/sRGB/300DPI/tEXt metadata.  Oversized
+    renders delegate to the resumable banded exporter automatically."""
     scene = scene_from_args(args)
     rw = args.width * 2 if args.supersample else args.width
     rh = args.height * 2 if args.supersample else args.height
     if max(rw, rh) > 32000:  # ui_manager.cpp:617-618
         print("error: render dimension exceeds 32000 cap", file=sys.stderr)
         return 2
+    if rw * rh > _BANDED_EXPORT_PIXELS and not args.golden:
+        from .parallel import render_giant_still
+
+        meta = {
+            "Software": "fractalrenderer_tpu (print export)",
+            "Print Size (inches)":
+                f"{args.width/args.dpi:.2f} x {args.height/args.dpi:.2f}",
+        }
+        ss = bool(args.supersample and args.downsample)
+        w, h = ((args.width, args.height) if ss or not args.supersample
+                else (rw, rh))
+        print(f"{rw}x{rh} render exceeds one-pass size; streaming in "
+              "bands (resumable)")
+        t0 = time.monotonic()
+        render_giant_still(scene, w, h, args.out, bit_depth=16,
+                           dpi=args.dpi, supersample=ss,
+                           extra_metadata=meta)
+        print(f"Exported {w}x{h} 16-bit PNG in "
+              f"{time.monotonic()-t0:.1f}s -> {args.out}")
+        return 0
     t0 = time.monotonic()
     img = _render(scene, rw, rh, args.golden)
     if args.supersample and args.downsample:
@@ -342,7 +371,7 @@ def cmd_giant(args) -> int:
         scene, args.width, args.height, args.out,
         band_rows=args.band_rows, tile_dir=args.tile_dir,
         resume=not args.no_resume, bit_depth=args.bit_depth, dpi=args.dpi,
-        use_mesh=args.mesh, progress_cb=cb)
+        use_mesh=args.mesh, supersample=args.supersample, progress_cb=cb)
     print(f"\n{info['rendered']} bands rendered, {info['skipped']} resumed "
           f"-> {info['out']}")
     return 0
@@ -582,6 +611,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="shard each band across all devices")
+    p.add_argument("--supersample", action="store_true",
+                   help="render bands at 2x and box-downsample "
+                        "(banded form of export-print --supersample)")
     p.set_defaults(fn=cmd_giant)
 
     p = sub.add_parser("zoom-path", help="render a deep-zoom preset sequence")

@@ -183,6 +183,8 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                        mesh: Optional[Mesh] = None,
                        use_mesh: bool = False,
                        compress_level: int = 3,
+                       supersample: bool = False,
+                       extra_metadata: Optional[Dict] = None,
                        progress_cb=None) -> Dict:
     """Stream a huge still to disk in row bands (config #5).
 
@@ -197,12 +199,18 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
     their shared ``(dyn, row0)`` band pipelines; DEEP_ZOOM scenes stream
     through ``models.deep_zoom.render_fields(row_band=...)`` with one
     reference orbit shared across all bands.
+
+    ``supersample``: render each band at 2x and 2x2-box-downsample before
+    quantizing — the banded form of export-print's --supersample
+    --downsample (bit-identical to downsampling a monolithic 2x render),
+    for print exports too large to materialize at 2x in one pass.
     """
     tile_dir = tile_dir or out_path + ".tiles"
     os.makedirs(tile_dir, exist_ok=True)
     manifest_path = os.path.join(tile_dir, "manifest.json")
     manifest = {"width": width, "height": height, "band_rows": band_rows,
-                "bit_depth": bit_depth, "scene": scene.to_dict()}
+                "bit_depth": bit_depth, "supersample": bool(supersample),
+                "scene": scene.to_dict()}
     if resume and os.path.exists(manifest_path):
         try:
             old = json.load(open(manifest_path))
@@ -227,6 +235,18 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
     skipped = 0
     ft = scene.fractal_type
     deep = ft == FractalType.DEEP_ZOOM
+    # Supersampled exports render bands at 2x geometry and box-downsample
+    # back to output rows before quantizing; every row index below is in
+    # OUTPUT rows — the producers scale by ``ss`` where they touch the
+    # render-resolution map.
+    ss = 2 if supersample else 1
+    r_w, r_h, r_band = width * ss, height * ss, band_rows * ss
+
+    def _ds2_jnp(big):
+        # bit-identical expression to utils.image.downsample2x (f32 adds
+        # in the same order, then * 0.25)
+        return (big[0::2, 0::2] + big[1::2, 0::2] + big[0::2, 1::2]
+                + big[1::2, 1::2]) * jnp.float32(0.25)
 
     if deep:
         # Deep-zoom giants: one reference orbit (orbit_cache) serves every
@@ -253,36 +273,42 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         dz_cache: Dict = {}
 
         def produce_band(row0: int):
-            acc = np.zeros((band_rows, width, 3), np.float32)
+            acc = np.zeros((r_band, r_w, 3), np.float32)
             for sy in range(spp):
                 for sx in range(spp):
                     off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
                     n, zx, zy, _g, _i = _dz.render_fields(
-                        dz_scene, width, height, offset=off,
-                        orbit_cache=dz_cache, row_band=(row0, band_rows),
+                        dz_scene, r_w, r_h, offset=off,
+                        orbit_cache=dz_cache,
+                        row_band=(row0 * ss, r_band),
                         mesh=mesh if use_mesh else None)
                     acc += np.asarray(
                         _coloring.color_deep_zoom(np, n, zx, zy, dz_cp))
-            if row0 + band_rows > height:
+            if row0 * ss + r_band > r_h:
                 # rows past the image bottom are padding (possibly NaN
                 # from unmapped lanes) — they are sliced off downstream
-                acc[height - row0:] = 0.0
-            return _quantize_host(acc / np.float32(spp * spp), bit_depth)
+                acc[r_h - row0 * ss:] = 0.0
+            acc = acc / np.float32(spp * spp)
+            if supersample:
+                from ..utils.image import downsample2x
+
+                acc = downsample2x(acc)
+            return _quantize_host(acc, bit_depth)
     else:
         if ft == FractalType.MANDELBULB:
             from ..models import mandelbulb as _mb
 
             def make_band_fn(bh):
-                return _mb.band_render_fn(scene, width, bh, height)
+                return _mb.band_render_fn(scene, r_w, bh, r_h)
 
             dyn_host = _mb.dyn_params(scene)
         else:
             fam, conv, clamp = _FAMILY[ft]
-            cfg = common.scene_static_cfg(scene, width, height, fam, conv,
+            cfg = common.scene_static_cfg(scene, r_w, r_h, fam, conv,
                                           clamp)
 
             def make_band_fn(bh):
-                return common.band_render_fn(cfg, bh, height)
+                return common.band_render_fn(cfg, bh, r_h)
 
             dyn_host = common.scene_dyn_params(scene)
 
@@ -290,7 +316,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             if mesh is None:
                 mesh = make_render_mesh()
             n_rows = mesh.shape["rows"]
-            sub_h = pad_to_multiple(band_rows, n_rows) // n_rows
+            sub_h = pad_to_multiple(r_band, n_rows) // n_rows
             band_fn = make_band_fn(sub_h)
 
             def shard_body(dyn, band_row0):
@@ -298,12 +324,21 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                 row0 = band_row0 + (ridx * sub_h).astype(jnp.float32)
                 return band_fn(dyn, row0)
 
-            sharded = jax.jit(jax.shard_map(
+            inner = jax.shard_map(
                 shard_body, mesh=mesh,
                 in_specs=(P(), P()), out_specs=P("rows"),
-                check_vma=False))
+                check_vma=False)
         else:
-            sharded = jax.jit(make_band_fn(band_rows))
+            inner = make_band_fn(r_band)
+
+        if supersample:
+            # row0 arrives in output rows; the render map is 2x
+            def band_out(dyn, row0):
+                return _ds2_jnp(inner(dyn, row0 * jnp.float32(2.0))[:r_band])
+
+            sharded = jax.jit(band_out)
+        else:
+            sharded = jax.jit(inner)
 
         dyn = {k: jnp.float32(v) for k, v in dyn_host.items()}
 
@@ -338,7 +373,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         return (x * 65535.0 + 0.5).astype(jnp.uint16)
 
     meta = {"Software": "fractalrenderer_tpu (giant still)",
-            **scene.metadata_summary()}
+            **scene.metadata_summary(), **(extra_metadata or {})}
     out_tmp = out_path + ".tmp"
     done_ct = 0
     with open(out_tmp, "wb") as fp, \

@@ -314,3 +314,57 @@ def test_giant_still_deep_zoom_mesh(tmp_path):
     render_giant_still(s, 48, 32, meshed, band_rows=16, bit_depth=16,
                        dpi=None, use_mesh=True)
     np.testing.assert_array_equal(read_png(plain), read_png(meshed))
+
+
+def test_giant_still_supersample(tmp_path):
+    # Banded 2x-supersampled export == downsampling a monolithic 2x
+    # render (the downsample expression is bit-identical f32 on both
+    # paths), for both the plain and mesh-sharded band producers.
+    from fractalrenderer_tpu.utils.image import downsample2x
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(max_iterations=24)
+    out = str(tmp_path / "ss.png")
+    render_giant_still(s, 64, 48, out, band_rows=16, bit_depth=8,
+                       dpi=None, supersample=True)
+    ref = downsample2x(np.asarray(render(s, 128, 96)))[::-1]
+    ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(read_png(out), ref8)
+
+    out2 = str(tmp_path / "ss_mesh.png")
+    render_giant_still(s, 64, 48, out2, band_rows=16, bit_depth=8,
+                       dpi=None, supersample=True, use_mesh=True)
+    np.testing.assert_array_equal(read_png(out2), ref8)
+
+
+def test_giant_still_supersample_deep_zoom(tmp_path):
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.utils.image import downsample2x
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300)
+    out = str(tmp_path / "ssdeep.png")
+    render_giant_still(s, 32, 24, out, band_rows=8, bit_depth=16,
+                       dpi=None, supersample=True)
+    ref = downsample2x(np.asarray(deep_zoom.render(s, 64, 48)))[::-1]
+    ref16 = (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(read_png(out), ref16)
+
+
+def test_export_print_banded_delegation(tmp_path, monkeypatch):
+    # Oversized print exports stream through the banded exporter; the
+    # delegated output must equal the one-pass path bit-for-bit.
+    from fractalrenderer_tpu import cli
+    from fractalrenderer_tpu.utils.png import read_png
+
+    one = str(tmp_path / "one.png")
+    banded = str(tmp_path / "banded.png")
+    argv = ["export-print", "--width", "96", "--height", "64",
+            "--iters", "32", "--supersample", "--downsample"]
+    assert cli.main(argv + ["--out", one]) == 0
+    monkeypatch.setattr(cli, "_BANDED_EXPORT_PIXELS", 1000)
+    assert cli.main(argv + ["--out", banded]) == 0
+    np.testing.assert_array_equal(read_png(one), read_png(banded))
