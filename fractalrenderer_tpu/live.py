@@ -212,7 +212,9 @@ class LiveSession:
         self.fullscreen = False
         self.held: dict = {}
         self._last_key_at: dict = {}
-        self._orbit_cache: dict = {}
+        # one session orbit cache: held-key renders, screenshots, and
+        # `:`-commands (incl. :export) all reuse the same deep orbits
+        self._orbit_cache: dict = self.viewer._orbit_cache
         self.stats = FrameStats()
         self.message = ""
         self._shot_n = 0

@@ -17,6 +17,9 @@ character cell) and exposes the reference's interaction vocabulary
   p N            palette; i N|auto iterations; aa N; e toggle effects;
                  enhance reset|brightness/saturation/contrast V; coords
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
+  export W H [ss] [FILE]   16-bit print export of the current view (the
+                 in-app export panel, ui_manager.cpp:590-655); 'ss' =
+                 2x supersample + downsample; huge sizes stream banded
   scene save F / scene load F   persist / restore the session Scene (JSON)
   key add [T] / key list / key del N / key update N / key jump N /
                  key clear   capture keyframes from the current view
@@ -78,6 +81,9 @@ class Viewer:
         self.width = cols or min(tw, 140)
         self.height = (rows or min(th - 4, 44)) * 2  # half blocks
         self._session_anim = None  # lazy: interactive keyframe capture
+        # deep-zoom reference orbits reused across commands; the live
+        # loop (live.py) shares its own cache by assigning this attribute
+        self._orbit_cache: dict = {}
 
     def _anim(self):
         if self._session_anim is None:
@@ -296,6 +302,43 @@ class Viewer:
                 write_png(path, to_export_orientation(img),
                           metadata=s.metadata_summary())
                 return f"saved {path}"
+            elif cmd == "export":
+                # the in-app high-res export panel (ui_manager.cpp:590-655)
+                # — 16-bit print PNG at arbitrary size from the live view;
+                # 'ss' renders 2x and box-downsamples.  Sizes past one
+                # device pass stream through the banded giant exporter.
+                ew, eh = int(args[0]), int(args[1])
+                rest = list(args[2:])
+                ss = "ss" in rest
+                if ss:
+                    rest.remove("ss")
+                path = rest[0] if rest else f"export_{ew}x{eh}.png"
+                if max(ew, eh) * (2 if ss else 1) > 32000:
+                    return "error: exceeds 32000 cap (ui_manager.cpp:617)"
+                meta = {"Software": "fractalrenderer_tpu (print export)",
+                        **s.metadata_summary()}
+                if ew * eh * (4 if ss else 1) > (1 << 27):
+                    from .parallel import render_giant_still
+
+                    render_giant_still(s, ew, eh, path, bit_depth=16,
+                                       supersample=ss, extra_metadata=meta)
+                    return f"exported {ew}x{eh} (banded) -> {path}"
+                if s.fractal_type == FractalType.DEEP_ZOOM:
+                    from .models import deep_zoom
+
+                    img = np.asarray(deep_zoom.render(
+                        s, ew * 2 if ss else ew, eh * 2 if ss else eh,
+                        orbit_cache=self._orbit_cache))
+                else:
+                    img = np.asarray(models.render(
+                        s, ew * 2 if ss else ew, eh * 2 if ss else eh))
+                if ss:
+                    from .utils.image import downsample2x
+
+                    img = downsample2x(img)
+                write_png(path, to_export_orientation(img), bit_depth=16,
+                          metadata=meta, dpi=300.0)
+                return f"exported {ew}x{eh} 16-bit -> {path}"
             elif cmd in ("m", "minimap"):
                 return self.minimap()
             elif cmd == "coords":

@@ -395,3 +395,35 @@ def test_auto_iterations_enhance_and_hp_coords():
                      hp_zoom="1e-32"), cols=16, rows=8)
     msg = d.handle("coords")
     assert "-0.74364388703715158" in msg and "1e-32" in msg
+
+
+def test_viewer_export_command(tmp_path, monkeypatch):
+    # the in-app high-res export panel (ui_manager.cpp:590-655) as a
+    # session command: 16-bit PNG with metadata; 'ss' supersamples 2x and
+    # box-downsamples, matching export-print --supersample --downsample
+    import numpy as np
+
+    from fractalrenderer_tpu import models
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.utils.image import downsample2x
+    from fractalrenderer_tpu.utils.png import read_png
+    from fractalrenderer_tpu.viewer import Viewer
+
+    monkeypatch.chdir(tmp_path)
+    v = Viewer(Scene(max_iterations=16), cols=16, rows=4)
+    msg = v.handle("export 48 32 out.png")
+    assert "exported" in msg
+    img = read_png("out.png")
+    assert img.shape == (32, 48, 3) and img.dtype == np.uint16
+    ref = np.asarray(models.render(v.scene, 48, 32))[::-1]
+    np.testing.assert_array_equal(
+        img, (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16))
+
+    msg = v.handle("export 48 32 ss ss.png")
+    assert "exported" in msg
+    ref2 = downsample2x(np.asarray(models.render(v.scene, 96, 64)))[::-1]
+    np.testing.assert_array_equal(
+        read_png("ss.png"),
+        (np.clip(ref2, 0, 1) * 65535 + 0.5).astype(np.uint16))
+
+    assert "32000 cap" in v.handle("export 40000 2 x.png")

@@ -40,7 +40,9 @@ PHASES = {
         "hbm_orbit_streaming or rebase_with_hbm or scaled_hbm"],
     "giant_band": [
         "tests/test_parallel.py", "-k",
-        "giant_still_resume or giant_still_sharded"],
+        ("giant_still_resume or giant_still_sharded or "
+         "giant_still_mandelbulb or giant_still_deep_zoom or "
+         "giant_still_supersample")],
 }
 
 
