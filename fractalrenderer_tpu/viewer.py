@@ -14,7 +14,9 @@ character cell) and exposes the reference's interaction vocabulary
   w/a/s/d        pan (w = up on screen; zoom-proportional step,
                  input_handler.h:211-248)
   tab / type T   cycle / set fractal type
-  p N            palette; i N|auto iterations; aa N; e toggle effects;
+  p N [OFF [SC]] palette (+ offset/scale sliders); i N|auto iterations;
+                 aa N; e toggle orbit trap; trap [R]; stripes [D];
+                 style N interior style;
                  enhance reset|brightness/saturation/contrast V; coords
   preset NAME    location preset; julia NAME; reset (R); save FILE (S)
   export W H [ss] [FILE]   16-bit print export of the current view (the
@@ -137,7 +139,26 @@ class Viewer:
             elif cmd == "type":
                 self.scene = s.with_(fractal_type=FractalType.parse(args[0]))
             elif cmd == "p":
-                self.scene = s.with_(palette_mode=int(args[0]))
+                # palette grid + its offset/scale sliders
+                # (ui_manager.cpp:470-515): p N [OFFSET [SCALE]]
+                kw = {"palette_mode": int(args[0])}
+                if len(args) > 1:
+                    kw["color_offset"] = float(args[1])
+                if len(args) > 2:
+                    kw["color_scale"] = float(args[2])
+                self.scene = s.with_(**kw)
+            elif cmd == "style":
+                # interior style combo (ui_manager.cpp:541-546)
+                self.scene = s.with_(interior_style=int(args[0]))
+            elif cmd == "trap":
+                # orbit trap: bare = toggle (same as 'e'); with a value =
+                # enable and set the radius slider (ui_manager.cpp:549-556)
+                if args:
+                    self.scene = s.with_(orbit_trap_enabled=True,
+                                         orbit_trap_radius=float(args[0]))
+                else:
+                    self.scene = s.with_(
+                        orbit_trap_enabled=not s.orbit_trap_enabled)
             elif cmd == "i":
                 if args and args[0].lower() == "auto":
                     # the iterations slider's "Auto" button
@@ -171,7 +192,13 @@ class Viewer:
                     return f"unknown enhance field {args[0]!r}"
                 self.scene = s.with_(**{field: float(args[1])})
             elif cmd == "stripes":
-                self.scene = s.with_(stripe_enabled=not s.stripe_enabled)
+                # bare = toggle; with a value = enable and set the density
+                # slider (ui_manager.cpp:559-566)
+                if args:
+                    self.scene = s.with_(stripe_enabled=True,
+                                         stripe_density=float(args[0]))
+                else:
+                    self.scene = s.with_(stripe_enabled=not s.stripe_enabled)
             elif cmd in ("r", "reset"):
                 self.scene = s.reset()
             elif cmd == "preset":

@@ -427,3 +427,25 @@ def test_viewer_export_command(tmp_path, monkeypatch):
         (np.clip(ref2, 0, 1) * 65535 + 0.5).astype(np.uint16))
 
     assert "32000 cap" in v.handle("export 40000 2 x.png")
+
+
+def test_viewer_effects_commands():
+    # the advanced-effects panel sliders (ui_manager.cpp:539-566) and
+    # palette offset/scale (ui_manager.cpp:470-515) as session commands
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer(Scene(max_iterations=8), cols=16, rows=4)
+    v.handle("p 4 0.25 2.0")
+    assert (v.scene.palette_mode, v.scene.color_offset,
+            v.scene.color_scale) == (4, 0.25, 2.0)
+    v.handle("style 2")
+    assert v.scene.interior_style == 2
+    v.handle("trap 0.75")
+    assert v.scene.orbit_trap_enabled and v.scene.orbit_trap_radius == 0.75
+    v.handle("trap")
+    assert not v.scene.orbit_trap_enabled
+    v.handle("stripes 6.5")
+    assert v.scene.stripe_enabled and v.scene.stripe_density == 6.5
+    v.handle("stripes")
+    assert not v.scene.stripe_enabled
