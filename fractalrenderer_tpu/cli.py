@@ -239,9 +239,14 @@ def cmd_export_print(args) -> int:
         print(f"{rw}x{rh} render exceeds one-pass size; streaming in "
               "bands (resumable)")
         t0 = time.monotonic()
-        render_giant_still(scene, w, h, args.out, bit_depth=16,
-                           dpi=args.dpi, supersample=ss,
-                           extra_metadata=meta)
+        info = render_giant_still(scene, w, h, args.out, bit_depth=16,
+                                  dpi=args.dpi, supersample=ss,
+                                  extra_metadata=meta)
+        # tiles are an interrupted-run resume aid; the user asked for one
+        # PNG, so drop them once assembly succeeded (`giant` keeps them)
+        import shutil
+
+        shutil.rmtree(info["tile_dir"], ignore_errors=True)
         print(f"Exported {w}x{h} 16-bit PNG in "
               f"{time.monotonic()-t0:.1f}s -> {args.out}")
         return 0

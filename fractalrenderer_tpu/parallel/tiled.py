@@ -185,6 +185,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                        compress_level: int = 3,
                        supersample: bool = False,
                        extra_metadata: Optional[Dict] = None,
+                       orbit_cache: Optional[Dict] = None,
                        progress_cb=None) -> Dict:
     """Stream a huge still to disk in row bands (config #5).
 
@@ -205,6 +206,12 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
     --downsample (bit-identical to downsampling a monolithic 2x render),
     for print exports too large to materialize at 2x in one pass.
     """
+    from ..utils.diag import validate_scene
+
+    # Repair degenerate scenes exactly like the one-pass renderers do
+    # (compute_effect_manager.h:335-345) — export-print's banded
+    # delegation must not behave differently above the size threshold.
+    scene = validate_scene(scene)
     tile_dir = tile_dir or out_path + ".tiles"
     os.makedirs(tile_dir, exist_ok=True)
     manifest_path = os.path.join(tile_dir, "manifest.json")
@@ -260,9 +267,8 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         from ..models import deep_zoom as _dz
         from ..ops import coloring as _coloring
         from ..ops.coloring import ColorParams
-        from ..utils.diag import validate_scene
 
-        dz_scene = validate_scene(scene)
+        dz_scene = scene  # validated above
         spp = max(int(dz_scene.samples_per_pixel), 1)
         dz_cp = ColorParams(
             max_iterations=dz_scene.max_iterations,
@@ -270,24 +276,26 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             palette_mode=dz_scene.palette_mode,
             color_offset=dz_scene.color_offset,
             color_scale=dz_scene.color_scale)
-        dz_cache: Dict = {}
+        dz_cache: Dict = {} if orbit_cache is None else orbit_cache
 
         def produce_band(row0: int):
-            acc = np.zeros((r_band, r_w, 3), np.float32)
+            # Clamp the last band to the image bottom: rows past it would
+            # be fully iterated (and could even trigger host HP-fallback
+            # orbits for off-image pixels) only to be thrown away.  The
+            # clamp stays downsample-pair-aligned (r_h and row0*ss are
+            # both even at 2x).
+            bh = min(r_band, r_h - row0 * ss)
+            acc = np.zeros((bh, r_w, 3), np.float32)
             for sy in range(spp):
                 for sx in range(spp):
                     off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
                     n, zx, zy, _g, _i = _dz.render_fields(
                         dz_scene, r_w, r_h, offset=off,
                         orbit_cache=dz_cache,
-                        row_band=(row0 * ss, r_band),
+                        row_band=(row0 * ss, bh),
                         mesh=mesh if use_mesh else None)
                     acc += np.asarray(
                         _coloring.color_deep_zoom(np, n, zx, zy, dz_cp))
-            if row0 * ss + r_band > r_h:
-                # rows past the image bottom are padding (possibly NaN
-                # from unmapped lanes) — they are sliced off downstream
-                acc[r_h - row0 * ss:] = 0.0
             acc = acc / np.float32(spp * spp)
             if supersample:
                 from ..utils.image import downsample2x

@@ -344,11 +344,20 @@ class Viewer:
                     return "error: exceeds 32000 cap (ui_manager.cpp:617)"
                 meta = {"Software": "fractalrenderer_tpu (print export)",
                         **s.metadata_summary()}
-                if ew * eh * (4 if ss else 1) > (1 << 27):
+                from .cli import _BANDED_EXPORT_PIXELS
+
+                if ew * eh * (4 if ss else 1) > _BANDED_EXPORT_PIXELS:
+                    import shutil as _shutil
+
                     from .parallel import render_giant_still
 
-                    render_giant_still(s, ew, eh, path, bit_depth=16,
-                                       supersample=ss, extra_metadata=meta)
+                    info = render_giant_still(
+                        s, ew, eh, path, bit_depth=16, supersample=ss,
+                        extra_metadata=meta,
+                        orbit_cache=self._orbit_cache)
+                    # the user asked for one PNG, not a resumable tile
+                    # set — drop the tiles once assembly succeeded
+                    _shutil.rmtree(info["tile_dir"], ignore_errors=True)
                     return f"exported {ew}x{eh} (banded) -> {path}"
                 if s.fractal_type == FractalType.DEEP_ZOOM:
                     from .models import deep_zoom

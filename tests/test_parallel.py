@@ -368,3 +368,19 @@ def test_export_print_banded_delegation(tmp_path, monkeypatch):
     monkeypatch.setattr(cli, "_BANDED_EXPORT_PIXELS", 1000)
     assert cli.main(argv + ["--out", banded]) == 0
     np.testing.assert_array_equal(read_png(one), read_png(banded))
+    # delegated export-print cleans up its resume tiles on success
+    assert not os.path.exists(banded + ".tiles")
+
+
+def test_giant_still_validates_scene(tmp_path):
+    # render_giant_still repairs degenerate scenes exactly like the
+    # one-pass renderers (compute_effect_manager.h:335-345) — the banded
+    # and monolithic forms of the same export must agree
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(max_iterations=24, zoom=0.0)  # degenerate: repaired to 2.5
+    out = str(tmp_path / "v.png")
+    render_giant_still(s, 64, 40, out, band_rows=20, bit_depth=8, dpi=None)
+    ref = np.asarray(render(s, 64, 40))[::-1]  # models.render validates
+    ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(read_png(out), ref8)
