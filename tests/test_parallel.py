@@ -384,3 +384,36 @@ def test_giant_still_validates_scene(tmp_path):
     ref = np.asarray(render(s, 64, 40))[::-1]  # models.render validates
     ref8 = (np.clip(ref, 0, 1) * 255 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(read_png(out), ref8)
+
+
+def test_giant_still_geometry_fuzz(tmp_path):
+    # Random geometries (odd sizes, non-divisible bands, supersample)
+    # across the device band producers must equal the monolithic render
+    # exactly — guards the band/downsample index arithmetic.
+    from fractalrenderer_tpu.utils.image import downsample2x
+    from fractalrenderer_tpu.utils.png import read_png
+
+    rng = np.random.default_rng(20260817)
+    scenes = {
+        "mandelbrot": Scene(max_iterations=16),
+        "julia": Scene(fractal_type=FractalType.JULIA, max_iterations=16),
+        "mandelbulb": Scene(fractal_type=FractalType.MANDELBULB,
+                            max_iterations=12),
+    }
+    for k in range(6):
+        name = ("mandelbrot", "julia", "mandelbulb")[k % 3]
+        s = scenes[name]
+        w = int(rng.integers(20, 70))
+        h = int(rng.integers(20, 70))
+        band = int(rng.integers(7, 40))
+        ss = bool(rng.integers(0, 2))
+        out = str(tmp_path / f"f{k}.png")
+        render_giant_still(s, w, h, out, band_rows=band, bit_depth=8,
+                           dpi=None, supersample=ss, resume=False)
+        ref = np.asarray(render(s, w * 2 if ss else w, h * 2 if ss else h))
+        if ss:
+            ref = downsample2x(ref)
+        ref8 = (np.clip(ref[::-1], 0, 1) * 255 + 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(read_png(out), ref8,
+                                      err_msg=f"{name} {w}x{h} band={band} "
+                                              f"ss={ss}")
