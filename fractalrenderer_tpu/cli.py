@@ -178,9 +178,23 @@ def cmd_render(args) -> int:
         from .models import deep_zoom
         from .utils.diag import validate_scene
 
+        dz_kw = {}
+        if getattr(args, "sharded", False):
+            from .parallel import make_render_mesh
+
+            dz_kw["mesh"] = make_render_mesh()
         img, dz_info = deep_zoom.render(validate_scene(scene), args.width,
-                                        args.height, return_info=True)
+                                        args.height, return_info=True,
+                                        **dz_kw)
         img = np.asarray(img)
+    elif getattr(args, "sharded", False) and not args.golden:
+        # row-band mesh sharding for a single frame (bit-identical to the
+        # single-device render; gather-free — parallel/tiled.py)
+        if scene.fractal_type == FractalType.MANDELBULB:
+            from .models.mandelbulb import render_sharded as _rs
+        else:
+            from .parallel import render_sharded as _rs
+        img = np.asarray(_rs(scene, args.width, args.height))
     else:
         img = _render(scene, args.width, args.height, args.golden)
     dt = time.monotonic() - t0
@@ -545,6 +559,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dd = double-double kernel (mandelbrot only)")
     p.add_argument("--debug", action="store_true",
                    help="print a scene debug summary")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the frame's rows across all devices "
+                        "(bit-identical to the single-device render)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("export-print",

@@ -357,7 +357,9 @@ def render_sharded(scene: Scene, width: int, height: int, mesh=None,
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import make_render_mesh, pad_to_multiple
+    from ..utils.diag import validate_scene
 
+    scene = validate_scene(scene)  # parity with models.render dispatch
     if mesh is None:
         mesh = make_render_mesh()
     n_rows = mesh.shape["rows"]

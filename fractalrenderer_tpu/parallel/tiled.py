@@ -49,6 +49,9 @@ def render_sharded(scene: Scene, width: int, height: int,
                    mesh: Optional[Mesh] = None) -> np.ndarray:
     """Render one frame with its rows sharded across the mesh's 'rows' axis
     (gather-free: each device computes and owns its band)."""
+    from ..utils.diag import validate_scene
+
+    scene = validate_scene(scene)  # parity with models.render dispatch
     if mesh is None:
         mesh = make_render_mesh()
     n_rows = mesh.shape["rows"]

@@ -449,3 +449,26 @@ def test_viewer_effects_commands():
     assert v.scene.stripe_enabled and v.scene.stripe_density == 6.5
     v.handle("stripes")
     assert not v.scene.stripe_enabled
+
+
+def test_render_sharded_flag(tmp_path):
+    # `render --sharded` must equal the single-device render exactly for
+    # a device family, the bulb, and a deep-zoom scene
+    import numpy as np
+
+    from fractalrenderer_tpu.cli import main
+    from fractalrenderer_tpu.utils.png import read_png
+
+    for extra, name in (
+            (["--type", "julia"], "julia"),
+            (["--type", "mandelbulb", "--iters", "12"], "bulb"),
+            (["--type", "deep-zoom", "--zoom", "1e-8", "--iters", "200"],
+             "deep")):
+        a = str(tmp_path / f"{name}_1.png")
+        b = str(tmp_path / f"{name}_s.png")
+        base = ["render", "--width", "48", "--height", "32",
+                "--iters", "24"] + extra
+        assert main(base + ["--out", a]) == 0
+        assert main(base + ["--sharded", "--out", b]) == 0
+        np.testing.assert_array_equal(read_png(a), read_png(b),
+                                      err_msg=name)
