@@ -417,3 +417,24 @@ def test_giant_still_geometry_fuzz(tmp_path):
         np.testing.assert_array_equal(read_png(out), ref8,
                                       err_msg=f"{name} {w}x{h} band={band} "
                                               f"ss={ss}")
+
+
+def test_giant_still_deep_zoom_scaled_julia(tmp_path):
+    # The banded giant composes with the floatexp (ARBITRARY) tier and a
+    # beyond-reference family: a deep-zoom JULIA at 1e-40 streamed in
+    # bands equals the monolithic render exactly.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              deep_zoom_julia=True, julia_c_real=-0.7, julia_c_imag=0.27015,
+              hp_center_x="1.4842927481401905",
+              hp_center_y="-0.1372305142501787",
+              hp_zoom="1e-40", max_iterations=200)
+    out = str(tmp_path / "dj.png")
+    info = render_giant_still(s, 24, 18, out, band_rows=8, bit_depth=16,
+                              dpi=None)
+    assert info["rendered"] == 3
+    ref = np.asarray(deep_zoom.render(s, 24, 18))[::-1]
+    ref16 = (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(read_png(out), ref16)
