@@ -26,9 +26,10 @@ character cell) and exposes the reference's interaction vocabulary
   key add [T] / key list / key del N / key update N / key jump N /
                  key clear   capture keyframes from the current view
                  (the reference's timeline UI incl. its context menu)
-  anim save/load F, fps N, dur S, loop, info, render DIR [W H]   session
-                 animation export; ':anim play/pause/stop' (live mode)
-                 plays it
+  anim save/load F, fps N, dur S, loop, info, render DIR [W H],
+                 encode DIR OUT [CODEC]   session animation export and
+                 one-click encode (qtpng default — no ffmpeg needed);
+                 ':anim play/pause/stop' (live mode) plays it
   q              quit
 
 For the LIVE raw-terminal loop (continuous held-key pan/zoom, mouse,
@@ -307,6 +308,24 @@ class Viewer:
                     return (f"{anim.total_frames} frames ({w}x{h}) -> "
                             f"{out_dir} (encode: cli encode {out_dir} "
                             f"--codec qtpng)")
+                if sub == "encode":
+                    # the timeline's one-click "Render & Encode" button
+                    # (ui_manager.cpp:1123-1136 -> render_and_encode):
+                    # anim encode DIR OUT [CODEC] — frames rendered by
+                    # 'anim render DIR' become a video; qtpng needs no
+                    # ffmpeg, other codecs degrade gracefully without one
+                    from .anim import video
+
+                    frames_dir, out = args[1], args[2]
+                    codec = args[3] if len(args) > 3 else "qtpng"
+                    settings = video.VideoEncodeSettings(
+                        output_filename=out,
+                        codec=video.VideoCodec(codec),
+                        fps=int(anim.target_fps) or 30)
+                    enc = video.VideoEncoder()
+                    if not enc.encode(frames_dir, settings):
+                        return f"encode failed: {enc.progress.error}"
+                    return f"encoded -> {settings.output_filename}"
                 return f"unknown anim subcommand {sub!r}"
             elif cmd == "scene":
                 # in-session state persistence (the reference resumes via

@@ -472,3 +472,25 @@ def test_render_sharded_flag(tmp_path):
         assert main(base + ["--sharded", "--out", b]) == 0
         np.testing.assert_array_equal(read_png(a), read_png(b),
                                       err_msg=name)
+
+
+def test_viewer_anim_encode(tmp_path, monkeypatch):
+    # the timeline's one-click "Render & Encode"
+    # (ui_manager.cpp:1123-1136) from the session: render frames, then
+    # encode with the pure-Python qtpng muxer (no ffmpeg needed)
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    monkeypatch.chdir(tmp_path)
+    v = Viewer(Scene(max_iterations=8, zoom=2.5), cols=16, rows=4)
+    v.handle("key add 0")
+    v.handle("+")
+    v.handle("key add 1")
+    v.handle("anim fps 2")
+    v.handle("anim dur 1")
+    msg = v.handle("anim render frames 32 16")
+    assert "frames" in msg
+    msg = v.handle("anim encode frames clip.mov")
+    assert "encoded" in msg, msg
+    import os
+    assert os.path.exists("clip.mov") and os.path.getsize("clip.mov") > 100
