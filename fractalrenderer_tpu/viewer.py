@@ -26,7 +26,7 @@ character cell) and exposes the reference's interaction vocabulary
   key add [T] / key list / key del N / key update N / key jump N /
                  key clear   capture keyframes from the current view
                  (the reference's timeline UI incl. its context menu)
-  anim save/load F, fps N, dur S, loop, info, render DIR [W H],
+  anim save/load F, fps N, dur S, loop, info, seek T, render DIR [W H],
                  encode DIR OUT [CODEC]   session animation export and
                  one-click encode (qtpng default — no ffmpeg needed);
                  ':anim play/pause/stop' (live mode) plays it
@@ -290,6 +290,15 @@ class Viewer:
                             f"duration={anim.duration:g}s, "
                             f"fps={anim.target_fps}, "
                             f"{anim.export_width}x{anim.export_height}")
+                if sub == "seek":
+                    # the timeline scrub slider (ui_manager.cpp:838-852):
+                    # jump the view to the interpolated state at time T
+                    # without playing
+                    if len(anim.keyframes) < 2:
+                        return "need >= 2 keyframes to seek"
+                    t = float(args[1])
+                    self.scene = anim.interpolate(t)
+                    return f"view at t={t:g}s"
                 if sub == "render":
                     # the timeline's export button (ui_manager.cpp:
                     # 1040-1136): render the session animation to PNG

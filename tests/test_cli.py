@@ -494,3 +494,21 @@ def test_viewer_anim_encode(tmp_path, monkeypatch):
     assert "encoded" in msg, msg
     import os
     assert os.path.exists("clip.mov") and os.path.getsize("clip.mov") > 100
+
+
+def test_viewer_anim_seek():
+    # the timeline scrub slider (ui_manager.cpp:838-852): seeking jumps
+    # the view to the interpolated state (log-zoom midpoint) w/o playing
+    import math
+
+    import pytest as _pytest
+
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer(Scene(max_iterations=8, zoom=4.0), cols=16, rows=4)
+    v.handle("key add 0")
+    v.scene = v.scene.with_(zoom=1.0)
+    v.handle("key add 10")
+    assert "t=5" in v.handle("anim seek 5")
+    assert v.scene.zoom == _pytest.approx(math.sqrt(4.0 * 1.0))
