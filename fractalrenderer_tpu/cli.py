@@ -16,6 +16,7 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -147,6 +148,31 @@ def scene_from_args(args) -> Scene:
     return scene
 
 
+@contextlib.contextmanager
+def _orbit_progress():
+    """Print reference-orbit progress to stderr during deep-zoom renders
+    (the reference prints every 5%, deep_zoom_system.cpp:313-318)."""
+    from .deepzoom import orbit as _orbit
+
+    last = [-1]
+
+    def hook(done, total):
+        pct = done * 100 // max(total, 1)
+        if pct // 5 > last[0]:
+            last[0] = pct // 5
+            print(f"\r  reference orbit {done}/{total} ({pct}%)",
+                  end="", file=sys.stderr, flush=True)
+
+    prev = _orbit.progress_hook
+    _orbit.progress_hook = hook
+    try:
+        yield
+    finally:
+        _orbit.progress_hook = prev
+        if last[0] >= 0:
+            print(file=sys.stderr)
+
+
 def _render(scene: Scene, width: int, height: int, golden: bool):
     if golden:
         from .reference import golden as g
@@ -183,9 +209,10 @@ def cmd_render(args) -> int:
             from .parallel import make_render_mesh
 
             dz_kw["mesh"] = make_render_mesh()
-        img, dz_info = deep_zoom.render(validate_scene(scene), args.width,
-                                        args.height, return_info=True,
-                                        **dz_kw)
+        with _orbit_progress():
+            img, dz_info = deep_zoom.render(validate_scene(scene),
+                                            args.width, args.height,
+                                            return_info=True, **dz_kw)
         img = np.asarray(img)
     elif getattr(args, "sharded", False) and not args.golden:
         # row-band mesh sharding for a single frame (bit-identical to the
@@ -417,6 +444,16 @@ def cmd_zoom_path(args) -> int:
     # (deep_zoom_system.cpp:454-559) — O(frames x orbit cost) for nothing.
     ref_center = (repr(end.center_x), repr(end.center_y))
     cache = {}
+    with _orbit_progress():
+        _zoom_path_frames(args, base, start, end, ref_center, cache)
+    return 0
+
+
+def _zoom_path_frames(args, base, start, end, ref_center, cache):
+    import math
+
+    from .models import render as model_render
+
     for f in range(args.frames):
         t = f / max(args.frames - 1, 1)
         cx = start.center_x + t * (end.center_x - start.center_x)

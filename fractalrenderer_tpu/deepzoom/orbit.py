@@ -23,6 +23,16 @@ import numpy as np
 
 from .hp import HPFloat
 
+# Optional progress hook for long orbit computations, called as
+# hook(done_iterations, max_iter) — the reference prints orbit progress
+# every 5% (deep_zoom_system.cpp:313-318).  The CLI installs a stderr
+# printer around deep-zoom renders; both engines report through it (the
+# native loop via a ctypes callback every 8192 iterations, the Python
+# engine every 5%).
+progress_hook = None
+
+_PROGRESS_CFUNC = ctypes.CFUNCTYPE(None, ctypes.c_long, ctypes.c_long)
+
 
 def _load_native() -> Optional[ctypes.CDLL]:
     """Load the native orbit library via the shared builder; None on
@@ -49,6 +59,10 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_double,
             f64p, f64p, i32p, i32p, ctypes.c_int, ctypes.c_int,
         ]
+        # present in rebuilt libs; older .so files simply lack the symbol
+        if hasattr(lib, "orbit_set_progress"):
+            lib.orbit_set_progress.restype = None
+            lib.orbit_set_progress.argtypes = [_PROGRESS_CFUNC]
 
     return load_native_lib("liborbit", configure)
 
@@ -151,7 +165,11 @@ def compute_orbit_python(cx: Union[str, float, HPFloat],
     def to_fx(man: int):
         return fx_from_man(man, bits)
 
+    hook = progress_hook
+    prog_step = max(1, max_iter // 20)  # every 5%, like the reference
     for i in range(max_iter):
+        if hook is not None and i and i % prog_step == 0:
+            hook(i, max_iter)
         dre = to_f64(zr)
         dim = to_f64(zi)
         if emit_fx:
@@ -234,25 +252,38 @@ def compute_orbit(cx: Union[str, float, HPFloat],
     out_im = np.empty(max_iter, np.float64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     f64p = ctypes.POINTER(ctypes.c_double)
-    if emit_fx:
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        exp_re = np.zeros(max_iter, np.int32)
-        exp_im = np.zeros(max_iter, np.int32)
-        n = lib.orbit_compute_kind2_fx(
+    hook = progress_hook
+    cb = None
+    if hook is not None and hasattr(lib, "orbit_set_progress"):
+        # keep a reference for the duration of the call; cleared after so
+        # a stale hook can never outlive its CLI context
+        cb = _PROGRESS_CFUNC(lambda d, t: hook(int(d), int(t)))
+        lib.orbit_set_progress(cb)
+    try:
+        if emit_fx:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            exp_re = np.zeros(max_iter, np.int32)
+            exp_im = np.zeros(max_iter, np.int32)
+            n = lib.orbit_compute_kind2_fx(
+                cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p),
+                sy, zx_l.ctypes.data_as(u64p), szx,
+                zy_l.ctypes.data_as(u64p), szy,
+                pp_l.ctypes.data_as(u64p), spp,
+                rr_l.ctypes.data_as(u64p), srr,
+                n_limbs, frac_bits, max_iter, escape_mag_sq,
+                out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
+                exp_re.ctypes.data_as(i32p), exp_im.ctypes.data_as(i32p),
+                1 if emit_rel else 0, int(kind))
+            return (np.stack([out_re[:n], out_im[:n]], axis=1),
+                    np.stack([exp_re[:n], exp_im[:n]], axis=1))
+        n = lib.orbit_compute_kind2(
             cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
             zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,
             pp_l.ctypes.data_as(u64p), spp, rr_l.ctypes.data_as(u64p), srr,
             n_limbs, frac_bits, max_iter, escape_mag_sq,
             out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
-            exp_re.ctypes.data_as(i32p), exp_im.ctypes.data_as(i32p),
             1 if emit_rel else 0, int(kind))
-        return (np.stack([out_re[:n], out_im[:n]], axis=1),
-                np.stack([exp_re[:n], exp_im[:n]], axis=1))
-    n = lib.orbit_compute_kind2(
-        cx_l.ctypes.data_as(u64p), sx, cy_l.ctypes.data_as(u64p), sy,
-        zx_l.ctypes.data_as(u64p), szx, zy_l.ctypes.data_as(u64p), szy,
-        pp_l.ctypes.data_as(u64p), spp, rr_l.ctypes.data_as(u64p), srr,
-        n_limbs, frac_bits, max_iter, escape_mag_sq,
-        out_re.ctypes.data_as(f64p), out_im.ctypes.data_as(f64p),
-        1 if emit_rel else 0, int(kind))
-    return np.stack([out_re[:n], out_im[:n]], axis=1)
+        return np.stack([out_re[:n], out_im[:n]], axis=1)
+    finally:
+        if cb is not None:
+            lib.orbit_set_progress(_PROGRESS_CFUNC())  # NULL fn pointer

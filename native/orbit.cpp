@@ -181,6 +181,16 @@ Big big_from(const u64* limbs, int sign, int n_limbs) {
 // plus a binary exponent in the int32 streams (value = m * 2^e), so drift
 // magnitudes beyond f64's range survive (see to_double_fx).  Null
 // pointers keep the plain-double emission.
+// Optional host progress hook (deep_zoom_system.cpp:313-318 prints orbit
+// progress every 5%; the Python side registers a ctypes callback here so
+// long high-precision orbits report from inside the native loop too).
+typedef void (*orbit_progress_fn)(long done, long total);
+static orbit_progress_fn g_progress = nullptr;
+
+extern "C" void orbit_set_progress(orbit_progress_fn fn) {
+    g_progress = fn;
+}
+
 long orbit_impl(const u64* cx_limbs, int sign_x,
                 const u64* cy_limbs, int sign_y,
                 const u64* z0x_limbs, int sign_z0x,
@@ -231,6 +241,7 @@ long orbit_impl(const u64* cx_limbs, int sign_x,
             out_im[i] = dim;
         }
         stored = i + 1;
+        if (g_progress && (i & 8191) == 8191) g_progress(i + 1, max_iter);
         double mag2 = dre * dre + dim * dim;
         if (mag2 > escape_mag_sq || !std::isfinite(mag2)) break;
 

@@ -2050,3 +2050,30 @@ def test_stacked_aa_with_hbm_streamed_orbit():
     assert np.asarray(f_smem["n"]).shape == (4, H, W)
     np.testing.assert_array_equal(np.asarray(f_smem["n"]),
                                   np.asarray(f_hbm["n"]))
+
+
+def test_orbit_progress_hook():
+    """Both engines report through orbit.progress_hook (the reference
+    prints orbit progress every 5%, deep_zoom_system.cpp:313-318)."""
+    from fractalrenderer_tpu.deepzoom import orbit as om
+
+    calls = []
+    om.progress_hook = lambda d, t: calls.append((d, t))
+    try:
+        # Python engine: every 5% of a non-escaping orbit
+        om.compute_orbit("-0.5", "0.0", 64, 4000, force_python=True)
+        assert len(calls) >= 10
+        assert all(t == 4000 for _, t in calls)
+        assert calls == sorted(calls)
+        calls.clear()
+        if om._load_native() is not None:
+            # native engine: every 8192 iterations via the C callback
+            om.compute_orbit("-0.5", "0.0", 64, 30000)
+            assert len(calls) >= 3
+            assert calls[0][1] == 30000
+        calls.clear()
+    finally:
+        om.progress_hook = None
+    # hook cleared: no further reports
+    om.compute_orbit("-0.5", "0.0", 64, 20000)
+    assert not calls
