@@ -24,6 +24,8 @@ character cell) and exposes the reference's interaction vocabulary
                  2x supersample + downsample; huge sizes stream banded
   scene save F / scene load F   persist / restore the session Scene (JSON)
   key add [T] / key list / key del N / key update N / key jump N /
+                 key interp N TYPE (linear|ease_in_out|ease_in|ease_out|
+                 exponential) /
                  key clear   capture keyframes from the current view
                  (the reference's timeline UI incl. its context menu)
   anim save/load F, fps N, dur S, loop, info, seek T, render DIR [W H],
@@ -233,6 +235,28 @@ class Viewer:
                         return f"no keyframe {i}"
                     anim.update_keyframe(i, s)
                     return f"keyframe {i} updated (zoom={s.zoom:.3g})"
+                if sub == "interp":
+                    # the per-keyframe interpolation combo in the
+                    # timeline (ui_manager.cpp keyframe row; easing is
+                    # chosen by the SECOND keyframe of each segment,
+                    # animation_system.cpp:107-122)
+                    from .anim.keyframes import InterpolationType
+
+                    i = int(args[1])
+                    if not 0 <= i < len(anim.keyframes):
+                        return f"no keyframe {i}"
+                    name = args[2].upper().replace("-", "_")
+                    try:
+                        kind = InterpolationType[name]
+                    except KeyError:
+                        opts = "|".join(t.name.lower()
+                                        for t in InterpolationType)
+                        return f"unknown interpolation {args[2]!r} ({opts})"
+                    import dataclasses
+
+                    anim.keyframes[i] = dataclasses.replace(
+                        anim.keyframes[i], interp_type=kind)
+                    return f"keyframe {i} interpolation = {kind.name}"
                 if sub == "jump":
                     # context menu "Jump to this keyframe"
                     # (ui_manager.cpp:981-985): view snaps to its scene

@@ -512,3 +512,29 @@ def test_viewer_anim_seek():
     v.handle("key add 10")
     assert "t=5" in v.handle("anim seek 5")
     assert v.scene.zoom == _pytest.approx(math.sqrt(4.0 * 1.0))
+
+
+def test_viewer_key_interp():
+    # the per-keyframe interpolation combo: easing is chosen by the
+    # SECOND keyframe of a segment (animation_system.cpp:107-122), so
+    # switching key 1 to linear changes the midpoint zoom
+    import math
+
+    import pytest as _pytest
+
+    from fractalrenderer_tpu.anim.keyframes import InterpolationType
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer(Scene(max_iterations=8, zoom=4.0), cols=16, rows=4)
+    v.handle("key add 0")
+    v.scene = v.scene.with_(zoom=1.0)
+    v.handle("key add 10")
+    msg = v.handle("key interp 1 linear")
+    assert "LINEAR" in msg
+    assert v._anim().keyframes[1].interp_type == InterpolationType.LINEAR
+    # linear easing at t=2.5 -> log-zoom at raw 0.25
+    v.handle("anim seek 2.5")
+    assert v.scene.zoom == _pytest.approx(
+        math.exp(math.log(4.0) + 0.25 * (math.log(1.0) - math.log(4.0))))
+    assert "unknown interpolation" in v.handle("key interp 1 bogus")
