@@ -413,9 +413,11 @@ class Viewer:
                     return f"exported {ew}x{eh} (banded) -> {path}"
                 if s.fractal_type == FractalType.DEEP_ZOOM:
                     from .models import deep_zoom
+                    from .utils.diag import validate_scene
 
                     img = np.asarray(deep_zoom.render(
-                        s, ew * 2 if ss else ew, eh * 2 if ss else eh,
+                        validate_scene(s),
+                        ew * 2 if ss else ew, eh * 2 if ss else eh,
                         orbit_cache=self._orbit_cache))
                 else:
                     img = np.asarray(models.render(
