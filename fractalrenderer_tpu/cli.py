@@ -559,14 +559,36 @@ def cmd_presets(args) -> int:
 
 
 def cmd_info(args) -> int:
+    import threading
+
     import jax
 
     from . import __version__
 
     print(f"fractalrenderer_tpu {__version__}")
-    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
-    for d in jax.devices():
-        print(f"  device: {d}")
+    # Backend discovery can block forever inside the PJRT client when a
+    # tunneled device is wedged (SIGALRM never fires inside the C call,
+    # but the GIL is released, so a bounded daemon-thread probe works) —
+    # a diagnostic verb must not hang precisely when things are broken.
+    res = {}
+
+    def probe():
+        res["backend"] = jax.default_backend()
+        res["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(30.0)
+    if "devices" in res:
+        print(f"jax {jax.__version__}, backend: {res['backend']}")
+        for d in res["devices"]:
+            print(f"  device: {d}")
+    else:
+        print(f"jax {jax.__version__}, backend: UNRESPONSIVE "
+              "(device probe blocked >30s — the device link may be "
+              "wedged; renders will hang too.  CPU fallback: "
+              "JAX_PLATFORMS=cpu, or jax.config.update('jax_platforms',"
+              "'cpu') before first device use)")
     from .anim.video import ffmpeg_available
 
     if ffmpeg_available():
