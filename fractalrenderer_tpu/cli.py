@@ -506,6 +506,15 @@ def cmd_interactive(args) -> int:
                         and args.preset is None)
     if no_explicit_view:
         scene = scene.with_(zoom=2.5)
+    # A wedged device link would hang the session's FIRST frame with no
+    # message — probe with a bound and bail with the recovery recipe
+    # instead (same daemon-thread trick as `info`).
+    if not _probe_devices():
+        print("error: device backend unresponsive (probe blocked >30s) — "
+              "the device link may be wedged.  CPU fallback: "
+              "JAX_PLATFORMS=cpu (or fix the device and retry)",
+              file=sys.stderr)
+        return 1
     # Live raw-terminal loop on a TTY (the reference's real-time event
     # loop); line-based REPL when piped or forced with --repl.
     live_mode = args.live or (not args.repl and sys.stdin.isatty())
@@ -558,18 +567,17 @@ def cmd_presets(args) -> int:
     return 0
 
 
-def cmd_info(args) -> int:
+def _probe_devices(timeout_s: float = 30.0) -> dict:
+    """Bounded backend discovery: returns {backend, devices} or {} if the
+    probe blocked past the timeout.  Discovery can block forever inside
+    the PJRT client when a tunneled device is wedged (SIGALRM never fires
+    inside the C call, but the GIL is released, so a daemon-thread probe
+    works) — diagnostics and session startup must not hang precisely when
+    things are broken."""
     import threading
 
     import jax
 
-    from . import __version__
-
-    print(f"fractalrenderer_tpu {__version__}")
-    # Backend discovery can block forever inside the PJRT client when a
-    # tunneled device is wedged (SIGALRM never fires inside the C call,
-    # but the GIL is released, so a bounded daemon-thread probe works) —
-    # a diagnostic verb must not hang precisely when things are broken.
     res = {}
 
     def probe():
@@ -578,7 +586,17 @@ def cmd_info(args) -> int:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(30.0)
+    t.join(timeout_s)
+    return res if "devices" in res else {}
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+
+    print(f"fractalrenderer_tpu {__version__}")
+    res = _probe_devices()
     if "devices" in res:
         print(f"jax {jax.__version__}, backend: {res['backend']}")
         for d in res["devices"]:
