@@ -621,6 +621,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="fractalrenderer_tpu",
         description="TPU-native fractal renderer (JAX/Pallas)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (Pallas kernels run in "
+                         "interpret mode).  More reliable than "
+                         "JAX_PLATFORMS=cpu: the config call wins even "
+                         "when a TPU PJRT plugin is registered")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("render", help="render one frame to PNG")
@@ -768,6 +773,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+
+        # must precede first device use; the env var alone is ignored
+        # when a TPU plugin is already registered
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

@@ -538,3 +538,23 @@ def test_viewer_key_interp():
     assert v.scene.zoom == _pytest.approx(
         math.exp(math.log(4.0) + 0.25 * (math.log(1.0) - math.log(4.0))))
     assert "unknown interpolation" in v.handle("key interp 1 bogus")
+
+
+def test_cli_cpu_flag(tmp_path):
+    # global --cpu forces the CPU backend via the config call (reliable
+    # even when a TPU plugin is registered, unlike JAX_PLATFORMS alone)
+    import subprocess
+    import sys as _sys
+
+    from tests._cpu_env import cpu_subprocess_env
+
+    out = str(tmp_path / "c.png")
+    p = subprocess.run(
+        [_sys.executable, "-m", "fractalrenderer_tpu.cli", "--cpu",
+         "render", "--width", "32", "--height", "16", "--iters", "16",
+         "--out", out],
+        env=cpu_subprocess_env(), capture_output=True, text=True,
+        timeout=240)
+    assert p.returncode == 0, p.stderr
+    import os
+    assert os.path.exists(out)
