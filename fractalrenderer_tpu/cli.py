@@ -511,8 +511,8 @@ def cmd_interactive(args) -> int:
     # instead (same daemon-thread trick as `info`).
     if not _probe_devices():
         print("error: device backend unresponsive (probe blocked >30s) — "
-              "the device link may be wedged.  CPU fallback: "
-              "JAX_PLATFORMS=cpu (or fix the device and retry)",
+              "the device link may be wedged.  CPU fallback: re-run with "
+              "--cpu (or fix the device and retry)",
               file=sys.stderr)
         return 1
     # Live raw-terminal loop on a TTY (the reference's real-time event
@@ -604,9 +604,8 @@ def cmd_info(args) -> int:
     else:
         print(f"jax {jax.__version__}, backend: UNRESPONSIVE "
               "(device probe blocked >30s — the device link may be "
-              "wedged; renders will hang too.  CPU fallback: "
-              "JAX_PLATFORMS=cpu, or jax.config.update('jax_platforms',"
-              "'cpu') before first device use)")
+              "wedged; renders will hang too.  CPU fallback: re-run "
+              "with --cpu)")
     from .anim.video import ffmpeg_available
 
     if ffmpeg_available():
