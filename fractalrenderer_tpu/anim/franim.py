@@ -13,7 +13,6 @@ nlohmann parser ignores.
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 from ..scene import FractalType, Scene
 from .keyframes import Animation, InterpolationType, Keyframe

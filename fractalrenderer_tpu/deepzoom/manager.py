@@ -9,7 +9,7 @@ export, and the three preset zoom targets.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

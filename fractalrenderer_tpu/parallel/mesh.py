@@ -15,7 +15,7 @@ gathers in the render path the only communication is output assembly.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
