@@ -85,9 +85,9 @@ def render_fields(scene: Scene, width: int, height: int,
     if aa_spp > 1:
         assert rebasing and mesh is None and offset == (0.0, 0.0), \
             "aa_spp needs the rebasing pipeline, no mesh, default offset"
-        assert row_band is None, \
-            "aa_spp does not combine with banded rendering (tiled.py " \
-            "giants render subpixel offsets sequentially per band)"
+        # aa_spp composes with row_band: the kernel stacks spp^2 copies
+        # of the band, each mapped against the full image at the band's
+        # global row offset (ops/perturbation.py Q_AROW0)
     band_kw = {}
     row_off = 0
     if row_band is not None:

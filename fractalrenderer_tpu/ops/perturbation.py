@@ -50,8 +50,8 @@ from .pallas_utils import cdiv, default_interpret, pick_tile
  Q_GLITCH_TOL, Q_SHIFTXH, Q_SHIFTXL, Q_SHIFTYH, Q_SHIFTYL, Q_OFFX,
  Q_OFFY, Q_AR, Q_AI, Q_BR, Q_BI, Q_CR, Q_CI, Q_NSKIP, Q_ROW0,
  Q_ARL, Q_AIL, Q_BRL, Q_BIL, Q_CRL, Q_CIL, Q_SEXP, Q_M0, Q_FIRST,
- Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL, Q_PP, Q_RR, Q_SE0) = range(40)
-NQ = 40
+ Q_Z0XH, Q_Z0XL, Q_Z0YH, Q_Z0YL, Q_PP, Q_RR, Q_SE0, Q_AROW0) = range(41)
+NQ = 41
 
 MAX_ORBIT_SMEM = 32768  # f32 pairs; 256 KB of SMEM
 HBM_ROW_W = 128         # padded row width of the pre-chunked HBM orbit
@@ -380,13 +380,18 @@ def _make_kernel(width: int, height: int, map_height: int,
             & (rows - row0 < height)
         if aa_stack is not None:
             # Supersampling folded into ONE kernel call: the map stacks
-            # spp^2 segments of the logical image vertically, each padded
-            # to the tile height so a tile never straddles segments and
-            # the segment index is a per-tile SCALAR.  The subpixel offset
-            # is derived arithmetically from the segment (exact dyadic
-            # floats for power-of-two spp, so each segment's pixel mapping
-            # is bit-identical to a sequential render with that offset).
-            spp, seg_h, aa_h = aa_stack
+            # spp^2 segments of the logical image (or of a row band of
+            # it) vertically, each padded to the tile height so a tile
+            # never straddles segments and the segment index is a
+            # per-tile SCALAR.  The subpixel offset is derived
+            # arithmetically from the segment (exact dyadic floats for
+            # power-of-two spp, so each segment's pixel mapping is
+            # bit-identical to a sequential render with that offset).
+            # aa_h is the segment's logical row count (the band height);
+            # full_h is the full image height behind the pixel mapping,
+            # with the band's global first row in Q_AROW0 (traced, so
+            # every band of a giant shares one executable).
+            spp, seg_h, aa_h, full_h = aa_stack
             seg = (ti * th + row0) // seg_h
             row_in = rows - seg * seg_h
             in_bounds = in_bounds & (row_in < aa_h)
@@ -410,8 +415,11 @@ def _make_kernel(width: int, height: int, map_height: int,
             offx = (seg % spp).astype(jnp.float32) / jnp.float32(spp)
             offy = (seg // spp).astype(jnp.float32) / jnp.float32(spp)
             nx = (cols.astype(jnp.float32) - half_w) + offx
-            ny = (row_in.astype(jnp.float32)
-                  - jnp.float32(aa_h * 0.5)) + offy
+            # (row_in + band_row0) is an exact-integer f32 sum, so the
+            # banded mapping is bit-identical to a full-image render's
+            # row arithmetic (band_row0 = 0.0 adds exactly nothing)
+            ny = (row_in.astype(jnp.float32) + params_ref[0, Q_AROW0]
+                  - jnp.float32(full_h * 0.5)) + offy
         else:
             half_h = jnp.float32(map_height * 0.5)
             nx = (cols.astype(jnp.float32) - half_w) + params_ref[0, Q_OFFX]
@@ -1329,12 +1337,16 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         # vertically in ONE kernel call sharing the orbit operands and the
         # rebase passes; each segment's mapping is bit-identical to a
         # sequential render at that subpixel offset (VERDICT r2 item 3).
+        # Composes with banded rendering (row0/map_height): the segments
+        # then stack spp^2 copies of the BAND, each mapped against the
+        # full map_height image at the band's global row offset — giant
+        # supersampled deep zooms share rebase passes per band.
         assert rebase, "aa_spp > 1 requires the rebasing pipeline"
         assert aa_spp & (aa_spp - 1) == 0,             "aa_spp must be a power of two (exact dyadic offsets)"
-        assert map_height is None,             "aa_spp does not combine with banded map_height"
         assert offset == (0.0, 0.0),             "aa_spp supersedes the offset parameter"
         seg_h = -(-height // tile[0]) * tile[0]
-        aa_stack = (aa_spp, seg_h, height)
+        aa_stack = (aa_spp, seg_h, height,
+                    int(map_height if map_height is not None else height))
         out_h = aa_spp * aa_spp * seg_h
     map_h = int(map_height if map_height is not None else height)
     # the pixel step always derives from the LOGICAL image height (= map_h
@@ -1609,7 +1621,14 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         put_dd(Q_Z0YH, Q_Z0YL, float(julia_z0[1]))
     params[0, Q_PP] = phoenix_p
     params[0, Q_RR] = phoenix_r
-    params[0, Q_ROW0] = row0
+    if aa_stack is not None:
+        # the stacked map is self-contained (segments start at stacked
+        # row 0); the band's global first row only enters the pixel
+        # mapping, via Q_AROW0
+        params[0, Q_ROW0] = 0.0
+        params[0, Q_AROW0] = row0
+    else:
+        params[0, Q_ROW0] = row0
 
     operands = (jnp.asarray(params), jnp.asarray(orbit_re),
                 jnp.asarray(orbit_im), jnp.asarray(mag2),
@@ -1627,7 +1646,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         # (S*seg_h, W) -> (S, height, W): drop each segment's tile padding
         if aa_stack is None:
             return arr
-        spp_, seg_h_, aa_h_ = aa_stack
+        spp_, seg_h_, aa_h_, _fullh = aa_stack
         return jnp.reshape(arr, (spp_ * spp_, seg_h_, width))[:, :aa_h_]
 
     if rebase:

@@ -281,6 +281,8 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             color_scale=dz_scene.color_scale)
         dz_cache: Dict = {} if orbit_cache is None else orbit_cache
 
+        stacked = (spp > 1 and (spp & (spp - 1)) == 0 and not use_mesh)
+
         def produce_band(row0: int):
             # Clamp the last band to the image bottom: rows past it would
             # be fully iterated (and could even trigger host HP-fallback
@@ -289,16 +291,29 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             # both even at 2x).
             bh = min(r_band, r_h - row0 * ss)
             acc = np.zeros((bh, r_w, 3), np.float32)
-            for sy in range(spp):
-                for sx in range(spp):
-                    off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
-                    n, zx, zy, _g, _i = _dz.render_fields(
-                        dz_scene, r_w, r_h, offset=off,
-                        orbit_cache=dz_cache,
-                        row_band=(row0 * ss, bh),
-                        mesh=mesh if use_mesh else None)
-                    acc += np.asarray(
-                        _coloring.color_deep_zoom(np, n, zx, zy, dz_cp))
+            if stacked:
+                # all spp^2 subpixel samples of the band in ONE kernel
+                # call sharing the orbit operands and rebase passes
+                # (bit-identical to the sequential offsets, tested)
+                n, zx, zy, _g, _i = _dz.render_fields(
+                    dz_scene, r_w, r_h, orbit_cache=dz_cache,
+                    row_band=(row0 * ss, bh), aa_spp=spp)
+                for s in range(spp * spp):
+                    acc += np.asarray(_coloring.color_deep_zoom(
+                        np, n[s], zx[s], zy[s], dz_cp))
+            else:
+                for sy in range(spp):
+                    for sx in range(spp):
+                        off = ((sx / spp, sy / spp) if spp > 1
+                               else (0.0, 0.0))
+                        n, zx, zy, _g, _i = _dz.render_fields(
+                            dz_scene, r_w, r_h, offset=off,
+                            orbit_cache=dz_cache,
+                            row_band=(row0 * ss, bh),
+                            mesh=mesh if use_mesh else None)
+                        acc += np.asarray(
+                            _coloring.color_deep_zoom(np, n, zx, zy,
+                                                      dz_cp))
             acc = acc / np.float32(spp * spp)
             if supersample:
                 from ..utils.image import downsample2x

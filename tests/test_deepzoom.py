@@ -2077,3 +2077,26 @@ def test_orbit_progress_hook():
     # hook cleared: no further reports
     om.compute_orbit("-0.5", "0.0", 64, 20000)
     assert not calls
+
+
+def test_stacked_aa_composes_with_row_band():
+    """aa_spp x row_band: stacked subpixel samples of a row band must be
+    bit-identical to sequential banded renders at each offset (the band
+    row offset enters the mapping via Q_AROW0 as an exact f32 int)."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300)
+    W, H, row0, bh = 32, 40, 16, 16
+    n_st, zx_st, zy_st, _, _ = deep_zoom.render_fields(
+        s, W, H, row_band=(row0, bh), aa_spp=2)
+    assert n_st.shape == (4, bh, W)
+    for si, (sx, sy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        n_sq, zx_sq, zy_sq, _, _ = deep_zoom.render_fields(
+            s, W, H, row_band=(row0, bh), offset=(sx / 2, sy / 2))
+        np.testing.assert_array_equal(n_st[si], n_sq, err_msg=f"s={si}")
+        np.testing.assert_array_equal(zx_st[si], zx_sq, err_msg=f"s={si}")
+        np.testing.assert_array_equal(zy_st[si], zy_sq, err_msg=f"s={si}")

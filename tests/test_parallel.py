@@ -438,3 +438,22 @@ def test_giant_still_deep_zoom_scaled_julia(tmp_path):
     ref = np.asarray(deep_zoom.render(s, 24, 18))[::-1]
     ref16 = (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16)
     np.testing.assert_array_equal(read_png(out), ref16)
+
+
+def test_giant_still_deep_zoom_spp(tmp_path):
+    # samples_per_pixel > 1 deep-zoom giants use banded STACKED AA (one
+    # kernel call per band for all spp^2 samples) and must equal the
+    # monolithic stacked render exactly.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.utils.png import read_png
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300, samples_per_pixel=2)
+    out = str(tmp_path / "spp.png")
+    render_giant_still(s, 32, 24, out, band_rows=8, bit_depth=16,
+                       dpi=None)
+    ref = np.asarray(deep_zoom.render(s, 32, 24))[::-1]
+    ref16 = (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(read_png(out), ref16)
