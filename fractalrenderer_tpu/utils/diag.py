@@ -82,7 +82,7 @@ def params_layout_selfcheck() -> bool:
         "GLITCH_TOL", "SHIFTXH", "SHIFTXL", "SHIFTYH", "SHIFTYL", "OFFX",
         "OFFY", "AR", "AI", "BR", "BI", "CR", "CI", "NSKIP", "ROW0",
         "ARL", "AIL", "BRL", "BIL", "CRL", "CIL", "SEXP", "M0", "FIRST",
-        "Z0XH", "Z0XL", "Z0YH", "Z0YL", "PP", "RR", "SE0")]
+        "Z0XH", "Z0XL", "Z0YH", "Z0YL", "PP", "RR", "SE0", "AROW0")]
     assert sorted(pert_idx) == list(range(perturbation.NQ))
     dd_idx = [getattr(dd_escape, f"D_{n}") for n in (
         "CXH", "CXL", "CYH", "CYL", "ZH", "ZL", "LIMIT", "BAIL2", "OFFX",
