@@ -151,15 +151,25 @@ def scene_from_args(args) -> Scene:
 @contextlib.contextmanager
 def _orbit_progress():
     """Print reference-orbit progress to stderr during deep-zoom renders
-    (the reference prints every 5%, deep_zoom_system.cpp:313-318)."""
+    (the reference prints every 5%, deep_zoom_system.cpp:313-318).
+    Multiple orbits may be computed in one context (zoom paths,
+    secondary references) — a new orbit (done going backwards or a new
+    total) finishes the previous line and restarts the 5% ladder."""
     from .deepzoom import orbit as _orbit
 
-    last = [-1]
+    st = {"last": -1, "prev_done": None, "total": None}
 
     def hook(done, total):
+        if (st["total"] != total
+                or (st["prev_done"] is not None and done < st["prev_done"])):
+            if st["last"] >= 0:
+                print(file=sys.stderr)  # finish the previous orbit's line
+            st["last"] = -1
+            st["total"] = total
+        st["prev_done"] = done
         pct = done * 100 // max(total, 1)
-        if pct // 5 > last[0]:
-            last[0] = pct // 5
+        if pct // 5 > st["last"]:
+            st["last"] = pct // 5
             print(f"\r  reference orbit {done}/{total} ({pct}%)",
                   end="", file=sys.stderr, flush=True)
 
@@ -169,7 +179,7 @@ def _orbit_progress():
         yield
     finally:
         _orbit.progress_hook = prev
-        if last[0] >= 0:
+        if st["last"] >= 0:
             print(file=sys.stderr)
 
 
@@ -184,6 +194,11 @@ def _render(scene: Scene, width: int, height: int, golden: bool):
 
 
 def cmd_render(args) -> int:
+    if getattr(args, "sharded", False) and (
+            args.golden or getattr(args, "precision", "f32") == "dd"):
+        print("--sharded does not combine with --golden or "
+              "--precision dd", file=sys.stderr)
+        return 2
     scene = scene_from_args(args)
     if args.debug:
         from .utils.diag import scene_debug_summary
@@ -280,14 +295,9 @@ def cmd_export_print(args) -> int:
         print(f"{rw}x{rh} render exceeds one-pass size; streaming in "
               "bands (resumable)")
         t0 = time.monotonic()
-        info = render_giant_still(scene, w, h, args.out, bit_depth=16,
-                                  dpi=args.dpi, supersample=ss,
-                                  extra_metadata=meta)
-        # tiles are an interrupted-run resume aid; the user asked for one
-        # PNG, so drop them once assembly succeeded (`giant` keeps them)
-        import shutil
-
-        shutil.rmtree(info["tile_dir"], ignore_errors=True)
+        render_giant_still(scene, w, h, args.out, bit_depth=16,
+                           dpi=args.dpi, supersample=ss,
+                           extra_metadata=meta, keep_tiles=False)
         print(f"Exported {w}x{h} 16-bit PNG in "
               f"{time.monotonic()-t0:.1f}s -> {args.out}")
         return 0
@@ -445,31 +455,23 @@ def cmd_zoom_path(args) -> int:
     ref_center = (repr(end.center_x), repr(end.center_y))
     cache = {}
     with _orbit_progress():
-        _zoom_path_frames(args, base, start, end, ref_center, cache)
-    return 0
-
-
-def _zoom_path_frames(args, base, start, end, ref_center, cache):
-    import math
-
-    from .models import render as model_render
-
-    for f in range(args.frames):
-        t = f / max(args.frames - 1, 1)
-        cx = start.center_x + t * (end.center_x - start.center_x)
-        cy = start.center_y + t * (end.center_y - start.center_y)
-        zoom = math.exp(math.log(start.zoom)
-                        + t * (math.log(end.zoom) - math.log(start.zoom)))
-        sc = base.with_(center_x=cx, center_y=cy, zoom=zoom,
-                        hp_center_x=repr(cx), hp_center_y=repr(cy),
-                        hp_zoom=repr(zoom))
-        img = np.asarray(model_render(sc, args.width, args.height,
-                                      ref_center=ref_center,
-                                      orbit_cache=cache))
-        png.write_png(os.path.join(args.out_dir, f"frame_{f:06d}.png"),
-                      to_export_orientation(img))
-        print(f"\rframe {f+1}/{args.frames} zoom={zoom:.3e}", end="",
-              flush=True)
+        for f in range(args.frames):
+            t = f / max(args.frames - 1, 1)
+            cx = start.center_x + t * (end.center_x - start.center_x)
+            cy = start.center_y + t * (end.center_y - start.center_y)
+            zoom = math.exp(math.log(start.zoom)
+                            + t * (math.log(end.zoom)
+                                   - math.log(start.zoom)))
+            sc = base.with_(center_x=cx, center_y=cy, zoom=zoom,
+                            hp_center_x=repr(cx), hp_center_y=repr(cy),
+                            hp_zoom=repr(zoom))
+            img = np.asarray(model_render(sc, args.width, args.height,
+                                          ref_center=ref_center,
+                                          orbit_cache=cache))
+            png.write_png(os.path.join(args.out_dir, f"frame_{f:06d}.png"),
+                          to_export_orientation(img))
+            print(f"\rframe {f+1}/{args.frames} zoom={zoom:.3e}", end="",
+                  flush=True)
     print()
     return 0
 
@@ -509,11 +511,13 @@ def cmd_interactive(args) -> int:
     # A wedged device link would hang the session's FIRST frame with no
     # message — probe with a bound and bail with the recovery recipe
     # instead (same daemon-thread trick as `info`).
-    if not _probe_devices():
-        print("error: device backend unresponsive (probe blocked >30s) — "
-              "the device link may be wedged.  CPU fallback: re-run with "
-              "--cpu (or fix the device and retry)",
-              file=sys.stderr)
+    res = _probe_devices()
+    if "devices" not in res:
+        why = (f"failed to initialize: {res['error']}" if "error" in res
+               else "unresponsive (probe blocked >30s) — the device link "
+                    "may be wedged")
+        print(f"error: device backend {why}.  CPU fallback: re-run with "
+              "--cpu (or fix the device and retry)", file=sys.stderr)
         return 1
     # Live raw-terminal loop on a TTY (the reference's real-time event
     # loop); line-based REPL when piped or forced with --repl.
@@ -581,13 +585,16 @@ def _probe_devices(timeout_s: float = 30.0) -> dict:
     res = {}
 
     def probe():
-        res["backend"] = jax.default_backend()
-        res["devices"] = [str(d) for d in jax.devices()]
+        try:
+            res["backend"] = jax.default_backend()
+            res["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # init error, NOT a hang — report distinctly
+            res["error"] = repr(e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return res if "devices" in res else {}
+    return res
 
 
 def cmd_info(args) -> int:
@@ -601,6 +608,9 @@ def cmd_info(args) -> int:
         print(f"jax {jax.__version__}, backend: {res['backend']}")
         for d in res["devices"]:
             print(f"  device: {d}")
+    elif "error" in res:
+        print(f"jax {jax.__version__}, backend: INIT FAILED "
+              f"({res['error']}).  CPU fallback: re-run with --cpu")
     else:
         print(f"jax {jax.__version__}, backend: UNRESPONSIVE "
               "(device probe blocked >30s — the device link may be "
@@ -626,6 +636,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "JAX_PLATFORMS=cpu: the config call wins even "
                          "when a TPU PJRT plugin is registered")
     sub = ap.add_subparsers(dest="command", required=True)
+    # --cpu is also accepted AFTER the subcommand (added to every
+    # subparser at the end of this function with a SUPPRESS default so
+    # it never clobbers the main parser's value) — the wedged-link
+    # recovery messages say "re-run with --cpu" and both positions work.
 
     p = sub.add_parser("render", help="render one frame to PNG")
     _add_scene_args(p)
@@ -767,6 +781,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="backend and capability info")
     p.set_defaults(fn=cmd_info)
 
+    for sp in sub.choices.values():
+        sp.add_argument("--cpu", action="store_true",
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
     return ap
 
 

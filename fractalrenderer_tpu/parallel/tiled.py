@@ -35,6 +35,12 @@ from .mesh import make_render_mesh, pad_to_multiple
 _FAMILY = common.family_map()
 
 
+# Stacked deep-zoom AA budget for giant bands (see produce_band): the
+# largest stacked map (spp^2 * band_rows * width pixels) a band may
+# materialize on device before falling back to sequential offsets.
+_STACKED_BAND_PIXELS = 1 << 25
+
+
 def _quantize_host(x: np.ndarray, bit_depth: int) -> np.ndarray:
     """Identical clip/scale/round-truncate to the on-device ``_quantize``
     in render_giant_still (and utils.png._prepare_rows), for bands whose
@@ -189,6 +195,7 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                        supersample: bool = False,
                        extra_metadata: Optional[Dict] = None,
                        orbit_cache: Optional[Dict] = None,
+                       keep_tiles: bool = True,
                        progress_cb=None) -> Dict:
     """Stream a huge still to disk in row bands (config #5).
 
@@ -281,7 +288,14 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             color_scale=dz_scene.color_scale)
         dz_cache: Dict = {} if orbit_cache is None else orbit_cache
 
-        stacked = (spp > 1 and (spp & (spp - 1)) == 0 and not use_mesh)
+        # Stacked AA multiplies the band's device footprint by spp^2
+        # (the kernel materializes n/zx/zy/glitch/want + rebase state at
+        # the stacked height) — the giant exporter exists because the
+        # image does NOT fit at once, so fall back to the sequential
+        # offset loop when the stacked map would exceed the budget
+        # (~33M px * ~10 f32 arrays ~= 1.3 GB HBM).
+        stacked = (spp > 1 and (spp & (spp - 1)) == 0 and not use_mesh
+                   and spp * spp * r_band * r_w <= _STACKED_BAND_PIXELS)
 
         def produce_band(row0: int):
             # Clamp the last band to the image bottom: rows past it would
@@ -464,5 +478,12 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         for fut in tile_futures:
             fut.result()  # surface any tile-encode error
     os.replace(out_tmp, out_path)
+    if not keep_tiles:
+        # the tiles are an interrupted-run resume aid; callers that asked
+        # for a single PNG (export-print / session :export) drop them
+        # once assembly succeeded
+        import shutil
+
+        shutil.rmtree(tile_dir, ignore_errors=True)
     return {"bands": n_bands, "rendered": rendered, "skipped": skipped,
             "tile_dir": tile_dir, "out": out_path}

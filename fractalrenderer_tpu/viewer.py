@@ -399,17 +399,12 @@ class Viewer:
                 from .cli import _BANDED_EXPORT_PIXELS
 
                 if ew * eh * (4 if ss else 1) > _BANDED_EXPORT_PIXELS:
-                    import shutil as _shutil
-
                     from .parallel import render_giant_still
 
-                    info = render_giant_still(
+                    render_giant_still(
                         s, ew, eh, path, bit_depth=16, supersample=ss,
                         extra_metadata=meta,
-                        orbit_cache=self._orbit_cache)
-                    # the user asked for one PNG, not a resumable tile
-                    # set — drop the tiles once assembly succeeded
-                    _shutil.rmtree(info["tile_dir"], ignore_errors=True)
+                        orbit_cache=self._orbit_cache, keep_tiles=False)
                     return f"exported {ew}x{eh} (banded) -> {path}"
                 if s.fractal_type == FractalType.DEEP_ZOOM:
                     from .models import deep_zoom
