@@ -83,11 +83,13 @@ def render_fields(scene: Scene, width: int, height: int,
     pipeline: Pauldelbrot detection + secondary references + HP fallback."""
     aa_spp = int(aa_spp)
     if aa_spp > 1:
-        assert rebasing and mesh is None and offset == (0.0, 0.0), \
-            "aa_spp needs the rebasing pipeline, no mesh, default offset"
-        # aa_spp composes with row_band: the kernel stacks spp^2 copies
-        # of the band, each mapped against the full image at the band's
-        # global row offset (ops/perturbation.py Q_AROW0)
+        assert rebasing and offset == (0.0, 0.0), \
+            "aa_spp needs the rebasing pipeline and the default offset"
+        # aa_spp composes with row_band AND with mesh sharding: the
+        # kernel stacks spp^2 copies of the band (or of each device's
+        # band), each mapped against the full image at its global row
+        # offset (ops/perturbation.py Q_AROW0 /
+        # parallel/tiled.perturbation_fields_sharded)
     band_kw = {}
     row_off = 0
     if row_band is not None:
@@ -408,7 +410,7 @@ def render(scene: Scene, width: int, height: int,
     infos = []
     cache = orbit_cache if orbit_cache is not None else {}
     stacked = (spp > 1 and (spp & (spp - 1)) == 0
-               and kw.get("rebasing", True) and kw.get("mesh") is None)
+               and kw.get("rebasing", True))
     if stacked:
         # ONE kernel invocation renders all spp^2 subpixel samples as
         # stacked segments sharing the orbit operands and rebase passes

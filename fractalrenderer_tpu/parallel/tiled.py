@@ -146,17 +146,28 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
     # the full map height compose with the per-device sub-banding here.
     row0_base = float(pert_kw.pop("row0", 0.0))
     map_h = int(pert_kw.pop("map_height", height))
+    aa_spp = int(pert_kw.pop("aa_spp", 1))
 
-    # Build the replicated operands once on host (row0 patched per shard).
+    # Build the replicated operands once on host.  With aa_spp each
+    # device renders the spp^2 segment STACK of its own row band (the
+    # Q_AROW0 banded mapping — ops/perturbation.py), so supersampled
+    # deep zooms shard too; otherwise the per-device window is plain and
+    # Q_ROW0 is patched.
     operands, call_kw = pert.perturbation_fields(
-        orbit, width, band_h, map_height=map_h, _build_only=True, **pert_kw)
+        orbit, width, band_h, map_height=map_h, row0=row0_base,
+        _build_only=True,
+        **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **pert_kw)
 
     rebase = "max_passes" in call_kw
+    aa_stack = call_kw.get("aa_stack")
 
     def shard_body(params, ore, oim, om2, orel, oiml, orex, oimx):
         ridx = jax.lax.axis_index("rows")
-        p2 = params.at[0, pert.Q_ROW0].set(
-            jnp.float32(row0_base) + (ridx * band_h).astype(jnp.float32))
+        off = jnp.float32(row0_base) + (ridx * band_h).astype(jnp.float32)
+        # stacked maps are self-contained (Q_ROW0 stays 0); the device's
+        # band start enters only the pixel mapping via Q_AROW0
+        q = pert.Q_AROW0 if aa_stack is not None else pert.Q_ROW0
+        p2 = params.at[0, q].set(off)
         if rebase:
             n, zx, zy, g, want, k = pert._pert_rebase_call(
                 p2, ore, oim, om2, orel, oiml, orex, oimx, **call_kw)
@@ -171,12 +182,25 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
         out_specs=(P("rows"),) * n_out,
         check_vma=False))
     outs = fn(*operands)
-    res = {"n": _np.asarray(outs[0])[:height],
-           "zx": _np.asarray(outs[1])[:height],
-           "zy": _np.asarray(outs[2])[:height],
-           "glitch": _np.asarray(outs[3])[:height]}
+
+    if aa_stack is not None:
+        spp_, seg_h_, aa_h_, _fullh = aa_stack  # aa_h_ == band_h
+
+        def field(a):
+            # device-concat of per-band stacks -> (S, height, W): split
+            # devices, drop each segment's tile padding, reorder so the
+            # sample axis is outermost, rejoin the bands
+            a = _np.asarray(a).reshape(n_rows, spp_ * spp_, seg_h_, width)
+            a = a.transpose(1, 0, 2, 3)[:, :, :aa_h_]
+            return a.reshape(spp_ * spp_, n_rows * aa_h_, width)[:, :height]
+    else:
+        def field(a):
+            return _np.asarray(a)[:height]
+
+    res = {"n": field(outs[0]), "zx": field(outs[1]),
+           "zy": field(outs[2]), "glitch": field(outs[3])}
     if rebase:
-        res["want"] = _np.asarray(outs[4])[:height]
+        res["want"] = field(outs[4])
         res["passes"] = int(_np.asarray(outs[5]).max())
     return res
 

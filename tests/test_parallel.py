@@ -457,3 +457,24 @@ def test_giant_still_deep_zoom_spp(tmp_path):
     ref = np.asarray(deep_zoom.render(s, 32, 24))[::-1]
     ref16 = (np.clip(ref, 0, 1) * 65535 + 0.5).astype(np.uint16)
     np.testing.assert_array_equal(read_png(out), ref16)
+
+
+def test_stacked_aa_sharded_matches_single():
+    # aa_spp x mesh: each device stacks the spp^2 segments of its OWN
+    # row band (self-contained stacked map via Q_AROW0), so sharded
+    # supersampled deep zoom is bit-identical to the single-device
+    # stacked render.
+    from fractalrenderer_tpu.models import deep_zoom
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300)
+    W, H = 32, 24
+    n1, zx1, zy1, _, _ = deep_zoom.render_fields(s, W, H, aa_spp=2)
+    n2, zx2, zy2, _, _ = deep_zoom.render_fields(s, W, H, aa_spp=2,
+                                                 mesh=make_render_mesh())
+    assert n2.shape == (4, H, W)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(zx1, zx2)
+    np.testing.assert_array_equal(zy1, zy2)
