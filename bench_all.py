@@ -80,24 +80,29 @@ def bench_cold_start():
         "import fractalrenderer_tpu as f;"
         "from fractalrenderer_tpu.scene import Scene;"
         "img=np.asarray(f.render(Scene(max_iterations=256),1920,1080));"
-        "print('WALL',time.perf_counter()-t0)"
+        "print('WALL',time.perf_counter()-t0);"
+        "import jax;print('CACHEDIR',jax.config.jax_compilation_cache_dir)"
     )
 
     def probe():
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True, timeout=1800)
+        wall = cache_dir = None
         for line in out.stdout.splitlines():
             if line.startswith("WALL"):
-                return float(line.split()[1])
-        raise RuntimeError(f"cold-start probe failed: {out.stderr[-300:]}")
+                wall = float(line.split()[1])
+            elif line.startswith("CACHEDIR"):
+                cache_dir = line.split(None, 1)[1] if " " in line else None
+        if wall is None:
+            raise RuntimeError(f"cold-start probe failed: {out.stderr[-300:]}")
+        return wall, cache_dir
 
-    first = probe()
-    second = probe()
-    import jax
+    first, _ = probe()
+    second, cache_dir = probe()
     return {"config": "fresh_process_1080p_render",
             "first_process_s": round(first, 1),
             "cached_process_s": round(second, 1),
-            "cache_dir": jax.config.jax_compilation_cache_dir}
+            "cache_dir": cache_dir}
 
 
 def bench_mandelbrot_1080p():
