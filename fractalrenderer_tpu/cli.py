@@ -439,15 +439,27 @@ def cmd_zoom_path(args) -> int:
     interpolation."""
     import math
 
-    from .deepzoom.manager import preset_zoom_path
+    from .deepzoom.manager import ZoomKeyframe, preset_zoom_path
     from .models import render as model_render
     from .scene import FractalType
 
-    path = preset_zoom_path(args.preset_zoom)
-    start, end = path[0], path[1]
-    os.makedirs(args.out_dir, exist_ok=True)
     base = scene_from_args(args).with_(fractal_type=FractalType.DEEP_ZOOM,
                                        use_perturbation=True)
+    if args.preset_zoom:
+        path = preset_zoom_path(args.preset_zoom)
+        start, end = path[0], path[1]
+    else:
+        # the deep-zoom panel's typed Target X/Y/Zoom + Start Zoom
+        # Animation (ui_manager.cpp:701-710): zoom from the current view
+        # (scene flags / defaults) to the custom target, exactly
+        # DeepZoomManager.zoom_to's path shape
+        if None in (args.target_x, args.target_y, args.target_zoom):
+            print("zoom-path needs --preset-zoom or all of --target-x/"
+                  "--target-y/--target-zoom", file=sys.stderr)
+            return 2
+        start = ZoomKeyframe(base.center_x, base.center_y, base.zoom, 0.0)
+        end = ZoomKeyframe(args.target_x, args.target_y, args.target_zoom)
+    os.makedirs(args.out_dir, exist_ok=True)
     # One reference orbit at the final (deepest) center serves every frame
     # via the shift mechanism; the cache also holds any secondary
     # references across frames.  The reference recomputed per frame
@@ -735,8 +747,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("zoom-path", help="render a deep-zoom preset sequence")
     _add_scene_args(p)
-    p.add_argument("--preset-zoom", required=True,
+    p.add_argument("--preset-zoom",
                    help="Seahorse|Elephant|Mini (deep_zoom_system presets)")
+    p.add_argument("--target-x", type=float, default=None,
+                   help="custom zoom target (the deep-zoom panel's typed "
+                        "Target X/Y/Zoom, ui_manager.cpp:701-710); "
+                        "needs --target-y/--target-zoom too")
+    p.add_argument("--target-y", type=float, default=None)
+    p.add_argument("--target-zoom", type=float, default=None)
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)

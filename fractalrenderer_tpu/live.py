@@ -28,7 +28,8 @@ Hotkey map (every binding in input_handler.h:165-248 mapped or N/A'd):
   1-6              palette 0-5 (:194-196)
   z/x/c            deep-zoom presets Seahorse/Elephant/Mini (:198-206)
   o                toggle mandelbulb auto-rotate (ui_manager.cpp:1302-1306;
-                   rotation_y += 0.5 * dt per frame, vk_engine.cpp:713)
+                   rotation_y += speed * dt per frame, vk_engine.cpp:713;
+                   `:spin [SPEED]` is the Rotation Speed slider, 0.1-2.0)
   + / -            single zoom step (wheel semantics); on the mandelbulb the
                    wheel moves camera_distance in [1, 10] (:102-107)
   m                minimap view
@@ -204,6 +205,7 @@ class LiveSession:
         self.viewer = Viewer(scene, cols=cols, rows=rows)
         self._base_size = (self.viewer.width, self.viewer.height)
         self.spin = spin
+        self.spin_speed = _ROTATION_SPEED  # Rotation Speed slider
         self.running = True
         self.dirty = True
         self.show_status = True
@@ -471,7 +473,7 @@ class LiveSession:
             self.scene = s
         if self.spin and s.fractal_type == FractalType.MANDELBULB:
             self.scene = self.scene.with_(
-                rotation_y=self.scene.rotation_y + _ROTATION_SPEED * dt)
+                rotation_y=self.scene.rotation_y + self.spin_speed * dt)
         if self.playback is not None:
             frame = self.playback.update(dt)  # None while paused
             if frame is not None:
@@ -578,6 +580,25 @@ class LiveSession:
             return
         if parts[:2] == ["anim", "stop"]:
             self._stop_playback("playback stopped")
+            self.dirty = True
+            return
+        if parts and parts[0] == "spin":
+            # the Auto Rotate checkbox + Rotation Speed slider
+            # (ui_manager.cpp:1302-1309; applied per frame like
+            # vk_engine.cpp:713-714): bare toggles, a value sets the
+            # speed in rad/s (slider range 0.1-2.0, fractal_state.h:68)
+            if len(parts) > 1:
+                try:
+                    self.spin_speed = min(2.0, max(0.1, float(parts[1])))
+                except ValueError:
+                    self.message = f"bad spin speed: {parts[1]!r}"
+                    self.dirty = True
+                    return
+                self.spin = True
+                self.message = f"auto-rotate on, {self.spin_speed:g} rad/s"
+            else:
+                self.spin = not self.spin
+                self.message = f"auto-rotate {'on' if self.spin else 'off'}"
             self.dirty = True
             return
         msg = self.viewer.handle(line)

@@ -18,7 +18,11 @@ character cell) and exposes the reference's interaction vocabulary
                  aa N; e toggle orbit trap; trap [R]; stripes [D];
                  style N interior style;
                  enhance reset|brightness/saturation/contrast V; coords
-  preset NAME    location preset; julia NAME; reset (R); save FILE (S)
+  preset NAME    location preset; julia NAME|CR CI (the c sliders);
+                 phoenix P [R] / phoenix julia [CR CI] (damping/memory
+                 sliders + Julia Set Mode); bulb dist|rot|power|fov V /
+                 bulb resetcam (the 3D Parameters panel);
+                 reset (R); save FILE (S)
   export W H [ss] [FILE]   16-bit print export of the current view (the
                  in-app export panel, ui_manager.cpp:590-655); 'ss' =
                  2x supersample + downsample; huge sizes stream banded
@@ -207,9 +211,51 @@ class Viewer:
             elif cmd == "preset":
                 self.scene = presets.find_preset(" ".join(args)).apply(s)
             elif cmd == "julia":
-                cr, ci = presets.JULIA_PRESETS[" ".join(args)]
+                # preset name, or the C Real / C Imaginary sliders
+                # (ui_manager.cpp:1239-1242): julia CR CI
+                try:
+                    cr, ci = float(args[0]), float(args[1])
+                except (ValueError, IndexError):
+                    cr, ci = presets.JULIA_PRESETS[" ".join(args)]
                 self.scene = s.with_(fractal_type=FractalType.JULIA,
                                      julia_c_real=cr, julia_c_imag=ci)
+            elif cmd == "phoenix":
+                # the Phoenix parameter sliders (ui_manager.cpp:1343-1384):
+                # phoenix P [R] sets the damping/memory terms;
+                # phoenix julia [CR CI] toggles Julia Set Mode (and
+                # optionally sets its c, the conditional sliders)
+                if args and args[0] == "julia":
+                    kw = {"use_julia_set": not s.use_julia_set}
+                    if len(args) > 2:
+                        kw = {"use_julia_set": True,
+                              "julia_c_real": float(args[1]),
+                              "julia_c_imag": float(args[2])}
+                    self.scene = s.with_(fractal_type=FractalType.PHOENIX,
+                                         **kw)
+                else:
+                    kw = {"phoenix_p": float(args[0])}
+                    if len(args) > 1:
+                        kw["phoenix_r"] = float(args[1])
+                    self.scene = s.with_(fractal_type=FractalType.PHOENIX,
+                                         **kw)
+            elif cmd == "bulb":
+                # the 3D Parameters panel (ui_manager.cpp:1277-1310):
+                # bulb dist|rot|power|fov V, bulb resetcam
+                sub = args[0]
+                if sub == "resetcam":  # ui_manager.cpp:1287-1291
+                    self.scene = s.with_(camera_distance=3.0,
+                                         rotation_y=0.0)
+                else:
+                    field = {"dist": "camera_distance",
+                             "rot": "rotation_y",
+                             "power": "mandelbulb_power",
+                             "fov": "fov"}.get(sub)
+                    if field is None:
+                        return f"unknown bulb control {sub!r}"
+                    self.scene = s.with_(**{field: float(args[1])})
+                if s.fractal_type != FractalType.MANDELBULB:
+                    self.scene = self.scene.with_(
+                        fractal_type=FractalType.MANDELBULB)
             elif cmd == "key":
                 # interactive keyframe capture — the reference's animation
                 # timeline semantics (ui_manager.cpp:760-1220: capture

@@ -256,6 +256,83 @@ def test_zoom_path_cli(tmp_path):
                                            "frame_000001.png"]
 
 
+def test_zoom_path_custom_target(tmp_path):
+    # the deep-zoom panel's typed Target X/Y/Zoom + Start Zoom Animation
+    # (ui_manager.cpp:701-710): frame 0 is the current view, the last
+    # frame is the typed target
+    out_dir = str(tmp_path / "zpt")
+    rc = cli.main(["zoom-path", "--target-x", "-0.745", "--target-y",
+                   "0.113", "--target-zoom", "1e-6", "--frames", "2",
+                   "--width", "24", "--height", "12", "--iters", "150",
+                   "--out-dir", out_dir])
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["frame_000000.png",
+                                           "frame_000001.png"]
+    # neither preset nor a full target is an error, not a hang
+    assert cli.main(["zoom-path", "--target-x", "-0.5", "--frames", "2",
+                     "--out-dir", out_dir]) == 2
+
+
+def test_viewer_parameter_commands():
+    # the per-family parameter sliders as session commands: julia c
+    # (ui_manager.cpp:1239-1242), phoenix p/r + Julia Set Mode
+    # (:1343-1375), and the bulb 3D Parameters panel (:1277-1310)
+    from fractalrenderer_tpu.scene import FractalType, Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    v = Viewer(Scene(max_iterations=8), cols=16, rows=4)
+    v.handle("julia -0.42 0.61")
+    assert v.scene.fractal_type == FractalType.JULIA
+    assert (v.scene.julia_c_real, v.scene.julia_c_imag) == (-0.42, 0.61)
+    v.handle("julia San Marco")  # preset names still work
+    assert (v.scene.julia_c_real, v.scene.julia_c_imag) == (-0.75, 0.0)
+
+    v.handle("phoenix 0.3 -0.4")
+    assert v.scene.fractal_type == FractalType.PHOENIX
+    assert (v.scene.phoenix_p, v.scene.phoenix_r) == (0.3, -0.4)
+    v.handle("phoenix julia 0.56 -0.5")
+    assert v.scene.use_julia_set
+    assert (v.scene.julia_c_real, v.scene.julia_c_imag) == (0.56, -0.5)
+    v.handle("phoenix julia")  # bare toggles the checkbox
+    assert not v.scene.use_julia_set
+
+    v.handle("bulb power 6")
+    assert v.scene.fractal_type == FractalType.MANDELBULB
+    assert v.scene.mandelbulb_power == 6.0
+    v.handle("bulb dist 5.5")
+    v.handle("bulb rot 1.25")
+    v.handle("bulb fov 1.5")
+    assert (v.scene.camera_distance, v.scene.rotation_y,
+            v.scene.fov) == (5.5, 1.25, 1.5)
+    v.handle("bulb resetcam")  # ui_manager.cpp:1287-1291
+    assert (v.scene.camera_distance, v.scene.rotation_y) == (3.0, 0.0)
+    assert v.scene.fov == 1.5  # reset touches only distance/rotation
+    assert "unknown bulb control" in v.handle("bulb nope 1")
+
+
+def test_live_spin_speed_command():
+    # :spin [SPEED] = the Auto Rotate checkbox + Rotation Speed slider
+    # (ui_manager.cpp:1302-1309), applied per frame like
+    # vk_engine.cpp:713-714
+    from fractalrenderer_tpu.live import LiveSession
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    sess = LiveSession(Scene(fractal_type=FractalType.MANDELBULB,
+                             max_iterations=8), cols=16, rows=4)
+    assert not sess.spin and sess.spin_speed == 0.5  # fractal_state.h:68
+    sess.command("spin 1.5")
+    assert sess.spin and sess.spin_speed == 1.5
+    r0 = sess.scene.rotation_y
+    sess.tick(now=0.0, dt=0.1)
+    assert abs(sess.scene.rotation_y - (r0 + 1.5 * 0.1)) < 1e-6
+    sess.command("spin")
+    assert not sess.spin
+    sess.command("spin 99")  # slider clamps to [0.1, 2.0]
+    assert sess.spin_speed == 2.0
+    sess.command("spin abc")
+    assert "bad spin speed" in sess.message
+
+
 def test_viewer_minimap():
     from fractalrenderer_tpu.viewer import Viewer
     from fractalrenderer_tpu.scene import Scene

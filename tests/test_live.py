@@ -342,24 +342,31 @@ def test_live_session_over_pty(tmp_path):
         end = time.time() + 120
         while b"\x1b[7m" not in out and time.time() < end:
             drain(0.5)
-        assert b"\x1b[?1049h" in out   # alternate screen
-        assert b"\x1b[?1006h" in out   # SGR mouse reporting
-        assert b"\x1b[7m" in out       # status bar drawn
+        def ctx():
+            # on a flaky failure, show what the session actually said
+            return (f"poll={p.poll()!r} out_tail={out[-300:]!r}")
+
+        assert b"\x1b[?1049h" in out, ctx()   # alternate screen
+        assert b"\x1b[?1006h" in out, ctx()   # SGR mouse reporting
+        assert b"\x1b[7m" in out, ctx()       # status bar drawn
         os.write(m, b"e")              # zoom tick
         drain(2.0)
         os.write(m, f":scene save {scene_file}\r".encode())
         end = time.time() + 60
         while not scene_file.exists() and time.time() < end:
             drain(0.5)
+        assert scene_file.exists(), ctx()
         os.write(m, b"\x1b")           # quit
         end = time.time() + 60
         while p.poll() is None and time.time() < end:
             drain(0.2)
-        assert p.poll() == 0
-        drain(0.5)
-        assert b"\x1b[?1049l" in out   # terminal restored
+        assert p.poll() == 0, ctx()
+        end = time.time() + 10         # restore flushes at process exit;
+        while b"\x1b[?1049l" not in out and time.time() < end:
+            drain(0.2)                 # the pty buffer may lag it briefly
+        assert b"\x1b[?1049l" in out, ctx()   # terminal restored
         d = json.loads(scene_file.read_text())
-        assert d["zoom"] < 2.5         # the 'e' zoomed in
+        assert d["zoom"] < 2.5, ctx()  # the 'e' zoomed in
     finally:
         if p.poll() is None:
             p.kill()
