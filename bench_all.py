@@ -244,24 +244,56 @@ def bench_deep_zoom():
                                     "glitched_pixels_remaining")}}
 
 
-def bench_giant(width=16384, height=16384):
+def bench_giant(width=16384, height=16384, band_rows=1024):
     import os
     import tempfile
 
+    from fractalrenderer_tpu.models import common
     from fractalrenderer_tpu.parallel import render_giant_still
+    from fractalrenderer_tpu.parallel.tiled import _FAMILY
     from fractalrenderer_tpu.scene import Scene
+
+    scene = Scene(max_iterations=256)
+
+    # Device-side render throughput of one band (profiler-trace timed):
+    # the end-to-end number below is dominated by the D2H link + PNG IO
+    # (by design — the exporter exists to stream what can't be held),
+    # so record the kernel side separately to keep the two visible.
+    fam, conv, clamp = _FAMILY[scene.fractal_type]
+    cfg = common.scene_static_cfg(scene, width, height, fam, conv, clamp)
+    band_fn = jax.jit(common.band_render_fn(cfg, band_rows, height))
+    dyn = {k: jnp.float32(v)
+           for k, v in common.scene_dyn_params(scene).items()}
+    float(band_fn(dyn, jnp.float32(0.0)).ravel()[0])  # compile + warm
+    # bands differ a lot in iteration load (edge bands escape fast, the
+    # band through the set's boundary runs deep) — time a spread and
+    # report the mean so the number reflects a whole-image render
+    rows0 = [0.0, height // 4, height // 2 - band_rows // 2]
+    secs = [_traced_seconds(
+        lambda r=r: float(band_fn(dyn, jnp.float32(r)).ravel()[0]))
+        for r in rows0]
+    secs = [s for s in secs if s]
+    device = {}
+    if secs:
+        mean_s = sum(secs) / len(secs)
+        device = {"device_band_seconds_mean": round(mean_s, 4),
+                  "device_band_seconds_spread":
+                      [round(s, 4) for s in secs],
+                  "device_render_mpix_s":
+                      round(width * band_rows / mean_s / 1e6, 1)}
 
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "giant.png")
         t0 = time.perf_counter()
-        info = render_giant_still(Scene(max_iterations=256), width, height,
-                                  out, band_rows=1024, bit_depth=16,
+        info = render_giant_still(scene, width, height,
+                                  out, band_rows=band_rows, bit_depth=16,
                                   resume=False)
         dt = time.perf_counter() - t0
         size = os.path.getsize(out)
     return {"config": f"giant_{width}x{height}_16bit",
             "seconds": round(dt, 1),
             "mpix_s_end_to_end": round(width * height / dt / 1e6, 1),
+            **device,
             "png_bytes": size}
 
 

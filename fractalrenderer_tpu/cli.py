@@ -193,7 +193,20 @@ def _render(scene: Scene, width: int, height: int, golden: bool):
     return np.asarray(models.render(scene, width, height))
 
 
+def _size_ok(args) -> bool:
+    """A non-positive --width/--height must be a clean error, not a
+    kernel-shape traceback (the reference's panel clamps its inputs,
+    ui_manager.cpp:617-618)."""
+    w, h = getattr(args, "width", 1), getattr(args, "height", 1)
+    if w < 1 or h < 1:
+        print(f"error: bad render size {w}x{h}", file=sys.stderr)
+        return False
+    return True
+
+
 def cmd_render(args) -> int:
+    if not _size_ok(args):
+        return 2
     if getattr(args, "sharded", False) and (
             args.golden or getattr(args, "precision", "f32") == "dd"):
         print("--sharded does not combine with --golden or "
@@ -275,6 +288,8 @@ def cmd_export_print(args) -> int:
     """16-bit print export (vk_engine.cpp:1796-2232): renders at 2x when
     supersampling and embeds gAMA/sRGB/300DPI/tEXt metadata.  Oversized
     renders delegate to the resumable banded exporter automatically."""
+    if not _size_ok(args):
+        return 2
     scene = scene_from_args(args)
     rw = args.width * 2 if args.supersample else args.width
     rh = args.height * 2 if args.supersample else args.height
@@ -416,6 +431,8 @@ def cmd_encode(args) -> int:
 def cmd_giant(args) -> int:
     from .parallel import render_giant_still
 
+    if not _size_ok(args):
+        return 2
     scene = scene_from_args(args)
     done = [0]
 

@@ -438,6 +438,11 @@ class Viewer:
                 if ss:
                     rest.remove("ss")
                 path = rest[0] if rest else f"export_{ew}x{eh}.png"
+                # the reference's panel clamps to [100, 32000]
+                # (ui_manager.cpp:617-618); we allow small sizes but a
+                # non-positive dimension is an error, not a crash
+                if ew < 1 or eh < 1:
+                    return f"error: bad export size {ew}x{eh}"
                 if max(ew, eh) * (2 if ss else 1) > 32000:
                     return "error: exceeds 32000 cap (ui_manager.cpp:617)"
                 meta = {"Software": "fractalrenderer_tpu (print export)",

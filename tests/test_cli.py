@@ -333,6 +333,59 @@ def test_live_spin_speed_command():
     assert "bad spin speed" in sess.message
 
 
+def test_nonpositive_sizes_are_clean_errors(tmp_path):
+    # a zero/negative --width/--height must exit 2 with a message, not
+    # die on a kernel-shape TypeError; same for the session export
+    # (the reference's panel clamps its inputs, ui_manager.cpp:617-618)
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    out = str(tmp_path / "x.png")
+    assert cli.main(["render", "--width", "0", "--height", "32",
+                     "--out", out]) == 2
+    assert cli.main(["export-print", "--width", "-4", "--height", "8",
+                     "--out", out]) == 2
+    assert cli.main(["giant", "--width", "16", "--height", "0",
+                     "--out", out]) == 2
+    v = Viewer(Scene(max_iterations=8), cols=8, rows=2)
+    assert "bad export size" in v.handle("export 0 0 z.png")
+    assert "bad export size" in v.handle("export -4 8 z.png")
+
+
+def test_viewer_command_fuzz(tmp_path, monkeypatch):
+    # the REPL is the reference's safe_invoke surface (ui_manager.h:222-241
+    # wraps every UI callback in try/catch): no command line, however
+    # malformed, may escape handle() as an exception.  Fuzz the whole
+    # vocabulary with junk/extreme args; only 'q' may return None.
+    import random
+
+    from fractalrenderer_tpu.scene import Scene
+    from fractalrenderer_tpu.viewer import Viewer
+
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(1234)
+    words = ["julia", "phoenix", "bulb", "p", "i", "aa", "spp", "style",
+             "trap", "stripes", "enhance", "preset", "type", "key",
+             "anim", "scene", "click", "rclick", "w", "a", "s", "d",
+             "tab", "+", "-", "e", "r", "coords", "export", "h",
+             "spinx", "", "nope"]
+    argpool = ["", "0", "1", "-1", "2.5", "-0.7", "1e9", "-1e-9", "inf",
+               "nan", "junk", "auto", "julia", "resetcam", "dist", "rot",
+               "power", "fov", "add", "list", "del", "clear", "save",
+               "load", "seek", "interp", "fps", "dur", "info",
+               str(tmp_path / "f.json"), "San Marco", "0.5"]
+    v = Viewer(Scene(max_iterations=8), cols=8, rows=2)
+    for _ in range(400):
+        line = " ".join([rng.choice(words)]
+                        + [rng.choice(argpool)
+                           for _ in range(rng.randrange(4))])
+        out = v.handle(line)
+        assert isinstance(out, str), f"{line!r} -> {out!r}"
+    # the scene object must still be a usable Scene (frozen dataclass
+    # fields intact), whatever state the fuzz drove it into
+    assert isinstance(v.scene.max_iterations, int)
+
+
 def test_viewer_minimap():
     from fractalrenderer_tpu.viewer import Viewer
     from fractalrenderer_tpu.scene import Scene
