@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 
-from ..scene import FractalType, Scene
+from ..scene import Scene
 from .keyframes import Animation, InterpolationType, Keyframe
 
 _REFERENCE_FIELDS = (
@@ -61,26 +61,47 @@ def animation_to_dict(anim: Animation) -> dict:
 
 
 def animation_from_dict(d: dict) -> Animation:
-    anim = Animation(
-        name=d.get("name", ""),
-        description=d.get("description", ""),
-        duration=float(d.get("duration", 10.0)),
-        loop=bool(d.get("loop", False)),
-        target_fps=int(d.get("target_fps", 60)),
-        export_width=int(d.get("export_width", 1920)),
-        export_height=int(d.get("export_height", 1080)),
-    )
-    for kd in d.get("keyframes", []):
-        fields = {f: kd[f] for f in _REFERENCE_FIELDS if f in kd}
-        extra = dict(kd.get("extra", {}))
-        if "fractal_type" in extra:
-            extra["fractal_type"] = FractalType.parse(extra["fractal_type"])
-        scene = Scene(**fields, **extra)
-        anim.keyframes.append(Keyframe(
-            time=float(kd["time"]),
-            scene=scene,
-            interp_type=InterpolationType(int(kd.get("interp_type", 1))),
-        ))
+    # Untrusted input: structural surprises must be ValueError (the
+    # caller surfaces it as a message), never an AttributeError from
+    # deep inside — the reference's nlohmann parse throws the analog
+    # (animation_system.cpp:272-313 wraps load in try/catch).
+    if not isinstance(d, dict):
+        raise ValueError(
+            f".franim JSON must be an object, got {type(d).__name__}")
+    kfs = d.get("keyframes", [])
+    if not isinstance(kfs, list) \
+            or not all(isinstance(k, dict) for k in kfs):
+        raise ValueError(".franim 'keyframes' must be a list of objects")
+    try:
+        anim = Animation(
+            name=str(d.get("name", "")),
+            description=str(d.get("description", "")),
+            duration=float(d.get("duration", 10.0)),
+            loop=bool(d.get("loop", False)),
+            target_fps=int(d.get("target_fps", 60)),
+            export_width=int(d.get("export_width", 1920)),
+            export_height=int(d.get("export_height", 1080)),
+        )
+        for kd in kfs:
+            extra = kd.get("extra", {})
+            if not isinstance(extra, dict):
+                raise ValueError(".franim keyframe 'extra' must be an "
+                                 "object")
+            # Scene.from_dict validates field names and value types
+            # (and parses extra's fractal_type string)
+            scene = Scene.from_dict(
+                {**{f: kd[f] for f in _REFERENCE_FIELDS if f in kd},
+                 **extra})
+            anim.keyframes.append(Keyframe(
+                time=float(kd["time"]),
+                scene=scene,
+                interp_type=InterpolationType(
+                    int(kd.get("interp_type", 1))),
+            ))
+    except KeyError as e:
+        raise ValueError(f".franim keyframe missing field {e}") from None
+    except TypeError as e:
+        raise ValueError(f"malformed .franim value: {e}") from None
     anim.keyframes.sort(key=lambda k: k.time)
     return anim
 

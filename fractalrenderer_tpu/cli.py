@@ -341,7 +341,12 @@ def cmd_animate(args) -> int:
     from .anim.keyframes import Keyframe
 
     if args.franim:
-        anim = franim.load(args.franim)
+        try:
+            anim = franim.load(args.franim)
+        except (ValueError, OSError) as e:
+            print(f"error: cannot load {args.franim}: {e}",
+                  file=sys.stderr)
+            return 2
     else:
         # Build a two-keyframe zoom animation from CLI args
         scene = scene_from_args(args)

@@ -304,13 +304,41 @@ class Scene:
 
     @staticmethod
     def from_dict(d: dict) -> "Scene":
+        """Construct from untrusted JSON data: unknown fields and
+        wrong-typed values (e.g. an object where a float belongs) raise
+        ValueError here instead of a shape/type error deep inside a
+        later render (the reference validates its parsed inputs the same
+        way, ui_manager.cpp:100-129)."""
+        if not isinstance(d, dict):
+            raise ValueError(
+                f"scene JSON must be an object, got {type(d).__name__}")
         d = dict(d)
         if "fractal_type" in d:
             d["fractal_type"] = FractalType.parse(str(d["fractal_type"]))
-        fields = {f.name for f in dataclasses.fields(Scene)}
-        unknown = set(d) - fields
+        fields = {f.name: f.type for f in dataclasses.fields(Scene)}
+        unknown = set(d) - set(fields)
         if unknown:
             raise ValueError(f"unknown scene fields: {sorted(unknown)}")
+        for k, v in d.items():
+            t = fields[k]
+            try:
+                if t == "float":
+                    d[k] = float(v)
+                elif t == "int":
+                    d[k] = int(v)
+                elif t == "bool":
+                    d[k] = bool(v)
+                elif "str" in t and v is not None \
+                        and not isinstance(v, str):
+                    # hp fields: numbers are fine (stringified), anything
+                    # structured is not
+                    if isinstance(v, (int, float)):
+                        d[k] = repr(v)
+                    else:
+                        raise TypeError
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"scene field {k!r} expects {t}, got {v!r}") from None
         return Scene(**d)
 
     def to_json(self, **kw) -> str:

@@ -125,6 +125,29 @@ def test_franim_roundtrip(tmp_path):
         assert f in kf, f
 
 
+def test_franim_malformed_inputs_raise_valueerror(tmp_path):
+    # structurally wrong .franim data must be ValueError (the session's
+    # error guard, matching the reference's try/catch around its
+    # nlohmann parse, animation_system.cpp:272-313) — never an
+    # AttributeError escaping from inside the loader
+    for bad in ('{"keyframes": "x"}', "[1, 2, 3]", '"str"',
+                '{"keyframes": [{"zoom": "abc", "time": 0}]}',
+                '{"keyframes": [{"time": 0, "extra": 7}]}',
+                '{"keyframes": [{"zoom": 1.0}]}',        # missing time
+                '{"keyframes": [{"time": 0, "extra": '
+                '{"fractal_type": "nope"}}]}'):
+        p = tmp_path / "bad.franim"
+        p.write_text(bad)
+        with pytest.raises(ValueError):
+            franim.load(str(p))
+    # well-formed minimal file still loads
+    p = tmp_path / "ok.franim"
+    p.write_text('{"keyframes": [{"time": 0.0, "zoom": 2.0},'
+                 ' {"time": 1.0, "zoom": 1.0}]}')
+    a = franim.load(str(p))
+    assert len(a.keyframes) == 2 and a.keyframes[0].scene.zoom == 2.0
+
+
 def test_franim_loads_reference_sample():
     # The sample shipped at the reference repo root (6 keyframes, 20 s,
     # 2560x1440 @ 120 fps)

@@ -68,6 +68,31 @@ def test_zoom_helpers_match_reference():
     assert wy == pytest.approx(z.center_y + ny * z.zoom)
 
 
+def test_from_dict_rejects_wrong_types():
+    # untrusted scene JSON: wrong-typed values raise ValueError at load
+    # time, not a shape error deep inside a later render (the reference
+    # validates parsed inputs, ui_manager.cpp:100-129)
+    import pytest
+
+    from fractalrenderer_tpu.scene import Scene
+
+    with pytest.raises(ValueError):
+        Scene.from_dict([])  # not an object
+    with pytest.raises(ValueError):
+        Scene.from_dict({"zoom": {"a": 1}})
+    with pytest.raises(ValueError):
+        Scene.from_dict({"max_iterations": "many"})
+    with pytest.raises(ValueError):
+        Scene.from_dict({"hp_zoom": [1, 2]})
+    with pytest.raises(ValueError):
+        Scene.from_dict({"nonexistent_field": 1})
+    # benign coercions keep working: JSON strings for numbers, numbers
+    # for hp strings
+    s = Scene.from_dict({"zoom": "1e-3", "max_iterations": 128,
+                         "hp_zoom": 1e-12})
+    assert s.zoom == 1e-3 and s.hp_zoom == "1e-12"
+
+
 def test_presets_tables():
     # src/fractal_state.h:171-189
     assert len(presets.MANDELBROT_PRESETS) == 6
