@@ -62,6 +62,46 @@ def test_parse_esc_prefix_vs_key():
     assert ev == [] and rest == b"\x1b"
 
 
+def test_parse_and_handle_fuzz():
+    # Hostile terminals: random byte soup must never raise out of
+    # parse_input, must always make progress (no infinite remainder
+    # growth), and every event it produces must be handled by the
+    # session without an exception — the raw-mode analog of the
+    # reference's safe_invoke guard around input callbacks.
+    import random
+
+    rng = random.Random(99)
+    sess = LiveSession(Scene(zoom=2.0, max_iterations=8), cols=16, rows=4)
+    # input handling is under test, not the render stack: a random 'S'
+    # keypress must not spend seconds on a real screenshot render
+    sess.screenshot = lambda: "stubbed shot"
+    carry = b""
+    now = 0.0
+    for _ in range(300):
+        chunk = bytes(rng.randrange(256) for _ in range(rng.randrange(24)))
+        events, carry = parse_input(carry + chunk)
+        assert len(carry) < 64  # a remainder is only a split sequence
+        now += 0.01
+        for ev in events:
+            if ev == ("key", "esc") or ev == ("key", "ctrl-c"):
+                continue  # quit keys end a real session; keep fuzzing
+            sess.handle_event(ev, now)
+        sess.tick(now, 0.01)
+    # structured fuzz: syntactically valid SGR reports with extreme
+    # coordinates and button bits
+    for _ in range(200):
+        btn = rng.randrange(256)
+        cx, cy = rng.randrange(0, 9999), rng.randrange(0, 9999)
+        fin = rng.choice(b"Mm")
+        events, rest = parse_input(
+            f"\x1b[<{btn};{cx};{cy}{chr(fin)}".encode())
+        assert rest == b""
+        now += 0.01
+        for ev in events:
+            sess.handle_event(ev, now)
+    assert isinstance(sess.scene.zoom, float)
+
+
 # ---- continuous-input semantics (input_handler.h:211-248) ---------------
 
 def _sess(**kw):
