@@ -479,11 +479,22 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         for b in reversed(range(n_bands)):  # final scanline order
             tile_path = os.path.join(tile_dir, f"band_{b:05d}.png")
             if resume and os.path.exists(tile_path):
-                while inflight:  # keep emit() ordering
-                    drain_one()
-                skipped += 1
-                emit(png.read_png(tile_path))
-                continue
+                # an unreadable or wrong-shaped tile (truncated write,
+                # foreign file) must re-render its band, not abort the
+                # whole export with a decode error
+                try:
+                    tile = png.read_png(tile_path)
+                except Exception:
+                    tile = None
+                want_rows = min(band_rows, height - b * band_rows)
+                want_dt = np.uint8 if bit_depth == 8 else np.uint16
+                if tile is not None and tile.shape == (want_rows, width, 3) \
+                        and tile.dtype == want_dt:
+                    while inflight:  # keep emit() ordering
+                        drain_one()
+                    skipped += 1
+                    emit(tile)
+                    continue
             row0 = b * band_rows
             if deep:
                 arr = produce_band(row0)  # host numpy, already quantized

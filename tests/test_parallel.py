@@ -88,6 +88,29 @@ def test_giant_still_resume(tmp_path):
     np.testing.assert_array_equal(img, ref8)
 
 
+def test_giant_still_resume_bad_tiles(tmp_path):
+    """Corrupt / wrong-shaped resume tiles re-render instead of aborting."""
+    import os
+
+    from fractalrenderer_tpu.utils.png import read_png, write_png
+
+    s = Scene(max_iterations=24)
+    out = str(tmp_path / "big.png")
+    render_giant_still(s, 96, 80, out, band_rows=32, bit_depth=8, dpi=None)
+    ref = read_png(out)
+    tile_dir = out + ".tiles"
+    # band 0: truncated/garbage bytes (simulates a crash mid-write)
+    with open(os.path.join(tile_dir, "band_00000.png"), "wb") as fp:
+        fp.write(b"\x89PNG\r\n\x1a\nnot a real png")
+    # band 1: decodable but wrong shape (foreign file)
+    write_png(os.path.join(tile_dir, "band_00001.png"),
+              np.zeros((4, 4, 3), np.uint8), bit_depth=8)
+    info = render_giant_still(s, 96, 80, out, band_rows=32,
+                              bit_depth=8, dpi=None)
+    assert info["rendered"] == 2 and info["skipped"] == 1
+    np.testing.assert_array_equal(read_png(out), ref)
+
+
 def test_giant_still_scene_change_invalidates(tmp_path):
     s1 = Scene(max_iterations=24)
     out = str(tmp_path / "big.png")
