@@ -46,7 +46,7 @@ def _failure_record(msg: str) -> dict:
     return rec
 
 
-def _preflight_ok(timeout_s: int = 150) -> bool:
+def _preflight_ok(timeout_s: int = 300) -> bool:
     """Probe the device in a SUBPROCESS before committing to the run: a
     wedged tunnel blocks make_c_api_client itself (first jax.devices() of
     a fresh process, observed 2026-08-17), so a failed probe means the
@@ -62,12 +62,21 @@ def _preflight_ok(timeout_s: int = 150) -> bool:
             "exit=True)\n"
             "import jax, jax.numpy as jnp\n"
             "print(float((jax.device_put(jnp.arange(4.0)) + 1).sum()))\n")
-    try:
-        p = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return p.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    # Three attempts at a generous bound: healthy-tunnel client creation
+    # has been observed anywhere from 9 s to 138 s within one hour
+    # (2026-08-18), so a tight single probe is indistinguishable from a
+    # wedge.  A genuinely wedged link fails all three in ~15 min — still
+    # under the 30-min watchdog it exists to avoid, and a wedge is the
+    # rare case; the slow-but-healthy case must never record a 0.
+    for _ in range(3):
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if p.returncode == 0:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+    return False
 
 
 def _install_watchdog(seconds: int = 1800) -> None:
@@ -106,7 +115,7 @@ def main() -> None:
     if not _preflight_ok():
         print(json.dumps(_failure_record(
             "device preflight failed (PJRT client creation or a trivial "
-            "op blocked >150s in a probe subprocess; see BENCH history "
+            "op blocked >300s in 3 probe subprocesses; see BENCH history "
             "for real numbers)")), flush=True)
         raise SystemExit(3)
     _install_watchdog()

@@ -548,7 +548,7 @@ def cmd_interactive(args) -> int:
     res = _probe_devices()
     if "devices" not in res:
         why = (f"failed to initialize: {res['error']}" if "error" in res
-               else "unresponsive (probe blocked >30s) — the device link "
+               else "unresponsive (probe blocked >180s) — the device link "
                     "may be wedged")
         print(f"error: device backend {why}.  CPU fallback: re-run with "
               "--cpu (or fix the device and retry)", file=sys.stderr)
@@ -605,14 +605,18 @@ def cmd_presets(args) -> int:
     return 0
 
 
-def _probe_devices(timeout_s: float = 30.0) -> dict:
+def _probe_devices(timeout_s: float = 180.0) -> dict:
     """Bounded backend discovery: returns {backend, devices} or {} if the
     probe blocked past the timeout.  Discovery can block forever inside
     the PJRT client when a tunneled device is wedged (SIGALRM never fires
     inside the C call, but the GIL is released, so a daemon-thread probe
     works) — diagnostics and session startup must not hang precisely when
-    things are broken."""
+    things are broken.  The bound is generous because a HEALTHY tunnel's
+    client creation has been observed anywhere from 9 s to 138 s within
+    one hour (2026-08-18); after 20 s a notice distinguishes "slow link,
+    still waiting" from a silent hang."""
     import threading
+    import time
 
     import jax
 
@@ -627,7 +631,13 @@ def _probe_devices(timeout_s: float = 30.0) -> dict:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    t.join(min(20.0, timeout_s))
+    if t.is_alive() and timeout_s > 20.0:
+        deadline = time.monotonic() + (timeout_s - 20.0)
+        print(f"device link is slow to initialize — waiting up to "
+              f"{timeout_s:.0f}s total...", file=sys.stderr)
+        while t.is_alive() and time.monotonic() < deadline:
+            t.join(5.0)
     return res
 
 
@@ -647,7 +657,7 @@ def cmd_info(args) -> int:
               f"({res['error']}).  CPU fallback: re-run with --cpu")
     else:
         print(f"jax {jax.__version__}, backend: UNRESPONSIVE "
-              "(device probe blocked >30s — the device link may be "
+              "(device probe blocked >180s — the device link may be "
               "wedged; renders will hang too.  CPU fallback: re-run "
               "with --cpu)")
     from .anim.video import ffmpeg_available
