@@ -248,7 +248,8 @@ def _make_kernel(width: int, height: int, map_height: int,
                  orbit_hbm: bool = False,
                  scaled: bool = False, rebase: bool = False,
                  julia: bool = False, ship: bool = False,
-                 phoenix: bool = False, aa_stack=None):
+                 phoenix: bool = False, aa_stack=None,
+                 inkernel_rounds: int = 0):
     """``julia=True`` iterates the JULIA perturbation dz <- 2*Z*dz + dz^2
     (no +dc term — c is a shared constant; the reference orbit starts at
     the view center z0 instead of 0).  The orbit tables hold the DRIFT
@@ -282,7 +283,18 @@ def _make_kernel(width: int, height: int, map_height: int,
     wants another.  One reference orbit serves the whole image with no
     glitches by construction; Pauldelbrot detection and float continuation
     are superseded (kernel inputs carry per-pixel live/nf/z/delta state;
-    params[Q_M0] is the pass's starting orbit index: 1 first, 0 after)."""
+    params[Q_M0] is the pass's starting orbit index: 1 first, 0 after).
+
+    ``inkernel_rounds > 0`` (with rebase) moves the pass loop INSIDE the
+    kernel: each tile runs its own rounds over the in-VMEM state until no
+    lane wants a rebase (capped at inkernel_rounds), so finished tiles
+    never re-enter and the per-pass full-grid rescan disappears — the
+    multi-pass form spent 78% of config-4's device time re-scanning
+    (371 ms pass 1, 1348 ms for 100 continuation passes of mostly
+    per-tile setup).  No per-pixel state planes cross HBM: the call takes
+    no state inputs and outputs (n, zx, zy, glitch, want, rounds); each
+    lane's iteration sequence is bit-identical to the multi-pass form
+    (round restart = the pass-2+ state0 carryover with i reset to 0)."""
     assert julia + ship + phoenix <= 1, \
         "julia/ship/phoenix are mutually exclusive families"
     assert not (julia or ship or phoenix) or rebase, \
@@ -294,7 +306,13 @@ def _make_kernel(width: int, height: int, map_height: int,
     def kernel(params_ref, orbit_re_ref, orbit_im_ref, orbit_mag2_ref,
                orbit_re_lo_ref, orbit_im_lo_ref, orbit_re_ex_ref,
                orbit_im_ex_ref, *rest):
-        if rebase:
+        if rebase and inkernel_rounds:
+            # self-contained: no state inputs, rounds plane instead of the
+            # nf/comps feedback outputs
+            (n_ref, zx_ref, zy_ref, glitch_ref, want_ref,
+             rounds_ref) = rest[:6]
+            scratch = rest[6:]
+        elif rebase:
             n_in = 4 + len(comps)  # live, nf, zfr, zfi, delta comps
             st_refs = rest[:n_in]
             out_refs = rest[n_in:n_in + 6 + len(comps)]
@@ -462,10 +480,11 @@ def _make_kernel(width: int, height: int, map_height: int,
         # coefficients A=1, B=C=0, n0=1 reduce exactly to the peeled
         # update 0 of the plain path (δ_1 = δc).
         n0 = params_ref[0, Q_NSKIP].astype(jnp.int32)
-        if rebase:
+        if rebase and not inkernel_rounds:
             # pass-local starting orbit index: the first pass starts at the
             # series-skip index (the caller feeds Q_NSKIP into Q_M0),
-            # rebased lanes restart at 0 on later passes
+            # rebased lanes restart at 0 on later passes (in-kernel rounds
+            # read Q_NSKIP directly — round 2+ resets i itself)
             n0 = params_ref[0, Q_M0].astype(jnp.int32)
         ar, ai = params_ref[0, Q_AR], params_ref[0, Q_AI]
         br, bi = params_ref[0, Q_BR], params_ref[0, Q_BI]
@@ -586,7 +605,12 @@ def _make_kernel(width: int, height: int, map_height: int,
                 z_ = jnp.zeros((th, tw), jnp.float32)
                 state0["pzr"] = z_
                 state0["pzi"] = z_
-        if rebase:
+        if rebase and inkernel_rounds:
+            # round 1 starts every in-bounds lane; rounds 2+ revive want
+            # lanes in-kernel (state never leaves VMEM)
+            state0["live"] = in_bounds.astype(jnp.float32)
+            state0["want"] = jnp.zeros((th, tw), jnp.float32)
+        elif rebase:
             first = params_ref[0, Q_FIRST] > 0.5
             live_ref, nf_in_ref, zfr_in_ref, zfi_in_ref = st_refs[:4]
             comp_in = st_refs[4:]
@@ -1094,6 +1118,32 @@ def _make_kernel(width: int, height: int, map_height: int,
 
         s, _ = jax.lax.while_loop(cond1, body1, (state0, jnp.bool_(True)))
 
+        rounds = jnp.int32(1)
+        if rebase and inkernel_rounds:
+            # --- in-kernel rounds: revive want lanes at orbit index 0 ---
+            # Exactly the multi-pass boundary (live' = want, want' = 0,
+            # i' = 0, z/nf/delta carry over verbatim), but per tile and
+            # without the state round-trip through HBM.
+            def rcond(carry):
+                s_, r_ = carry
+                return (r_ < inkernel_rounds) & jnp.any(s_["want"] > 0.5)
+
+            def rbody(carry):
+                s_, r_ = carry
+                s_ = dict(s_)
+                s_["live"] = s_["want"]
+                s_["want"] = jnp.zeros_like(s_["want"])
+                s_["i"] = jnp.int32(0)
+                if orbit_hbm:
+                    # restore the loop invariant "row of i sits in slot 0,
+                    # waited" for the restart (align is 0 at i = 0)
+                    dma_sync(jnp.int32(0))
+                s_, _ = jax.lax.while_loop(cond1, body1,
+                                           (s_, jnp.bool_(True)))
+                return s_, r_ + 1
+
+            s, rounds = jax.lax.while_loop(rcond, rbody, (s, rounds))
+
         if not float_continuation and not rebase:
             # Deep mode: a pixel still alive when the reference orbit ran
             # out cannot be finished in f32 — flag it for a secondary
@@ -1151,7 +1201,11 @@ def _make_kernel(width: int, height: int, map_height: int,
         zx_ref[:, :] = s["zfr"]
         zy_ref[:, :] = s["zfi"]
         glitch_ref[:, :] = s["glitch"] * in_bounds.astype(jnp.float32)
-        if rebase:
+        if rebase and inkernel_rounds:
+            want_ref[:, :] = s["want"]
+            rounds_ref[:, :] = jnp.broadcast_to(
+                rounds.astype(jnp.float32), (th, tw))
+        elif rebase:
             want_ref[:, :] = s["want"]
             nf_ref[:, :] = s["nf"]
             for r_, c_ in zip(comp_refs, comps):
@@ -1166,7 +1220,7 @@ def _make_kernel(width: int, height: int, map_height: int,
 def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  chunk, interpret, float_continuation, dd_delta, orbit_hbm,
                  scaled, julia=False, ship=False, phoenix=False,
-                 aa_stack=None):
+                 aa_stack=None, inkernel_rounds=0):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     # orbit_cap is NOT consumed by the kernel body (the orbit bound comes
@@ -1175,13 +1229,18 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
                           scaled, rebase, julia, ship, phoenix,
-                          aa_stack)
+                          aa_stack, inkernel_rounds)
     comps = _state_comps(dd_delta, scaled, phoenix)
-    n_state = 4 + len(comps) if rebase else 0
+    n_state = 4 + len(comps) if (rebase and not inkernel_rounds) else 0
     f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
-    out_shapes = (
-        (jax.ShapeDtypeStruct((height, width), jnp.int32),)
-        + (f32s,) * (3 + ((2 + len(comps)) if rebase else 0)))
+    if rebase and inkernel_rounds:
+        # n, zx, zy, glitch, want, rounds — no feedback planes
+        out_shapes = ((jax.ShapeDtypeStruct((height, width), jnp.int32),)
+                      + (f32s,) * 5)
+    else:
+        out_shapes = (
+            (jax.ShapeDtypeStruct((height, width), jnp.int32),)
+            + (f32s,) * (3 + ((2 + len(comps)) if rebase else 0)))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     n_streams = _n_orbit_streams(dd_delta, scaled, julia)
@@ -1231,17 +1290,34 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "dd_delta", "orbit_hbm",
                      "scaled", "max_passes", "julia", "ship", "phoenix",
-                     "aa_stack"))
+                     "aa_stack", "inkernel"))
 def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                       orbit_im_lo, orbit_re_ex, orbit_im_ex, *, width,
                       height, map_height, orbit_cap,
                       tile, chunk, interpret, dd_delta=False,
                       orbit_hbm=False, scaled=False, max_passes=256,
                       julia=False, ship=False, phoenix=False,
-                      aa_stack=None):
-    """Device-resident multi-pass rebasing: a lax.while_loop re-launches
-    the kernel until no lane wants another rebase — zero host round trips
-    per pass (the frozen per-pixel state feeds back as kernel inputs)."""
+                      aa_stack=None, inkernel=True):
+    """Device-resident rebasing passes.  Default (``inkernel``): ONE
+    kernel call runs each tile's rounds over in-VMEM state until no lane
+    wants a rebase — finished tiles never re-enter, and no per-pixel
+    state crosses HBM.  ``inkernel=False`` selects the multi-pass form (a
+    lax.while_loop re-launching the kernel with the frozen per-pixel
+    state fed back as inputs — bit-identical, kept as the comparison
+    oracle and measurement baseline: 1.72 s device time on config 4 vs
+    the in-kernel form's single pass)."""
+    if inkernel:
+        call = _pallas_pert(True, width=width, height=height,
+                            map_height=map_height, orbit_cap=orbit_cap,
+                            tile=tile, chunk=chunk, interpret=interpret,
+                            float_continuation=False, dd_delta=dd_delta,
+                            orbit_hbm=orbit_hbm, scaled=scaled, julia=julia,
+                            ship=ship, phoenix=phoenix, aa_stack=aa_stack,
+                            inkernel_rounds=int(max_passes))
+        n, zx, zy, gl, want, rounds = call(
+            params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
+            orbit_im_lo, orbit_re_ex, orbit_im_ex)
+        return n, zx, zy, gl, want, jnp.max(rounds).astype(jnp.int32)
     call = _pallas_pert(True, width=width, height=height,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
@@ -1297,6 +1373,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         ref_shift_x_frac: Union[str, Fraction, None] = None,
                         ref_shift_y_frac: Union[str, Fraction, None] = None,
                         rebase: bool = False, max_passes: int = 256,
+                        rebase_inkernel: bool = True,
                         julia: bool = False, julia_z0=None,
                         ship: bool = False, phoenix: bool = False,
                         phoenix_p: float = 0.0, phoenix_r: float = 0.0,
@@ -1324,9 +1401,17 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     if interpret is None:
         interpret = default_interpret()
     if tile is None:
-        # (64,128) measured best at 1080p/1e-12 (17.4 vs 14.5 Mpix/s for
-        # (64,256)) — same divergence argument as the escape kernel
-        tile = pick_tile(height, width)
+        # (16,128) measured best at 1080p/1e-12 under IN-KERNEL rounds
+        # (1061 ms vs 1130 for (32,128), 1582 for (64,128), 1338 for
+        # (8,128), trace-timed on v5e): per-tile state setup now runs
+        # once per tile instead of once per pass, so shrinking the tile
+        # buys divergence locality nearly for free.  ((64,128) was the
+        # multi-pass-era tuning: 17.4 vs 14.5 Mpix/s over (64,256).)
+        # Interpret mode keeps the big tile: the Python interpreter pays
+        # per GRID STEP, not per divergent lane, and results are
+        # tile-independent (pinned by the band/mono equality tests).
+        tile = pick_tile(height, width) if interpret \
+            else pick_tile(height, width, max_tile=(16, 128))
     if iter_limit is None:
         iter_limit = max_iter
     aa_spp = int(aa_spp)
@@ -1652,6 +1737,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)
+        call_kw["inkernel"] = bool(rebase_inkernel)
         if _build_only:
             return operands, call_kw
         n, zx, zy, glitch, want, passes = _pert_rebase_call(*operands,

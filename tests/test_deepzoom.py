@@ -2100,3 +2100,100 @@ def test_stacked_aa_composes_with_row_band():
         np.testing.assert_array_equal(n_st[si], n_sq, err_msg=f"s={si}")
         np.testing.assert_array_equal(zx_st[si], zx_sq, err_msg=f"s={si}")
         np.testing.assert_array_equal(zy_st[si], zy_sq, err_msg=f"s={si}")
+
+
+# ---------------------------------------------------------------------------
+# in-kernel rounds vs multi-pass rebasing: the two forms must be
+# bit-identical (ops/perturbation._pert_rebase_call inkernel=True/False)
+# ---------------------------------------------------------------------------
+
+
+def _identity_pair(orb, W, H, **kw):
+    from fractalrenderer_tpu.ops.perturbation import perturbation_fields
+
+    a = perturbation_fields(orb, W, H, rebase=True, **kw)
+    b = perturbation_fields(orb, W, H, rebase=True, rebase_inkernel=False,
+                            **kw)
+    for k in ("n", "zx", "zy", "glitch", "want"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+    assert int(a["passes"]) == int(b["passes"])
+    return a
+
+
+def test_inkernel_rounds_match_multipass_matrix():
+    """The in-kernel rounds form (one kernel call, per-tile round loops
+    over in-VMEM state) must be bit-identical to the multi-pass form
+    (host-level while_loop feeding frozen state planes back) across the
+    family/tier/AA matrix — including the pass count, since a round
+    restart replays exactly the pass-2+ state carryover."""
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+
+    # mandelbrot dd tier (config-4 shape), plus stacked AA and a pass cap
+    MI = 1200
+    orb_m = orbit.compute_orbit("-0.74364388703715158",
+                                "0.13182590420531198", 128, MI + 1)
+    kw_m = dict(center_x_dd=dd_from_string("-0.74364388703715158"),
+                center_y_dd=dd_from_string("0.13182590420531198"),
+                zoom_dd=dd_from_string("1e-12"), max_iter=MI,
+                float_continuation=False, dd_delta=True)
+    f = _identity_pair(orb_m, 24, 16, **kw_m)
+    assert int(f["passes"]) > 1  # the matrix must exercise real rounds
+    _identity_pair(orb_m, 24, 16, aa_spp=2, **kw_m)
+    # pass-budget cap: leftover want lanes must match too
+    capped = _identity_pair(orb_m, 24, 16, max_passes=2, **kw_m)
+    assert int(capped["passes"]) == 2
+
+    # mandelbrot floatexp (scaled) tier
+    orb_s = orbit.compute_orbit("0", "1", 250, 401)
+    _identity_pair(orb_s, 12, 8, center_x_dd=(0.0, 0.0),
+                   center_y_dd=(1.0, 0.0), max_iter=400,
+                   float_continuation=False, scaled_delta=True,
+                   zoom_frac="1e-40")
+
+    # julia drift-table perturbation
+    orb_j = orbit.compute_orbit(_JC[0], _JC[1], 128, 301,
+                                z0x=_JZSTAR[0], z0y=_JZSTAR[1],
+                                emit_rel=True)
+    _identity_pair(orb_j, 12, 8, center_x_dd=(0.0, 0.0),
+                   center_y_dd=(0.0, 0.0), zoom_dd=(1e-10, 0.0),
+                   max_iter=300, float_continuation=False, julia=True,
+                   julia_z0=(float(_JZSTAR[0]), float(_JZSTAR[1])),
+                   dd_delta=True)
+
+    # burning ship floatexp diffabs (antenna tip, degenerate axis case)
+    orb_b = orbit.compute_orbit("-2", "0", 300, 301, kind=1)
+    _identity_pair(orb_b, 12, 8, center_x_dd=(-2.0, 0.0),
+                   center_y_dd=(0.0, 0.0), max_iter=300,
+                   float_continuation=False, ship=True,
+                   scaled_delta=True, zoom_frac="1e-50")
+
+    # phoenix two-term recurrence, dd tier
+    orb_p = orbit.compute_orbit("0.5334632772339566", "0.05", 128, 401,
+                                kind=2, pp=0.0, rr=-0.5)
+    _identity_pair(orb_p, 12, 8,
+                   center_x_dd=dd_from_string("0.5334632772339566"),
+                   center_y_dd=dd_from_string("0.05"),
+                   zoom_dd=dd_from_string("1e-10"), max_iter=400,
+                   float_continuation=False, phoenix=True,
+                   phoenix_p=0.0, phoenix_r=-0.5, dd_delta=True)
+
+
+def test_inkernel_rounds_match_multipass_hbm():
+    # HBM-streamed orbit: a round restart must re-prime the DMA double
+    # buffer (dma_sync(0) re-establishes "row 0 in slot 0, waited") —
+    # compare both forms under a tiny forced SMEM cap.
+    from fractalrenderer_tpu.ops import perturbation as pert
+    from fractalrenderer_tpu.ops.dd import dd_from_string
+
+    MI = 500
+    orb = orbit.compute_orbit("0", "1", 192, MI + 1)
+    old = pert.MAX_ORBIT_SMEM
+    pert.MAX_ORBIT_SMEM = 64
+    try:
+        _identity_pair(orb, 8, 6, center_x_dd=(0.0, 0.0),
+                       center_y_dd=(1.0, 0.0),
+                       zoom_dd=dd_from_string("1e-8"), max_iter=MI,
+                       float_continuation=False, dd_delta=True)
+    finally:
+        pert.MAX_ORBIT_SMEM = old
