@@ -211,25 +211,29 @@ def bench_deep_zoom():
               hp_center_x="-0.74364388703715158",
               hp_center_y="0.13182590420531198",
               hp_zoom="1e-12", max_iterations=10000, use_perturbation=True)
+    # End-to-end product surface: perturbation kernel + DEVICE coloring,
+    # one (H, W, 3) RGB fetch (render_fields keep_device + the jnp
+    # colorer — the field planes never cross the link).
     t0 = time.perf_counter()
-    deep_zoom.render_fields(s, 1920, 1080)  # compile + warm
+    deep_zoom.render(s, 1920, 1080)  # compile + warm
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    n, zx, zy, glitch, info = deep_zoom.render_fields(s, 1920, 1080)
+    img, info = deep_zoom.render(s, 1920, 1080, return_info=True)
     dt = time.perf_counter() - t0
     # opt-in series skip (counts identical — the skip is exact); the main
     # number keeps the faithful fractal_state.h default (series off)
     import dataclasses
     s2 = dataclasses.replace(s, use_series_approximation=True)
-    deep_zoom.render_fields(s2, 1920, 1080)  # warm
+    deep_zoom.render(s2, 1920, 1080)  # warm
     t0 = time.perf_counter()
-    *_, info2 = deep_zoom.render_fields(s2, 1920, 1080)
+    _, info2 = deep_zoom.render(s2, 1920, 1080, return_info=True)
     dt2 = time.perf_counter() - t0
     # device-batched supersampling (VERDICT r3): 4 subpixel samples in
-    # ONE kernel call; record the ratio vs spp=1
-    deep_zoom.render_fields(s, 1920, 1080, aa_spp=2)  # compile + warm
+    # ONE kernel call sharing orbit operands, averaged on device
+    s_aa = dataclasses.replace(s, samples_per_pixel=2)
+    deep_zoom.render(s_aa, 1920, 1080)  # compile + warm
     t0 = time.perf_counter()
-    deep_zoom.render_fields(s, 1920, 1080, aa_spp=2)
+    deep_zoom.render(s_aa, 1920, 1080)
     dt_aa = time.perf_counter() - t0
     return {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
             "cold_seconds_incl_compile": round(cold, 1),

@@ -18,10 +18,13 @@ s^2 jittered samples per pixel with uniform subpixel offsets.
 """
 from __future__ import annotations
 
+import functools
 import math
 from fractions import Fraction
 from typing import Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..deepzoom import orbit as orbit_mod
@@ -55,8 +58,19 @@ def render_fields(scene: Scene, width: int, height: int,
                   ref_center: Tuple[str, str] = None,
                   rebasing: bool = True, max_passes: int = 256,
                   aa_spp: int = 1,
-                  row_band: Tuple[int, int] = None):
+                  row_band: Tuple[int, int] = None,
+                  keep_device: bool = False):
     """Returns (n, zx, zy, glitch_remaining, info dict).
+
+    ``keep_device`` (rebasing only): when no lane needs the host HP
+    fallback (the normal case — rebasing is glitch-free by construction),
+    return ``n/zx/zy`` as DEVICE arrays instead of fetching them to host
+    (``glitch_remaining`` is then an all-False host array).  Callers that
+    only need colored output keep the whole pipeline on device
+    (color_fields_device below) and fetch 3 RGB planes instead of
+    4·spp² field planes — the deep-zoom wall time past the kernel is
+    transfer-bound over thin links.  If any fallback lane exists the
+    call transparently falls back to the host (numpy) return.
 
     ``row_band``: optional (row0, band_h) — render only ``band_h`` rows of
     the full ``height``-tall image starting at global row ``row0`` (the
@@ -263,6 +277,23 @@ def render_fields(scene: Scene, width: int, height: int,
                   if julia else None),
         **({"orbit_exp": orbit_exp} if orbit_exp is not None else {}),
         **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **band_kw, **shift_kw)
+    if keep_device and rebasing:
+        # One scalar crosses the link; if the render is already complete
+        # (always, barring a pathological max_passes exhaustion) the field
+        # planes stay on device for the caller to color there.
+        if int(jnp.sum(f["want"] > 0.5)) == 0:
+            info = {"precision_mode": mode.name, "precision_bits": bits,
+                    "dd_delta": dd_delta, "scaled_delta": scaled,
+                    "deep_zoom_julia": julia, "deep_zoom_ship": ship,
+                    "deep_zoom_phoenix": phoenix, "algorithm": "rebase",
+                    "rebase_passes": int(f["passes"]),
+                    "reference_iterations": len(orbit),
+                    "references_used": 1,
+                    "series_skip": series.n_skip if series else 0,
+                    "glitched_pixels_initial": 0, "fallback_pixels": 0,
+                    "glitched_pixels_remaining": 0, "fields_on_device": True}
+            glitch0 = np.zeros(tuple(f["n"].shape), bool)
+            return f["n"], f["zx"], f["zy"], glitch0, info
     n = np.array(f["n"])
     zx = np.array(f["zx"])
     zy = np.array(f["zy"])
@@ -399,6 +430,51 @@ def render_fields(scene: Scene, width: int, height: int,
     return n, zx, zy, glitch, info
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _color_dz_jit(n, zx, zy, max_iter, coff, cscale, mode):
+    # bailout is unused by the deep-zoom colorer (no post chain —
+    # test_deep_zoom.comp writes raw palette colors); the constant keeps
+    # ColorParams well-formed without baking a traced value
+    p = ColorParams(max_iterations=max_iter, bailout=4.0,
+                    palette_mode=int(mode), color_offset=coff,
+                    color_scale=cscale)
+    return coloring.color_deep_zoom(jnp, n, zx, zy, p)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "nsamp"))
+def _color_dz_avg_jit(n, zx, zy, max_iter, coff, cscale, mode, nsamp):
+    p = ColorParams(max_iterations=max_iter, bailout=4.0,
+                    palette_mode=int(mode), color_offset=coff,
+                    color_scale=cscale)
+    # accumulate in sample order with f32 adds, then divide — the exact
+    # expression the host path uses, so device and host averages of
+    # identical per-sample colors are bit-identical
+    acc = coloring.color_deep_zoom(jnp, n[0], zx[0], zy[0], p)
+    for s in range(1, int(nsamp)):
+        acc = acc + coloring.color_deep_zoom(jnp, n[s], zx[s], zy[s], p)
+    return acc / jnp.float32(nsamp)
+
+
+def color_fields_device(n, zx, zy, p: ColorParams):
+    """Color deep-zoom field planes ON DEVICE (the same
+    ops.coloring.color_deep_zoom expression with xp=jnp) and return an
+    (H, W, 3) f32 device array — the render(...) pipeline fetches 3 RGB
+    planes instead of the 4 field planes.  Offset/scale/max_iter are
+    traced (a live-session palette tweak does not recompile); only
+    palette_mode is static (it selects the palette expression)."""
+    return _color_dz_jit(n, zx, zy, float(p.max_iterations),
+                         float(p.color_offset), float(p.color_scale),
+                         mode=int(p.palette_mode))
+
+
+def color_avg_device(n, zx, zy, p: ColorParams, nsamp: int):
+    """Color all ``nsamp`` stacked AA sample planes on device and return
+    their average — one (H, W, 3) fetch for an spp²-sample render."""
+    return _color_dz_avg_jit(n, zx, zy, float(p.max_iterations),
+                             float(p.color_offset), float(p.color_scale),
+                             mode=int(p.palette_mode), nsamp=int(nsamp))
+
+
 def render(scene: Scene, width: int, height: int,
            return_info: bool = False, orbit_cache: dict = None, **kw):
     p = ColorParams(
@@ -411,16 +487,26 @@ def render(scene: Scene, width: int, height: int,
     cache = orbit_cache if orbit_cache is not None else {}
     stacked = (spp > 1 and (spp & (spp - 1)) == 0
                and kw.get("rebasing", True))
+    # keep_device: coloring runs on device whenever the render needs no
+    # host HP fallback (always, with rebasing) — only the final RGB image
+    # crosses the link.  Fallback renders return numpy and color on host.
     if stacked:
         # ONE kernel invocation renders all spp^2 subpixel samples as
         # stacked segments sharing the orbit operands and rebase passes
         # (segment mappings bit-identical to the sequential offsets)
         n, zx, zy, _, info = render_fields(scene, width, height,
                                            orbit_cache=cache, aa_spp=spp,
-                                           **kw)
-        for s in range(spp * spp):
-            acc += np.asarray(
-                coloring.color_deep_zoom(np, n[s], zx[s], zy[s], p))
+                                           keep_device=True, **kw)
+        if isinstance(n, np.ndarray):
+            for s in range(spp * spp):
+                acc += np.asarray(
+                    coloring.color_deep_zoom(np, n[s], zx[s], zy[s], p))
+            img = acc / np.float32(spp * spp)
+        else:
+            # ascontiguousarray: a TPU fetch can carry a non-default
+            # layout, which numpy ufuncs would propagate into PNG writers
+            img = np.ascontiguousarray(
+                color_avg_device(n, zx, zy, p, spp * spp))
         info = dict(info, aa_samples=spp * spp, aa_batched=True)
         infos.append(info)
     else:
@@ -430,11 +516,14 @@ def render(scene: Scene, width: int, height: int,
                 n, zx, zy, _, info = render_fields(scene, width, height,
                                                    offset=off,
                                                    orbit_cache=cache,
-                                                   **kw)
-                acc += np.asarray(
-                    coloring.color_deep_zoom(np, n, zx, zy, p))
+                                                   keep_device=True, **kw)
+                if isinstance(n, np.ndarray):
+                    acc += np.asarray(
+                        coloring.color_deep_zoom(np, n, zx, zy, p))
+                else:
+                    acc += np.asarray(color_fields_device(n, zx, zy, p))
                 infos.append(info)
-    img = acc / np.float32(spp * spp)
+        img = acc / np.float32(spp * spp)
     if return_info:
         return img, infos[0]
     return img

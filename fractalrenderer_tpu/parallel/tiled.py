@@ -329,16 +329,30 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             # both even at 2x).
             bh = min(r_band, r_h - row0 * ss)
             acc = np.zeros((bh, r_w, 3), np.float32)
+            # keep_device: bands color on device and fetch only the
+            # averaged RGB (12 B/px instead of 16·spp² B/px of field
+            # planes) — the giant exporter is transfer-bound over thin
+            # links.  HP-fallback bands (numpy return) color on host; the
+            # coloring expression is identical either way, so banded
+            # output still equals the monolithic deep_zoom.render.
             if stacked:
                 # all spp^2 subpixel samples of the band in ONE kernel
                 # call sharing the orbit operands and rebase passes
                 # (bit-identical to the sequential offsets, tested)
                 n, zx, zy, _g, _i = _dz.render_fields(
                     dz_scene, r_w, r_h, orbit_cache=dz_cache,
-                    row_band=(row0 * ss, bh), aa_spp=spp)
-                for s in range(spp * spp):
-                    acc += np.asarray(_coloring.color_deep_zoom(
-                        np, n[s], zx[s], zy[s], dz_cp))
+                    row_band=(row0 * ss, bh), aa_spp=spp,
+                    keep_device=True)
+                if isinstance(n, np.ndarray):
+                    for s in range(spp * spp):
+                        acc += np.asarray(_coloring.color_deep_zoom(
+                            np, n[s], zx[s], zy[s], dz_cp))
+                    acc = acc / np.float32(spp * spp)
+                else:
+                    # ascontiguousarray: TPU fetches can carry non-default
+                    # layouts that numpy ufuncs would propagate downstream
+                    acc = np.ascontiguousarray(
+                        _dz.color_avg_device(n, zx, zy, dz_cp, spp * spp))
             else:
                 for sy in range(spp):
                     for sx in range(spp):
@@ -348,11 +362,16 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                             dz_scene, r_w, r_h, offset=off,
                             orbit_cache=dz_cache,
                             row_band=(row0 * ss, bh),
-                            mesh=mesh if use_mesh else None)
-                        acc += np.asarray(
-                            _coloring.color_deep_zoom(np, n, zx, zy,
-                                                      dz_cp))
-            acc = acc / np.float32(spp * spp)
+                            mesh=mesh if use_mesh else None,
+                            keep_device=True)
+                        if isinstance(n, np.ndarray):
+                            acc += np.asarray(
+                                _coloring.color_deep_zoom(np, n, zx, zy,
+                                                          dz_cp))
+                        else:
+                            acc += np.asarray(
+                                _dz.color_fields_device(n, zx, zy, dz_cp))
+                acc = acc / np.float32(spp * spp)
             if supersample:
                 from ..utils.image import downsample2x
 

@@ -62,9 +62,13 @@ def _prepare_rows(image: np.ndarray, bit_depth: int) -> np.ndarray:
         else:
             image = (image * 65535.0 + 0.5).astype(np.uint16)
     if bit_depth == 8:
-        data = image.astype(np.uint8, copy=False)
+        data = np.ascontiguousarray(image.astype(np.uint8, copy=False))
         return data.reshape(data.shape[0], -1)
-    data = image.astype(np.uint16, copy=False).byteswap()  # big-endian
+    # ascontiguousarray: numpy ufuncs/astype PRESERVE input layout, and a
+    # TPU-fetched array can arrive with a non-default (non-C) layout —
+    # view(uint8) requires the last axis contiguous
+    data = np.ascontiguousarray(
+        image.astype(np.uint16, copy=False)).byteswap()  # big-endian
     return data.view(np.uint8).reshape(data.shape[0], -1)
 
 

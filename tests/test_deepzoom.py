@@ -1912,17 +1912,66 @@ def test_stacked_aa_matches_sequential_offsets():
 
     img_b, binfo = deep_zoom.render(s, W, H, return_info=True)
     assert binfo.get("aa_batched")
+    assert binfo.get("fields_on_device")
     p = ColorParams(max_iterations=s.max_iterations, bailout=s.bailout,
                     palette_mode=s.palette_mode,
                     color_offset=s.color_offset,
                     color_scale=s.color_scale)
-    acc = np.zeros((H, W, 3), np.float32)
+    # stacked render == sequential-offset renders through the SAME device
+    # colorer (render()'s sequential branch), bit-identical
+    acc_dev = np.zeros((H, W, 3), np.float32)
+    acc_host = np.zeros((H, W, 3), np.float32)
     for sy in range(2):
         for sx in range(2):
-            n1, zx1, zy1, _, _ = deep_zoom.render_fields(
-                s, W, H, offset=(sx / 2, sy / 2))
-            acc += np.asarray(coloring.color_deep_zoom(np, n1, zx1, zy1, p))
-    np.testing.assert_array_equal(np.asarray(img_b), acc / 4.0)
+            nd, zxd, zyd, _, _ = deep_zoom.render_fields(
+                s, W, H, offset=(sx / 2, sy / 2), keep_device=True)
+            assert not isinstance(nd, np.ndarray)
+            acc_dev += np.asarray(
+                deep_zoom.color_fields_device(nd, zxd, zyd, p))
+            acc_host += np.asarray(
+                coloring.color_deep_zoom(np, np.asarray(nd),
+                                         np.asarray(zxd),
+                                         np.asarray(zyd), p))
+    np.testing.assert_array_equal(np.asarray(img_b), acc_dev / 4.0)
+    # the device colorer must match the host (numpy) colorer within the
+    # repo's color-path contract (<1e-5, below one 16-bit step)
+    np.testing.assert_allclose(np.asarray(img_b), acc_host / 4.0,
+                               rtol=0, atol=1e-5)
+
+
+def test_keep_device_returns_device_planes():
+    """render_fields(keep_device=True) keeps n/zx/zy on device when no
+    HP fallback is needed (values identical to the host return), and
+    transparently falls back to the numpy return when fallback lanes
+    exist (max_passes exhaustion)."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.74364388703715158",
+              hp_center_y="0.13182590420531198",
+              hp_zoom="1e-12", max_iterations=400)
+    W, H = 16, 10
+    nd, zxd, zyd, gd, info_d = deep_zoom.render_fields(s, W, H,
+                                                       keep_device=True)
+    assert not isinstance(nd, np.ndarray)
+    assert isinstance(gd, np.ndarray) and not gd.any()
+    assert info_d["fields_on_device"]
+    assert info_d["glitched_pixels_remaining"] == 0
+    nh, zxh, zyh, gh, info_h = deep_zoom.render_fields(s, W, H)
+    np.testing.assert_array_equal(np.asarray(nd), nh)
+    np.testing.assert_array_equal(np.asarray(zxd), zxh)
+    np.testing.assert_array_equal(np.asarray(zyd), zyh)
+    assert info_d["rebase_passes"] == info_h["rebase_passes"]
+
+    # force leftover want lanes (pass budget of 1 at a rebase-heavy view)
+    nf, _, _, gf, info_f = deep_zoom.render_fields(s, W, H, max_passes=1,
+                                                   keep_device=True)
+    assert isinstance(nf, np.ndarray)  # fell back to the host return
+    assert not info_f.get("fields_on_device")
+    # the HP fallback resolved every leftover lane
+    assert info_f["glitched_pixels_remaining"] == 0
+    assert info_f["fallback_pixels"] > 0
 
 
 def test_stacked_aa_deep_families_and_fallback():
