@@ -328,13 +328,15 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             # clamp stays downsample-pair-aligned (r_h and row0*ss are
             # both even at 2x).
             bh = min(r_band, r_h - row0 * ss)
-            acc = np.zeros((bh, r_w, 3), np.float32)
-            # keep_device: bands color on device and fetch only the
-            # averaged RGB (12 B/px instead of 16·spp² B/px of field
-            # planes) — the giant exporter is transfer-bound over thin
-            # links.  HP-fallback bands (numpy return) color on host; the
-            # coloring expression is identical either way, so banded
-            # output still equals the monolithic deep_zoom.render.
+            # keep_device: bands color, average, downsample, and quantize
+            # ON DEVICE, fetching only the final uint8/uint16 band (2-6
+            # B/px instead of 16·spp² B/px of field planes — 48 B per
+            # OUTPUT pixel when supersampled) — the giant exporter is
+            # transfer-bound over thin links.  HP-fallback bands (numpy
+            # return) run the identical host expressions
+            # (downsample2x/_quantize_host are the device ops' bit-exact
+            # counterparts), so banded output still equals the monolithic
+            # deep_zoom.render either way.
             if stacked:
                 # all spp^2 subpixel samples of the band in ONE kernel
                 # call sharing the orbit operands and rebase passes
@@ -344,16 +346,15 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                     row_band=(row0 * ss, bh), aa_spp=spp,
                     keep_device=True)
                 if isinstance(n, np.ndarray):
+                    acc = np.zeros((bh, r_w, 3), np.float32)
                     for s in range(spp * spp):
                         acc += np.asarray(_coloring.color_deep_zoom(
                             np, n[s], zx[s], zy[s], dz_cp))
-                    acc = acc / np.float32(spp * spp)
+                    avg = acc / np.float32(spp * spp)
                 else:
-                    # ascontiguousarray: TPU fetches can carry non-default
-                    # layouts that numpy ufuncs would propagate downstream
-                    acc = np.ascontiguousarray(
-                        _dz.color_avg_device(n, zx, zy, dz_cp, spp * spp))
+                    avg = _dz.color_avg_device(n, zx, zy, dz_cp, spp * spp)
             else:
+                parts = []  # per-sample colored planes (device or host)
                 for sy in range(spp):
                     for sx in range(spp):
                         off = ((sx / spp, sy / spp) if spp > 1
@@ -365,18 +366,33 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                             mesh=mesh if use_mesh else None,
                             keep_device=True)
                         if isinstance(n, np.ndarray):
-                            acc += np.asarray(
-                                _coloring.color_deep_zoom(np, n, zx, zy,
-                                                          dz_cp))
+                            parts.append(_coloring.color_deep_zoom(
+                                np, n, zx, zy, dz_cp))
                         else:
-                            acc += np.asarray(
+                            parts.append(
                                 _dz.color_fields_device(n, zx, zy, dz_cp))
-                acc = acc / np.float32(spp * spp)
-            if supersample:
-                from ..utils.image import downsample2x
+                if any(isinstance(x, np.ndarray) for x in parts):
+                    acc = np.zeros((bh, r_w, 3), np.float32)
+                    for x in parts:  # host adds, same sample order
+                        acc += np.asarray(x)
+                    avg = acc / np.float32(spp * spp)
+                else:
+                    acc = parts[0]
+                    for x in parts[1:]:  # device adds, same sample order
+                        acc = acc + x
+                    avg = acc / jnp.float32(spp * spp)
+            if isinstance(avg, np.ndarray) or use_mesh:
+                # mesh-sharded RGB takes the host tail (a strided device
+                # downsample across row shards would add halo comms)
+                avg = np.asarray(avg)
+                if supersample:
+                    from ..utils.image import downsample2x
 
-                acc = downsample2x(acc)
-            return _quantize_host(acc, bit_depth)
+                    avg = downsample2x(avg)
+                return _quantize_host(avg, bit_depth)
+            if supersample:
+                avg = _ds2_jnp(avg)
+            return np.ascontiguousarray(_quantize(avg))
     else:
         if ft == FractalType.MANDELBULB:
             from ..models import mandelbulb as _mb
