@@ -277,10 +277,13 @@ def render_fields(scene: Scene, width: int, height: int,
                   if julia else None),
         **({"orbit_exp": orbit_exp} if orbit_exp is not None else {}),
         **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **band_kw, **shift_kw)
-    if keep_device and rebasing:
+    if keep_device and rebasing and not isinstance(f["n"], np.ndarray):
         # One scalar crosses the link; if the render is already complete
         # (always, barring a pathological max_passes exhaustion) the field
-        # planes stay on device for the caller to color there.
+        # planes stay on device for the caller to color there.  The
+        # isinstance guard skips producers that already returned host
+        # arrays (perturbation_fields_sharded gathers to numpy — counting
+        # `want` via jnp would re-UPLOAD a plane on the link-bound path).
         if int(jnp.sum(f["want"] > 0.5)) == 0:
             info = {"precision_mode": mode.name, "precision_bits": bits,
                     "dd_delta": dd_delta, "scaled_delta": scaled,
@@ -475,6 +478,54 @@ def color_avg_device(n, zx, zy, p: ColorParams, nsamp: int):
                              mode=int(p.palette_mode), nsamp=int(nsamp))
 
 
+def color_stacked_samples(n, zx, zy, p: ColorParams, nsamp: int):
+    """Average the colored samples of a stacked (nsamp, H, W) field
+    render -> (avg, on_device).  Device planes color/average on device;
+    numpy planes (HP-fallback renders) color on host with the identical
+    expression and accumulation order."""
+    if isinstance(n, np.ndarray):
+        acc = np.zeros(n.shape[1:] + (3,), np.float32)
+        for s in range(nsamp):
+            acc += np.asarray(
+                coloring.color_deep_zoom(np, n[s], zx[s], zy[s], p))
+        return acc / np.float32(nsamp), False
+    return color_avg_device(n, zx, zy, p, nsamp), True
+
+
+class SampleAccumulator:
+    """Shared host-or-device coloring policy for SEQUENTIAL AA sample
+    loops (render() and the giant band producer).  Colored samples
+    accumulate incrementally — never more than one plane beyond the
+    accumulator is alive, on either side — staying on device while every
+    sample arrives as device planes and switching permanently to host
+    the first time one comes back as numpy (an HP-fallback render).  f32
+    adds run in identical sample order on both sides, so the final
+    average is the same bits wherever the switch happens."""
+
+    def __init__(self, p: ColorParams):
+        self._p = p
+        self._acc = None
+        self._host = False
+
+    def add(self, n, zx, zy):
+        if isinstance(n, np.ndarray):
+            c = coloring.color_deep_zoom(np, n, zx, zy, self._p)
+            if self._acc is not None and not self._host:
+                self._acc = np.asarray(self._acc)
+            self._host = True
+        else:
+            c = color_fields_device(n, zx, zy, self._p)
+            if self._host:
+                c = np.asarray(c)
+        self._acc = c if self._acc is None else self._acc + c
+
+    def average(self, nsamp: int):
+        """-> (avg, on_device): the f32 mean plane."""
+        if self._host:
+            return np.asarray(self._acc) / np.float32(nsamp), False
+        return self._acc / jnp.float32(nsamp), True
+
+
 def render(scene: Scene, width: int, height: int,
            return_info: bool = False, orbit_cache: dict = None, **kw):
     p = ColorParams(
@@ -482,7 +533,6 @@ def render(scene: Scene, width: int, height: int,
         palette_mode=scene.palette_mode, color_offset=scene.color_offset,
         color_scale=scene.color_scale)
     spp = max(int(scene.samples_per_pixel), 1)
-    acc = np.zeros((height, width, 3), np.float32)
     infos = []
     cache = orbit_cache if orbit_cache is not None else {}
     stacked = (spp > 1 and (spp & (spp - 1)) == 0
@@ -497,19 +547,11 @@ def render(scene: Scene, width: int, height: int,
         n, zx, zy, _, info = render_fields(scene, width, height,
                                            orbit_cache=cache, aa_spp=spp,
                                            keep_device=True, **kw)
-        if isinstance(n, np.ndarray):
-            for s in range(spp * spp):
-                acc += np.asarray(
-                    coloring.color_deep_zoom(np, n[s], zx[s], zy[s], p))
-            img = acc / np.float32(spp * spp)
-        else:
-            # ascontiguousarray: a TPU fetch can carry a non-default
-            # layout, which numpy ufuncs would propagate into PNG writers
-            img = np.ascontiguousarray(
-                color_avg_device(n, zx, zy, p, spp * spp))
+        img, on_dev = color_stacked_samples(n, zx, zy, p, spp * spp)
         info = dict(info, aa_samples=spp * spp, aa_batched=True)
         infos.append(info)
     else:
+        accu = SampleAccumulator(p)
         for sy in range(spp):
             for sx in range(spp):
                 off = (sx / spp, sy / spp) if spp > 1 else (0.0, 0.0)
@@ -517,13 +559,13 @@ def render(scene: Scene, width: int, height: int,
                                                    offset=off,
                                                    orbit_cache=cache,
                                                    keep_device=True, **kw)
-                if isinstance(n, np.ndarray):
-                    acc += np.asarray(
-                        coloring.color_deep_zoom(np, n, zx, zy, p))
-                else:
-                    acc += np.asarray(color_fields_device(n, zx, zy, p))
+                accu.add(n, zx, zy)
                 infos.append(info)
-        img = acc / np.float32(spp * spp)
+        img, on_dev = accu.average(spp * spp)
+    if on_dev:
+        # ascontiguousarray: a TPU fetch can carry a non-default layout,
+        # which numpy ufuncs would propagate into PNG writers
+        img = np.ascontiguousarray(img)
     if return_info:
         return img, infos[0]
     return img

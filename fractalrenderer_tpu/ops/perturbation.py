@@ -1403,15 +1403,18 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
     if tile is None:
         # (16,128) measured best at 1080p/1e-12 under IN-KERNEL rounds
         # (1061 ms vs 1130 for (32,128), 1582 for (64,128), 1338 for
-        # (8,128), trace-timed on v5e): per-tile state setup now runs
-        # once per tile instead of once per pass, so shrinking the tile
-        # buys divergence locality nearly for free.  ((64,128) was the
-        # multi-pass-era tuning: 17.4 vs 14.5 Mpix/s over (64,256).)
-        # Interpret mode keeps the big tile: the Python interpreter pays
-        # per GRID STEP, not per divergent lane, and results are
+        # (8,128), trace-timed on v5e): per-tile state setup runs once
+        # per tile instead of once per pass there, so shrinking the tile
+        # buys divergence locality nearly for free.  The MULTI-PASS and
+        # non-rebasing forms keep the (64,128)-era tuning (17.4 vs
+        # 14.5 Mpix/s over (64,256)) — they re-enter every tile per
+        # pass, where small tiles quadruple the dominant setup cost.
+        # Interpret mode also keeps the big tile: the Python interpreter
+        # pays per GRID STEP, not per divergent lane, and results are
         # tile-independent (pinned by the band/mono equality tests).
-        tile = pick_tile(height, width) if interpret \
-            else pick_tile(height, width, max_tile=(16, 128))
+        small = rebase and rebase_inkernel and not interpret
+        tile = pick_tile(height, width, max_tile=(16, 128)) if small \
+            else pick_tile(height, width)
     if iter_limit is None:
         iter_limit = max_iter
     aa_spp = int(aa_spp)

@@ -299,7 +299,6 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         if use_mesh and mesh is None:
             mesh = make_render_mesh()
         from ..models import deep_zoom as _dz
-        from ..ops import coloring as _coloring
         from ..ops.coloring import ColorParams
 
         dz_scene = scene  # validated above
@@ -335,8 +334,12 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
             # transfer-bound over thin links.  HP-fallback bands (numpy
             # return) run the identical host expressions
             # (downsample2x/_quantize_host are the device ops' bit-exact
-            # counterparts), so banded output still equals the monolithic
-            # deep_zoom.render either way.
+            # counterparts).  Banded output equals the monolithic
+            # deep_zoom.render whenever no band needs the HP fallback
+            # (guaranteed under rebasing, barring max_passes exhaustion);
+            # a fallback band colors on host, which agrees with the
+            # device colorer within the 1e-5 color contract (±1 LSB at
+            # 16 bit) rather than bit-for-bit.
             if stacked:
                 # all spp^2 subpixel samples of the band in ONE kernel
                 # call sharing the orbit operands and rebase passes
@@ -345,16 +348,10 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                     dz_scene, r_w, r_h, orbit_cache=dz_cache,
                     row_band=(row0 * ss, bh), aa_spp=spp,
                     keep_device=True)
-                if isinstance(n, np.ndarray):
-                    acc = np.zeros((bh, r_w, 3), np.float32)
-                    for s in range(spp * spp):
-                        acc += np.asarray(_coloring.color_deep_zoom(
-                            np, n[s], zx[s], zy[s], dz_cp))
-                    avg = acc / np.float32(spp * spp)
-                else:
-                    avg = _dz.color_avg_device(n, zx, zy, dz_cp, spp * spp)
+                avg, on_dev = _dz.color_stacked_samples(n, zx, zy, dz_cp,
+                                                        spp * spp)
             else:
-                parts = []  # per-sample colored planes (device or host)
+                accu = _dz.SampleAccumulator(dz_cp)
                 for sy in range(spp):
                     for sx in range(spp):
                         off = ((sx / spp, sy / spp) if spp > 1
@@ -365,23 +362,9 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                             row_band=(row0 * ss, bh),
                             mesh=mesh if use_mesh else None,
                             keep_device=True)
-                        if isinstance(n, np.ndarray):
-                            parts.append(_coloring.color_deep_zoom(
-                                np, n, zx, zy, dz_cp))
-                        else:
-                            parts.append(
-                                _dz.color_fields_device(n, zx, zy, dz_cp))
-                if any(isinstance(x, np.ndarray) for x in parts):
-                    acc = np.zeros((bh, r_w, 3), np.float32)
-                    for x in parts:  # host adds, same sample order
-                        acc += np.asarray(x)
-                    avg = acc / np.float32(spp * spp)
-                else:
-                    acc = parts[0]
-                    for x in parts[1:]:  # device adds, same sample order
-                        acc = acc + x
-                    avg = acc / jnp.float32(spp * spp)
-            if isinstance(avg, np.ndarray) or use_mesh:
+                        accu.add(n, zx, zy)
+                avg, on_dev = accu.average(spp * spp)
+            if not on_dev or use_mesh:
                 # mesh-sharded RGB takes the host tail (a strided device
                 # downsample across row shards would add halo comms)
                 avg = np.asarray(avg)

@@ -1973,6 +1973,16 @@ def test_keep_device_returns_device_planes():
     assert info_f["glitched_pixels_remaining"] == 0
     assert info_f["fallback_pixels"] > 0
 
+    # mesh-sharded producers gather to numpy — keep_device must NOT
+    # claim device residency (or re-upload `want` just to count it)
+    from fractalrenderer_tpu.parallel import make_render_mesh
+
+    nm, _, _, _, info_m = deep_zoom.render_fields(
+        s, W, H, mesh=make_render_mesh(), keep_device=True)
+    assert isinstance(nm, np.ndarray)
+    assert not info_m.get("fields_on_device")
+    np.testing.assert_array_equal(nm, nh)
+
 
 def test_stacked_aa_deep_families_and_fallback():
     """Stacked AA composes with the beyond-reference families, and the
