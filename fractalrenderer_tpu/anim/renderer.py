@@ -190,9 +190,18 @@ class AnimationRenderer:
                     # the frame time (vk_engine render_animation_frame
                     # passes time into the dispatch)
                     sc = sc.with_(time=animation.frame_time(f))
-                kw = dz_kw if sc.fractal_type == FractalType.DEEP_ZOOM \
-                    else {}
-                img = np.asarray(models.render(sc, width, height, **kw))
+                # frames quantize to the PNG bit depth ON DEVICE (same
+                # expression as the PNG writer — byte-identical files,
+                # 1-2 B/channel over the link instead of 4)
+                if sc.fractal_type == FractalType.DEEP_ZOOM:
+                    kw = dict(dz_kw, quantize=bit_depth)
+                    img = models.render(sc, width, height, **kw)
+                else:
+                    img = models.render(sc, width, height)
+                    if not isinstance(img, np.ndarray):
+                        img = common.quantize_image(img,
+                                                    bit_depth=bit_depth)
+                img = np.ascontiguousarray(img)
                 path = os.path.join(output_folder, f"frame_{f:06d}.png")
                 png.write_png(path, to_export_orientation(img),
                               bit_depth=bit_depth)
@@ -223,7 +232,12 @@ class AnimationRenderer:
         done = len(skip)
         rendered_this_run = 0
         for g in groups:
-            fn = None if self.mesh is not None                 else common.compiled_batch_render_fn(g.cfg)
+            # batches quantize on device (PNG-writer expression, so the
+            # files are byte-identical) — a 1080p 8-frame batch fetches
+            # 50 MB of uint8 instead of 200 MB of f32
+            fn = None if self.mesh is not None                 else common.compiled_batch_render_fn(
+                    g.cfg, quantize=bit_depth if bit_depth in (8, 16)
+                    else 0)
             for i in range(0, len(g.dyns), self.batch_size):
                 if self._cancel:
                     self.progress.status = RenderStatus.CANCELLED

@@ -238,9 +238,13 @@ def cmd_render(args) -> int:
 
             dz_kw["mesh"] = make_render_mesh()
         with _orbit_progress():
+            # quantize on device to the output bit depth (byte-identical
+            # PNG, 1-2 B/channel over the link instead of 4)
             img, dz_info = deep_zoom.render(validate_scene(scene),
                                             args.width, args.height,
-                                            return_info=True, **dz_kw)
+                                            return_info=True,
+                                            quantize=args.bit_depth,
+                                            **dz_kw)
         img = np.asarray(img)
     elif getattr(args, "sharded", False) and not args.golden:
         # row-band mesh sharding for a single frame (bit-identical to the
@@ -499,9 +503,11 @@ def cmd_zoom_path(args) -> int:
             sc = base.with_(center_x=cx, center_y=cy, zoom=zoom,
                             hp_center_x=repr(cx), hp_center_y=repr(cy),
                             hp_zoom=repr(zoom))
+            # quantize=8 on device: frames fetch uint8 (byte-identical
+            # PNGs, 4x less link traffic than f32 RGB)
             img = np.asarray(model_render(sc, args.width, args.height,
                                           ref_center=ref_center,
-                                          orbit_cache=cache))
+                                          orbit_cache=cache, quantize=8))
             png.write_png(os.path.join(args.out_dir, f"frame_{f:06d}.png"),
                           to_export_orientation(img))
             print(f"\rframe {f+1}/{args.frames} zoom={zoom:.3e}", end="",

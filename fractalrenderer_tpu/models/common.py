@@ -276,17 +276,38 @@ def compiled_render_fn(cfg: StaticCfg):
     return jax.jit(fn)
 
 
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def quantize_image(img, *, bit_depth: int):
+    """Clip/scale/round an f32 [0,1] image to uint8/uint16 ON DEVICE —
+    the exact utils.png._prepare_rows expression, so a device-quantized
+    frame produces byte-identical PNGs while crossing the link at 1-2 B
+    per channel instead of 4 (frame exports are link-bound on thin
+    device links)."""
+    img = jnp.clip(img, 0.0, 1.0)
+    if bit_depth == 8:
+        return (img * 255.0 + 0.5).astype(jnp.uint8)
+    return (img * 65535.0 + 0.5).astype(jnp.uint16)
+
+
 @functools.lru_cache(maxsize=64)
-def compiled_batch_render_fn(cfg: StaticCfg):
+def compiled_batch_render_fn(cfg: StaticCfg, quantize: int = 0):
     """A jitted render of a whole frame batch: dict of (B,)-shaped dynamic
     params → (B, H, W, 3).  Frames run sequentially on-device (each frame
     already saturates the chip), but batching removes per-frame host
-    dispatch — essential under high-latency device links."""
+    dispatch — essential under high-latency device links.
+
+    ``quantize``: 0 returns f32 [0,1]; 8/16 applies quantize_image's
+    clip/scale/round in the same jit so the batch fetch moves uint8/16."""
 
     def fn(dyn_batch):
         dyn_batch = {k: jnp.asarray(v, jnp.float32)
                      for k, v in dyn_batch.items()}
-        return jax.lax.map(lambda d: _render_impl(cfg, d), dyn_batch)
+        out = jax.lax.map(lambda d: _render_impl(cfg, d), dyn_batch)
+        if quantize:
+            out = jnp.clip(out, 0.0, 1.0)
+            out = ((out * 255.0 + 0.5).astype(jnp.uint8) if quantize == 8
+                   else (out * 65535.0 + 0.5).astype(jnp.uint16))
+        return out
 
     return jax.jit(fn)
 

@@ -527,7 +527,12 @@ class SampleAccumulator:
 
 
 def render(scene: Scene, width: int, height: int,
-           return_info: bool = False, orbit_cache: dict = None, **kw):
+           return_info: bool = False, orbit_cache: dict = None,
+           quantize: int = 0, **kw):
+    """``quantize``: 0 returns f32 [0,1]; 8/16 quantizes to uint8/uint16
+    with the PNG writer's exact expression — ON DEVICE when the fields
+    stayed there, so frame sequences (zoom paths, animations) fetch 1-2 B
+    per channel instead of 4."""
     p = ColorParams(
         max_iterations=scene.max_iterations, bailout=scene.bailout,
         palette_mode=scene.palette_mode, color_offset=scene.color_offset,
@@ -562,6 +567,15 @@ def render(scene: Scene, width: int, height: int,
                 accu.add(n, zx, zy)
                 infos.append(info)
         img, on_dev = accu.average(spp * spp)
+    if quantize in (8, 16):
+        from . import common
+
+        if on_dev:
+            img = common.quantize_image(img, bit_depth=quantize)
+        else:  # identical host expression (byte-identical PNGs)
+            img = np.clip(img, 0.0, 1.0)
+            img = ((img * 255.0 + 0.5).astype(np.uint8) if quantize == 8
+                   else (img * 65535.0 + 0.5).astype(np.uint16))
     if on_dev:
         # ascontiguousarray: a TPU fetch can carry a non-default layout,
         # which numpy ufuncs would propagate into PNG writers

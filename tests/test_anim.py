@@ -542,3 +542,51 @@ def test_franim_roundtrip_preserves_hp_fields(tmp_path):
     assert r.hp_center_y == s.hp_center_y
     assert r.hp_zoom == "1e-25" and r.use_perturbation
     assert b.keyframes[1].scene.hp_zoom == "1e-26"
+
+
+def test_batch_render_fn_quantize_matches_host():
+    """compiled_batch_render_fn(quantize=8/16) must produce exactly the
+    bytes utils.png._prepare_rows derives from the f32 batch — frames
+    quantized on device write byte-identical PNGs."""
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu.scene import Scene
+
+    s = Scene(max_iterations=48)
+    cfg = common.scene_static_cfg(s, 32, 24, "mandelbrot", "pixel", False)
+    dyn = common.scene_dyn_params(s)
+    batch = {k: np.asarray([v, v], np.float32) for k, v in dyn.items()}
+    f32 = np.asarray(common.compiled_batch_render_fn(cfg)(batch))
+    for depth, dt, scale in ((8, np.uint8, 255.0), (16, np.uint16, 65535.0)):
+        q = np.asarray(common.compiled_batch_render_fn(
+            cfg, quantize=depth)(batch))
+        assert q.dtype == dt
+        ref = (np.clip(f32, 0.0, 1.0) * scale + 0.5).astype(dt)
+        np.testing.assert_array_equal(q, ref)
+
+
+def test_per_frame_animation_quantizes_like_f32(tmp_path):
+    """The per-frame animation path (deep-zoom/bulb .franim sequences)
+    writes the same PNG bytes whether frames quantize on device or the
+    writer quantizes host f32."""
+    from fractalrenderer_tpu import models
+    from fractalrenderer_tpu.anim.keyframes import Animation, Keyframe
+    from fractalrenderer_tpu.anim.renderer import AnimationRenderer
+    from fractalrenderer_tpu.scene import FractalType, Scene
+    from fractalrenderer_tpu.utils.image import to_export_orientation
+    from fractalrenderer_tpu.utils.png import read_png, write_png
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=200)
+    a = Animation(duration=1.0, target_fps=2)
+    a.keyframes.append(Keyframe(0.0, s))
+    a.keyframes.append(Keyframe(1.0, s.with_(hp_zoom="5e-9")))
+    out = str(tmp_path / "frames")
+    r = AnimationRenderer()
+    assert r.start_render(a, out, 20, 12)
+    got = read_png(os.path.join(out, "frame_000000.png"))
+    ref_f32 = np.asarray(models.render(s, 20, 12))
+    ref_path = str(tmp_path / "ref.png")
+    write_png(ref_path, to_export_orientation(ref_f32), bit_depth=8)
+    np.testing.assert_array_equal(got, read_png(ref_path))
