@@ -357,12 +357,14 @@ def test_live_session_over_pty(tmp_path):
     env["PYTHONPATH"] = REPO
     env["FRACTAL_TPU_SESSION_FILE"] = str(tmp_path / "pty_last.json")
     scene_file = tmp_path / "sess.json"
+    err_file = tmp_path / "stderr.txt"
     m, sl = pty.openpty()
-    p = subprocess.Popen(
-        [sys.executable, "-m", "fractalrenderer_tpu.cli", "interactive",
-         "--live", "--cols", "30", "--rows", "6", "--iters", "32"],
-        stdin=sl, stdout=sl, stderr=subprocess.DEVNULL, env=env,
-        cwd=str(tmp_path))
+    with open(err_file, "wb") as ef:
+        p = subprocess.Popen(
+            [sys.executable, "-m", "fractalrenderer_tpu.cli", "interactive",
+             "--live", "--cols", "30", "--rows", "6", "--iters", "32"],
+            stdin=sl, stdout=sl, stderr=ef, env=env,
+            cwd=str(tmp_path))
     os.close(sl)
     out = b""
 
@@ -384,7 +386,12 @@ def test_live_session_over_pty(tmp_path):
             drain(0.5)
         def ctx():
             # on a flaky failure, show what the session actually said
-            return (f"poll={p.poll()!r} out_tail={out[-300:]!r}")
+            try:
+                err = err_file.read_bytes()[-1500:]
+            except OSError:
+                err = b"<unreadable>"
+            return (f"poll={p.poll()!r} out_tail={out[-300:]!r} "
+                    f"stderr_tail={err!r}")
 
         assert b"\x1b[?1049h" in out, ctx()   # alternate screen
         assert b"\x1b[?1006h" in out, ctx()   # SGR mouse reporting
@@ -397,9 +404,17 @@ def test_live_session_over_pty(tmp_path):
             drain(0.5)
         assert scene_file.exists(), ctx()
         os.write(m, b"\x1b")           # quit
-        end = time.time() + 60
+        end = time.time() + 30
         while p.poll() is None and time.time() < end:
             drain(0.2)
+        if p.poll() is None:
+            # under heavy suite load a render/draw turn can outlast the
+            # first window; one more Esc is idempotent (a second quit
+            # request of an already-exiting session is ignored)
+            os.write(m, b"\x1b")
+            end = time.time() + 90
+            while p.poll() is None and time.time() < end:
+                drain(0.2)
         assert p.poll() == 0, ctx()
         end = time.time() + 10         # restore flushes at process exit;
         while b"\x1b[?1049l" not in out and time.time() < end:
