@@ -152,11 +152,44 @@ def _color_params(cfg: StaticCfg, dyn: dict) -> ColorParams:
     )
 
 
-def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
+def _fused_ok(cfg: StaticCfg) -> bool:
+    """The in-kernel fused-coloring eligibility predicate (see
+    band_render_fn): no trap/stripe consumers and no interior-z reader."""
+    track_trap, track_stripe = _track_flags(cfg)
+    interior_skip = (cfg.family == "mandelbrot"
+                     and not cfg.stripe_enabled
+                     and not cfg.orbit_trap_enabled
+                     and cfg.interior_style != 2)
+    return (cfg.family == "julia"
+            or interior_skip
+            or (cfg.family == "burning_ship"
+                and not track_trap and not track_stripe))
+
+
+def planar_export_ok(cfg: StaticCfg) -> bool:
+    """True when the config can export as quantized PLANAR planes
+    (3, H, W): the fused kernel emits per-channel sRGB planes, and with a
+    single AA sample the post chain already ran in the kernel — so
+    quantization consumes the planes directly and the interleaved
+    (H, W, 3) layout never materializes on device (~40 us of pure layout
+    copy per 1080p frame).  Callers interleave on host after the fetch
+    (PNG row prep copies anyway)."""
+    return _fused_ok(cfg) and cfg.aa == 1
+
+
+def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int,
+                   planar_quantize: int = 0):
     """Build fn(dyn, row0) rendering ``band_h`` local rows whose global
     first row is the traced scalar ``row0`` — the single pipeline behind
     whole-frame renders (row0=0) and multi-chip row-band shards
-    (parallel/tiled.py)."""
+    (parallel/tiled.py).
+
+    ``planar_quantize``: 8/16 returns quantized (3, band_h, W) planes
+    instead of f32 (band_h, W, 3) — only valid when
+    ``planar_export_ok(cfg)``."""
+    if planar_quantize and not planar_export_ok(cfg):
+        raise ValueError("planar_quantize requires a fused single-sample "
+                         "config (planar_export_ok)")
     track_trap, track_stripe = _track_flags(cfg)
     if cfg.aa_convention == "centered":
         offsets = mapping.aa_offsets_centered(cfg.aa)
@@ -179,16 +212,15 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
     # mandelbrot eligibility == the interior-skip safety condition: both
     # require that nothing reads interior z / the trap field / arctan2
     # (unsupported in Mosaic) at coloring time.
-    fused = (cfg.family == "julia"
-             or interior_skip
-             or (cfg.family == "burning_ship"
-                 # trap/stripe interior styles read the tracked fields
-                 and not track_trap and not track_stripe))
+    # trap/stripe interior styles read the tracked fields — _fused_ok
+    # centralizes the predicate (shared with planar_export_ok)
+    fused = _fused_ok(cfg)
     if fused:
         with_post = len(offsets) == 1
 
         def fn(dyn, row0):
             acc = jnp.zeros((band_h, cfg.width, 3), jnp.float32)
+            planes = None
             for off in offsets:
                 f = escape_fields(
                     cfg.family, cfg.width, band_h,
@@ -207,7 +239,16 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int):
                     brightness=dyn["brightness"],
                     saturation=dyn["saturation"],
                     contrast=dyn["contrast"], interpret=cfg.interpret)
-                acc = acc + jnp.stack([f["r"], f["g"], f["b"]], axis=-1)
+                if planar_quantize:
+                    # single sample (planar_export_ok): quantize fuses
+                    # into the plane concatenation — (H, W, 3) never
+                    # materializes on device
+                    planes = jnp.stack([f["r"], f["g"], f["b"]], axis=0)
+                else:
+                    acc = acc + jnp.stack([f["r"], f["g"], f["b"]],
+                                          axis=-1)
+            if planar_quantize:
+                return quantize_image(planes, bit_depth=planar_quantize)
             if with_post:
                 return acc
             return coloring.post_chain_traced(
@@ -290,18 +331,32 @@ def quantize_image(img, *, bit_depth: int):
 
 
 @functools.lru_cache(maxsize=64)
-def compiled_batch_render_fn(cfg: StaticCfg, quantize: int = 0):
+def compiled_batch_render_fn(cfg: StaticCfg, quantize: int = 0,
+                             planar: bool = False):
     """A jitted render of a whole frame batch: dict of (B,)-shaped dynamic
     params → (B, H, W, 3).  Frames run sequentially on-device (each frame
     already saturates the chip), but batching removes per-frame host
     dispatch — essential under high-latency device links.
 
     ``quantize``: 0 returns f32 [0,1]; 8/16 applies quantize_image's
-    clip/scale/round in the same jit so the batch fetch moves uint8/16."""
+    clip/scale/round in the same jit so the batch fetch moves uint8/16.
+
+    ``planar``: with quantize set and ``planar_export_ok(cfg)``, frames
+    come back as (B, 3, H, W) planes — the interleaved layout never
+    materializes on device (~40 us/frame of layout copy at 1080p); the
+    caller moveaxis-es after the fetch (PNG row prep copies anyway)."""
+    if planar and not (quantize and planar_export_ok(cfg)):
+        raise ValueError("planar batch export requires quantize=8|16 and "
+                         "planar_export_ok(cfg)")
 
     def fn(dyn_batch):
         dyn_batch = {k: jnp.asarray(v, jnp.float32)
                      for k, v in dyn_batch.items()}
+        if planar:
+            band = band_render_fn(cfg, cfg.height, cfg.height,
+                                  planar_quantize=quantize)
+            return jax.lax.map(lambda d: band(d, jnp.float32(0.0)),
+                               dyn_batch)
         out = jax.lax.map(lambda d: _render_impl(cfg, d), dyn_batch)
         if quantize:
             out = jnp.clip(out, 0.0, 1.0)

@@ -562,6 +562,46 @@ def test_batch_render_fn_quantize_matches_host():
         assert q.dtype == dt
         ref = (np.clip(f32, 0.0, 1.0) * scale + 0.5).astype(dt)
         np.testing.assert_array_equal(q, ref)
+        # planar export: same bytes, (B, 3, H, W) layout (the animate
+        # batch path moveaxis-es on host)
+        assert common.planar_export_ok(cfg)
+        qp = np.asarray(common.compiled_batch_render_fn(
+            cfg, quantize=depth, planar=True)(batch))
+        assert qp.shape == (2, 3, 24, 32) and qp.dtype == dt
+        np.testing.assert_array_equal(np.moveaxis(qp, 1, 3), ref)
+
+
+def test_planar_export_eligibility_and_band_fn():
+    """planar_quantize is refused off the fused single-sample path and
+    matches the interleaved quantized render where allowed."""
+    import pytest
+
+    from fractalrenderer_tpu.models import common
+    from fractalrenderer_tpu.scene import Scene
+
+    trap = Scene(max_iterations=32, orbit_trap_enabled=True)
+    cfg_trap = common.scene_static_cfg(trap, 16, 8, "mandelbrot", "pixel",
+                                       False)
+    assert not common.planar_export_ok(cfg_trap)
+    with pytest.raises(ValueError):
+        common.band_render_fn(cfg_trap, 8, 8, planar_quantize=8)
+    with pytest.raises(ValueError):
+        common.compiled_batch_render_fn(cfg_trap, quantize=8, planar=True)
+    aa = Scene(max_iterations=32, antialiasing_samples=2)
+    cfg_aa = common.scene_static_cfg(aa, 16, 8, "mandelbrot", "pixel",
+                                     False)
+    assert not common.planar_export_ok(cfg_aa)
+
+    s = Scene(max_iterations=32)
+    cfg = common.scene_static_cfg(s, 16, 8, "mandelbrot", "pixel", False)
+    dyn = {k: np.float32(v) for k, v in common.scene_dyn_params(s).items()}
+    import jax.numpy as jnp
+
+    f32 = np.asarray(common.compiled_render_fn(cfg)(dyn))
+    planes = np.asarray(common.band_render_fn(
+        cfg, 8, 8, planar_quantize=16)(dyn, jnp.float32(0.0)))
+    ref = (np.clip(f32, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(np.moveaxis(planes, 0, 2), ref)
 
 
 def test_per_frame_animation_quantizes_like_f32(tmp_path):
