@@ -567,22 +567,30 @@ def cmd_interactive(args) -> int:
 
         # the reference resumes where you left it (imgui.ini persists
         # next to the binary); explicit view args or --fresh start clean
-        rc = live.run_live(scene, cols=args.cols, rows=args.rows,
-                           spin=args.spin, max_frames=args.max_frames,
-                           resume_last=no_explicit_view and not args.fresh,
-                           persist=not args.fresh)
-        # Exit without interpreter/XLA teardown: the session's background
-        # compile thread (prewarm_ladder) may still be inside an XLA
-        # compile — a tunnel compile can take minutes, so joining is not
-        # an option, and letting interpreter shutdown kill the daemon
-        # thread aborts the whole process ("FATAL: exception not
-        # rethrown" → SIGABRT) when the C++ exception in flight crosses
-        # the dying thread.  The terminal is already restored and the
-        # session persisted inside run_live; nothing later relies on
-        # atexit.
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os._exit(rc)
+        # Exit without interpreter/XLA teardown ON EVERY PATH (normal
+        # return, ^C, device errors): the session's background compile
+        # thread (prewarm_ladder) may still be inside an XLA compile — a
+        # tunnel compile can take minutes, so joining is not an option,
+        # and letting interpreter shutdown kill the daemon thread aborts
+        # the whole process ("FATAL: exception not rethrown" → SIGABRT)
+        # when the C++ exception in flight crosses the dying thread.
+        # run_live restores the terminal and persists the session on all
+        # of these paths itself; nothing later relies on atexit.
+        rc = 1
+        try:
+            rc = live.run_live(
+                scene, cols=args.cols, rows=args.rows,
+                spin=args.spin, max_frames=args.max_frames,
+                resume_last=no_explicit_view and not args.fresh,
+                persist=not args.fresh)
+        except BaseException:
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(rc)
     from . import viewer
 
     return viewer.run(scene, cols=args.cols, rows=args.rows)

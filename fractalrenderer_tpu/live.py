@@ -753,14 +753,31 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
     ``resume_last``: start from the previous session's persisted Scene
     (the reference resumes implicitly via imgui.ini); ``persist``: save
     the Scene on exit so the next launch can."""
-    from collections import deque
-
     if resume_last:
         prev = load_last_session()
         if prev is not None:
             scene = prev
     sess = LiveSession(scene, cols=cols, rows=rows, spin=spin)
     ui = TermUI(infile=infile, outfile=outfile)
+    try:
+        _live_loop(sess, ui, max_frames)
+    except KeyboardInterrupt:
+        # tty.setcbreak keeps ISIG, so ^C arrives as KeyboardInterrupt,
+        # not as a \x03 byte — treat it as quit (TermUI.__exit__ has
+        # already restored the terminal on the way out)
+        pass
+    finally:
+        # persist even on ^C/errors — the reference writes imgui.ini on
+        # any exit path
+        if persist:
+            save_last_session(sess.scene)
+    return 0
+
+
+def _live_loop(sess: "LiveSession", ui: "TermUI",
+               max_frames: Optional[int]) -> None:
+    from collections import deque
+
     frames = 0
     with ui:
         last = time.perf_counter()
@@ -803,6 +820,4 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
                 sess.redraw = False
                 ui.fout.write(compose_frame(sess, last_img))
                 ui.fout.flush()
-    if persist:
-        save_last_session(sess.scene)
-    return 0
+

@@ -152,16 +152,23 @@ def _color_params(cfg: StaticCfg, dyn: dict) -> ColorParams:
     )
 
 
+def _interior_skip_ok(cfg: StaticCfg) -> bool:
+    """Analytic interior skip is exact for n but zeroes the interior z,
+    so it is only safe when nothing reads interior z (see ops/escape.py).
+    Also the mandelbrot fused-coloring eligibility condition — one
+    predicate, shared, so the two can never drift apart."""
+    return (cfg.family == "mandelbrot"
+            and not cfg.stripe_enabled
+            and not cfg.orbit_trap_enabled
+            and cfg.interior_style != 2)
+
+
 def _fused_ok(cfg: StaticCfg) -> bool:
     """The in-kernel fused-coloring eligibility predicate (see
     band_render_fn): no trap/stripe consumers and no interior-z reader."""
     track_trap, track_stripe = _track_flags(cfg)
-    interior_skip = (cfg.family == "mandelbrot"
-                     and not cfg.stripe_enabled
-                     and not cfg.orbit_trap_enabled
-                     and cfg.interior_style != 2)
     return (cfg.family == "julia"
-            or interior_skip
+            or _interior_skip_ok(cfg)
             or (cfg.family == "burning_ship"
                 and not track_trap and not track_stripe))
 
@@ -195,12 +202,7 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int,
         offsets = mapping.aa_offsets_centered(cfg.aa)
     else:
         offsets = mapping.aa_offsets_uv(cfg.aa, cfg.width)
-    # Analytic interior skip is exact for n but zeroes the interior z, so
-    # it is only safe when nothing reads interior z (see ops/escape.py).
-    interior_skip = (cfg.family == "mandelbrot"
-                     and not cfg.stripe_enabled
-                     and not cfg.orbit_trap_enabled
-                     and cfg.interior_style != 2)
+    interior_skip = _interior_skip_ok(cfg)
 
     # In-kernel fused coloring: with no trap/stripe consumers, the kernel
     # colors its VMEM tile and emits sRGB planes — the n/zx/zy fields never
@@ -359,9 +361,7 @@ def compiled_batch_render_fn(cfg: StaticCfg, quantize: int = 0,
                                dyn_batch)
         out = jax.lax.map(lambda d: _render_impl(cfg, d), dyn_batch)
         if quantize:
-            out = jnp.clip(out, 0.0, 1.0)
-            out = ((out * 255.0 + 0.5).astype(jnp.uint8) if quantize == 8
-                   else (out * 65535.0 + 0.5).astype(jnp.uint16))
+            out = quantize_image(out, bit_depth=quantize)
         return out
 
     return jax.jit(fn)

@@ -348,6 +348,32 @@ def test_session_auto_persist_and_resume(tmp_path, monkeypatch):
     assert live.load_last_session() is None
 
 
+def test_ctrl_c_quits_cleanly_and_persists(tmp_path, monkeypatch):
+    """tty.setcbreak keeps ISIG, so ^C raises KeyboardInterrupt inside the
+    event loop — run_live must treat it as quit (return 0) and still
+    persist the session (the reference writes imgui.ini on any exit)."""
+    sess_file = tmp_path / "last.json"
+    monkeypatch.setenv("FRACTAL_TPU_SESSION_FILE", str(sess_file))
+
+    calls = {"n": 0}
+    orig_poll = live.TermUI.poll
+
+    def poll(self, timeout):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise KeyboardInterrupt
+        return orig_poll(self, timeout)
+
+    monkeypatch.setattr(live.TermUI, "poll", poll)
+    r, w = os.pipe()
+    os.close(w)
+    with open(r, "rb", buffering=0) as fin, open(os.devnull, "w") as fout:
+        rc = live.run_live(infile=fin, outfile=fout, cols=8, rows=4,
+                           persist=True)
+    assert rc == 0
+    assert json.loads(sess_file.read_text())["zoom"] > 0
+
+
 def test_live_session_over_pty(tmp_path):
     """Boot the real CLI live loop on a pty, steer it, persist the scene,
     and quit — the reference's interactive session end to end."""
