@@ -23,13 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _device_loop_time(make_body, K, shape):
+def _device_loop_time(make_body, K, shape, dtype=jnp.float32):
     """Time K device-side iterations amortized against one fetch."""
     @jax.jit
     def f():
         def body(k, acc):
             return acc + make_body(k)
-        return jax.lax.fori_loop(0, K, body, jnp.zeros(shape, jnp.float32))
+        return jax.lax.fori_loop(0, K, body, jnp.zeros(shape, dtype))
 
     out = f()
     t0 = time.perf_counter()
@@ -50,21 +50,23 @@ def _traced_seconds(run, rounds=2):
         return None
 
 
-def _per_iter_seconds(make_body, K, shape):
+def _per_iter_seconds(make_body, K, shape, dtype=jnp.float32):
     """Per-iteration device time of a K-round fori_loop render: profiler
     trace first, amortized (T(K)-T(1))/(K-1) wall-clock fallback."""
     @jax.jit
     def f():
         def body(k, acc):
             return acc + make_body(k)
-        return jax.lax.fori_loop(0, K, body, jnp.zeros(shape, jnp.float32))
+        return jax.lax.fori_loop(0, K, body, jnp.zeros(shape, dtype))
 
     float(f().ravel()[0])  # compile + warm
     secs = _traced_seconds(lambda: float(f().ravel()[0]))
     if secs is not None:
         return secs / K, "profiler_trace"
-    t1 = min(_device_loop_time(make_body, 1, shape) for _ in range(2))
-    tK = min(_device_loop_time(make_body, K, shape) for _ in range(2))
+    t1 = min(_device_loop_time(make_body, 1, shape, dtype)
+             for _ in range(2))
+    tK = min(_device_loop_time(make_body, K, shape, dtype)
+             for _ in range(2))
     return max((tK - t1) / (K - 1), 1e-9), "amortized_wall"
 
 
@@ -115,12 +117,16 @@ def bench_mandelbrot_1080p():
     base = {k: jnp.float32(v) for k, v in
             common.scene_dyn_params(Scene(max_iterations=256)).items()}
 
+    # the quantized-export pipeline (kernel + fused coloring/post +
+    # uint8 PNG quantization) — what render/animate execute per frame
+    band = common.band_render_fn(cfg, H, H, planar_quantize=8)
+
     def body(k):
         d = dict(base)
         d["zoom"] = base["zoom"] + k.astype(jnp.float32) * 1e-6
-        return common._render_impl(cfg, d)
+        return band(d, jnp.float32(0.0))
 
-    per, method = _per_iter_seconds(body, 64, (H, W, 3))
+    per, method = _per_iter_seconds(body, 64, (3, H, W), jnp.uint8)
     return {"config": "mandelbrot_1080p_256iter", "ms_per_frame":
             round(per * 1e3, 3), "mpix_s": round(W * H / per / 1e6, 1),
             "timing_method": method}
@@ -137,16 +143,18 @@ def bench_julia_sweep():
     c_re = jnp.linspace(-0.9, -0.6, B)
     c_im = jnp.linspace(0.1, 0.3, B)
 
+    band = common.band_render_fn(cfg, H, H, planar_quantize=8)
+
     def body(k):
         def frame(i, acc):
             d = dict(base)
             d["julia_c_real"] = c_re[i] + k.astype(jnp.float32) * 1e-6
             d["julia_c_imag"] = c_im[i]
-            return acc + common._render_impl(cfg, d)
+            return acc + band(d, jnp.float32(0.0))
         return jax.lax.fori_loop(0, B, frame,
-                                 jnp.zeros((H, W, 3), jnp.float32))
+                                 jnp.zeros((3, H, W), jnp.uint8))
 
-    per_batch, method = _per_iter_seconds(body, 4, (H, W, 3))
+    per_batch, method = _per_iter_seconds(body, 4, (3, H, W), jnp.uint8)
     return {"config": "julia_c_sweep_16x1080p",
             "ms_per_batch": round(per_batch * 1e3, 2),
             "mpix_s": round(B * W * H / per_batch / 1e6, 1),
@@ -180,13 +188,15 @@ def bench_animation(frames=300):
     batch = {k: jnp.asarray([d[k] for d in dyns], jnp.float32)
              for k in dyns[0]}
 
+    band = common.band_render_fn(cfg, H, H, planar_quantize=8)
+
     @jax.jit
     def f(batch):
         def body(i, acc):
             d = {k: v[i] for k, v in batch.items()}
-            return acc + common._render_impl(cfg, d)
+            return acc + band(d, jnp.float32(0.0))
         return jax.lax.fori_loop(0, frames, body,
-                                 jnp.zeros((H, W, 3), jnp.float32))
+                                 jnp.zeros((3, H, W), jnp.uint8))
 
     out = f(batch)
     float(out[0, 0, 0])  # warm + fetch
