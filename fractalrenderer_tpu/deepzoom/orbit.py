@@ -15,7 +15,6 @@ Semantics (matching the reference):
 from __future__ import annotations
 
 import ctypes
-import os
 from fractions import Fraction
 from typing import Optional, Tuple, Union
 

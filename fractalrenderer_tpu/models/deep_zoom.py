@@ -28,8 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..deepzoom import orbit as orbit_mod
-from ..deepzoom.hp import (HPFloat, precision_mode_for_zoom,
-                           precision_mode_for_zoom_frac)
+from ..deepzoom.hp import HPFloat, precision_mode_for_zoom_frac
 from ..ops import coloring
 from ..ops.coloring import ColorParams
 from ..ops.dd import dd_from_string

@@ -173,3 +173,42 @@ def test_fuzz_deep_zoom_below_f64_floor_finite():
         assert info["precision_mode"] == "ARBITRARY", (fam, zoom)
         assert np.isfinite(img).all(), (fam, zoom)
         assert info["glitched_pixels_remaining"] == 0, (fam, zoom)
+
+
+def test_fuzz_planar_export_matches_interleaved_bytes():
+    """Random fused-eligible configs across the four 2D families: the
+    planar (3, H, W) quantized export must carry exactly the interleaved
+    path's bytes (the animate batch path relies on this)."""
+    import jax.numpy as jnp
+
+    from fractalrenderer_tpu.models import common
+
+    rng = np.random.default_rng(20260819)
+    tried = 0
+    for _ in range(40):
+        s = _random_scene(rng)
+        cfg = common.scene_static_cfg(
+            s, 24, 16,
+            {fr.FractalType.MANDELBROT: "mandelbrot",
+             fr.FractalType.JULIA: "julia",
+             fr.FractalType.BURNING_SHIP: "burning_ship",
+             fr.FractalType.PHOENIX: "phoenix"}[s.fractal_type],
+            "centered" if s.fractal_type == fr.FractalType.MANDELBROT
+            else "uv",
+            s.fractal_type != fr.FractalType.MANDELBROT)
+        if not common.planar_export_ok(cfg):
+            continue
+        tried += 1
+        dyn = {k: np.float32(v)
+               for k, v in common.scene_dyn_params(s).items()}
+        f32 = np.asarray(common.compiled_render_fn(cfg)(dyn))
+        depth = 8 if tried % 2 else 16
+        planes = np.asarray(common.band_render_fn(
+            cfg, 16, 16, planar_quantize=depth)(dyn, jnp.float32(0.0)))
+        scale = 255.0 if depth == 8 else 65535.0
+        dt = np.uint8 if depth == 8 else np.uint16
+        ref = (np.clip(f32, 0.0, 1.0) * scale + 0.5).astype(dt)
+        np.testing.assert_array_equal(np.moveaxis(planes, 0, 2), ref)
+        if tried >= 8:
+            break
+    assert tried >= 4  # the fuzz actually exercised fused configs
