@@ -223,6 +223,101 @@ def main() -> None:
     except Exception:
         pass
 
+    # Julia c-sweep row (BASELINE config #2 shape: 16 c-values per batch
+    # through the quantized-export pipeline) — a regression in the batch /
+    # fused-coloring path shows here even when the headline is healthy.
+    julia_row = None
+    try:
+        from fractalrenderer_tpu.scene import FractalType
+
+        B = 16
+        sj = Scene(fractal_type=FractalType.JULIA, max_iterations=ITERS,
+                   zoom=3.0)
+        cfgj = common.scene_static_cfg(sj, W, H, "julia", "uv", True)
+        basej = {k: jnp.float32(v)
+                 for k, v in common.scene_dyn_params(sj).items()}
+        bandj = common.band_render_fn(cfgj, H, H, planar_quantize=8)
+        c_re = jnp.linspace(-0.9, -0.6, B)
+        c_im = jnp.linspace(0.1, 0.3, B)
+
+        @jax.jit
+        def fj(dyn, n_batches):
+            def batch(k, acc):
+                def frame(i, acc2):
+                    d = dict(dyn)
+                    d["julia_c_real"] = (c_re[i]
+                                         + k.astype(jnp.float32) * 1e-6)
+                    d["julia_c_imag"] = c_im[i]
+                    return acc2 + bandj(d, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, B, frame, acc)
+            return jax.lax.fori_loop(0, n_batches, batch,
+                                     jnp.zeros((3, H, W), jnp.uint8))
+
+        def jrun(K):
+            o = fj(basej, jnp.int32(K))
+            t0 = time.perf_counter()
+            float(o[0, 0, 0])
+            return time.perf_counter() - t0
+
+        jrun(1)  # compile + warm
+        try:
+            from fractalrenderer_tpu.utils.diag import \
+                measure_device_seconds as _mds
+
+            per_b = min(_mds(lambda: jrun(4)) / 4 for _ in range(2))
+            if per_b <= 0:
+                raise RuntimeError("empty trace")
+            jmethod = "profiler_trace"
+        except Exception:
+            jmethod = "amortized_wall"
+            per_b = min(max((jrun(4) - jrun(1)) / 3, 1e-9)
+                        for _ in range(3))
+        julia_row = {
+            "julia_sweep16_ms_per_batch": round(per_b * 1e3, 2),
+            "julia_sweep16_mpix_s": round(B * W * H / per_b / 1e6, 1),
+            "julia_timing_method": jmethod}
+    except Exception:
+        pass
+
+    # Deep-zoom row (BASELINE config #4: 1e-12 / 10k iters, dd deltas +
+    # in-kernel Zhuoran rebasing, device coloring, one RGB fetch) — guards
+    # the perturbation kernel against silent between-round regressions.
+    dz_row = None
+    try:
+        from fractalrenderer_tpu.models import deep_zoom
+        from fractalrenderer_tpu.scene import FractalType
+
+        sdz = Scene(fractal_type=FractalType.DEEP_ZOOM,
+                    hp_center_x="-0.74364388703715158",
+                    hp_center_y="0.13182590420531198",
+                    hp_zoom="1e-12", max_iterations=10000,
+                    use_perturbation=True)
+        cache = {}
+        _, dzinfo = deep_zoom.render(sdz, W, H, return_info=True,
+                                     orbit_cache=cache)  # compile + warm
+        try:
+            from fractalrenderer_tpu.utils.diag import \
+                measure_device_seconds as _mds
+
+            dzs = min(_mds(lambda: deep_zoom.render(
+                sdz, W, H, orbit_cache=cache)) for _ in range(2))
+            if dzs <= 0:
+                raise RuntimeError("empty trace")
+            dmethod = "profiler_trace"
+        except Exception:
+            dmethod = "wall"
+            t0 = time.perf_counter()
+            deep_zoom.render(sdz, W, H, orbit_cache=cache)
+            dzs = time.perf_counter() - t0
+        dz_row = {
+            "deepzoom_1e12_10k_1080p_s": round(dzs, 2),
+            "deepzoom_rebase_passes": dzinfo.get("rebase_passes"),
+            "deepzoom_glitched_remaining":
+                dzinfo.get("glitched_pixels_remaining"),
+            "deepzoom_timing_method": dmethod}
+    except Exception:
+        pass
+
     out = {
         "metric": "mandelbrot_1080p_256iter_render",
         "value": round(mpix_s, 1),
@@ -233,8 +328,15 @@ def main() -> None:
         "timing_method": method,
     }
     if bulb_ms is not None:
+        # raw bulb kernel at 100 iterations (the full render() pipeline at
+        # default iterations is config6 in bench_all.json — a different,
+        # heavier workload; don't compare the two numbers directly)
         out["mandelbulb_1080p_ms"] = bulb_ms
         out["mandelbulb_mpix_s"] = round(W * H / (bulb_ms / 1e3) / 1e6, 1)
+    if julia_row:
+        out.update(julia_row)
+    if dz_row:
+        out.update(dz_row)
     print(json.dumps(out))
 
 

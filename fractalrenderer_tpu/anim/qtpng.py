@@ -138,3 +138,95 @@ def write_mov(out_path: str, frame_paths: List[str], fps: float) -> dict:
     return {"frames": n, "width": width, "height": height,
             "duration_s": duration / _TIMESCALE, "bytes": total}
 
+
+# ---------------------------------------------------------------------------
+# Demuxer — the byte-level round-trip proof for the encoder above
+# ---------------------------------------------------------------------------
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for the atoms in
+    buf[start:end], validating the box grammar."""
+    pos = start
+    while pos + 8 <= end:
+        size, tag = struct.unpack(">I4s", buf[pos:pos + 8])
+        if size < 8 or pos + size > end:
+            raise ValueError(f"corrupt atom {tag!r} at {pos} (size {size})")
+        yield tag, pos + 8, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError(f"trailing bytes after last atom ({end - pos})")
+
+
+def _find(buf: bytes, start: int, end: int, *path: bytes):
+    """Resolve a nested atom path; returns (payload_start, payload_end)."""
+    for tag, a, b in _walk(buf, start, end):
+        if tag == path[0]:
+            if len(path) == 1:
+                return a, b
+            return _find(buf, a, b, *path[1:])
+    raise ValueError(f"missing atom {path[0]!r}")
+
+
+def read_mov(path: str) -> dict:
+    """Demux a ``write_mov`` .mov back into its PNG frame samples.
+
+    Walks the real sample tables (stsd → codec check, stsz → sizes,
+    stco → absolute offsets, stts → timing) exactly as a player would and
+    returns {"frames": [png bytes, ...], "width", "height", "fps",
+    "duration_s"}.  Each extracted sample is validated as a complete PNG
+    (signature + trailing IEND), so a successful read proves the muxer's
+    tables point at intact, decodable frames — the dependency-free
+    encoder is end-to-end verifiable without any external tool (the
+    reference's only check is whether ffmpeg exists,
+    video_encoder.cpp:230-238)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    tags = [t for t, _, _ in _walk(buf, 0, len(buf))]
+    if tags != [b"ftyp", b"mdat", b"moov"]:
+        raise ValueError(f"unexpected top-level atoms {tags}")
+    moov_a, moov_b = _find(buf, 0, len(buf), b"moov")
+    stbl_a, stbl_b = _find(buf, moov_a, moov_b, b"trak", b"mdia", b"minf",
+                           b"stbl")
+
+    # codec: the one stsd entry must be 'png '
+    a, b = _find(buf, stbl_a, stbl_b, b"stsd")
+    (n_desc,) = struct.unpack(">I", buf[a + 4:a + 8])
+    desc_tag = buf[a + 12:a + 16]
+    if n_desc != 1 or desc_tag != b"png ":
+        raise ValueError(f"not a qtpng track (codec {desc_tag!r})")
+    # ImageDescription: 6 reserved + dataref(2) + ver/rev(4) + vendor(4)
+    # + temporal/spatial quality(8) = 24 bytes before width/height
+    width, height = struct.unpack(">HH", buf[a + 16 + 24:a + 16 + 28])
+
+    a, b = _find(buf, stbl_a, stbl_b, b"stsz")
+    fixed, count = struct.unpack(">II", buf[a + 4:a + 12])
+    if fixed != 0:
+        raise ValueError("fixed-size samples unexpected for PNG frames")
+    sizes = struct.unpack(f">{count}I", buf[a + 12:a + 12 + 4 * count])
+
+    a, b = _find(buf, stbl_a, stbl_b, b"stco")
+    (n_off,) = struct.unpack(">I", buf[a + 4:a + 8])
+    if n_off != count:
+        raise ValueError(f"stco/stsz disagree ({n_off} vs {count})")
+    offsets = struct.unpack(f">{count}I", buf[a + 8:a + 8 + 4 * count])
+
+    a, b = _find(buf, stbl_a, stbl_b, b"stts")
+    (n_ent,) = struct.unpack(">I", buf[a + 4:a + 8])
+    (ent_count, per) = struct.unpack(">II", buf[a + 8:a + 16])
+    if n_ent != 1 or ent_count != count:
+        raise ValueError("unexpected stts layout")
+
+    mdat_a, mdat_b = _find(buf, 0, len(buf), b"mdat")
+    frames = []
+    for off, sz in zip(offsets, sizes):
+        if off < mdat_a or off + sz > mdat_b:
+            raise ValueError(f"sample at {off} escapes mdat")
+        sample = buf[off:off + sz]
+        if sample[:8] != b"\x89PNG\r\n\x1a\n" \
+                or sample[-8:] != b"IEND\xaeB`\x82":
+            raise ValueError(f"sample at {off} is not a complete PNG")
+        frames.append(sample)
+    return {"frames": frames, "width": width, "height": height,
+            "fps": _TIMESCALE / per,
+            "duration_s": per * count / _TIMESCALE}
+

@@ -250,12 +250,16 @@ class AnimationRenderer:
                 if self.mesh is not None:
                     from ..parallel import render_frames_sharded
 
-                    # pad to batch size so every chunk hits one compile
+                    # pad to batch size so every chunk hits one compile;
+                    # quantization runs INSIDE the shards (uint8/16
+                    # out-specs) so the sharded batch fetch moves uint
+                    # bytes, matching the single-chip batch path
                     sc = g.scenes[i:i + self.batch_size]
                     sc = sc + [sc[-1]] * (self.batch_size - len(sc))
                     imgs = render_frames_sharded(
                         sc, width, height,
-                        mesh=self.mesh, cap=cap)[:len(chunk)]
+                        mesh=self.mesh, cap=cap,
+                        quantize=q)[:len(chunk)]
                 else:
                     # pad to batch size to keep one compiled shape
                     pad = self.batch_size - len(chunk)

@@ -165,9 +165,12 @@ def _interior_skip_ok(cfg: StaticCfg) -> bool:
 
 def _fused_ok(cfg: StaticCfg) -> bool:
     """The in-kernel fused-coloring eligibility predicate (see
-    band_render_fn): no trap/stripe consumers and no interior-z reader."""
+    band_render_fn): no trap/stripe consumers and no interior-z reader.
+    Julia and phoenix fuse unconditionally (julia's interior is a plain
+    black mask; phoenix's flow stripes use the kernel-safe polynomial
+    atan2 from ops/trig.py on both the fused and unfused paths)."""
     track_trap, track_stripe = _track_flags(cfg)
-    return (cfg.family == "julia"
+    return (cfg.family in ("julia", "phoenix")
             or _interior_skip_ok(cfg)
             or (cfg.family == "burning_ship"
                 and not track_trap and not track_stripe))
@@ -230,6 +233,8 @@ def band_render_fn(cfg: StaticCfg, band_h: int, full_h: int,
                     zoom=dyn["zoom"], max_iter=cfg.max_iter,
                     bailout=dyn["bailout"], offset=off,
                     julia_c=(dyn["julia_c_real"], dyn["julia_c_imag"]),
+                    phoenix_p=dyn["phoenix_p"], phoenix_r=dyn["phoenix_r"],
+                    stripe_density=dyn["stripe_density"],
                     use_julia=cfg.use_julia,
                     iter_limit=dyn["iter_limit"], tile=cfg.tile,
                     chunk=cfg.chunk, row0=row0, map_height=full_h,

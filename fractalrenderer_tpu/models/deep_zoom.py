@@ -115,7 +115,10 @@ def render_fields(scene: Scene, width: int, height: int,
 
         from ..parallel.tiled import perturbation_fields_sharded
 
-        field_fn = functools.partial(perturbation_fields_sharded, mesh=mesh)
+        # keep_device lets the sharded producer skip the numpy gather so
+        # coloring/quantization stay on device (fields remain row-sharded)
+        field_fn = functools.partial(perturbation_fields_sharded, mesh=mesh,
+                                     keep_device=keep_device)
     else:
         field_fn = perturbation_fields
     cx, cy, zoom = _scene_coords(scene)

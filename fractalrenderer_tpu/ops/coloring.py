@@ -345,12 +345,54 @@ def color_burning_ship(xp, n, zx, zy, min_trap, stripe_acc, p: ColorParams):
     return xp.where(interior, interior_color, color).astype(xp.float32)
 
 
+def color_phoenix_planar(xp, n, zx, zy, p: ColorParams):
+    """Planar phoenix.comp:89-146 (static palette mode).
+
+    The flow-stripe angle uses the kernel-safe polynomial atan2
+    (ops/trig.py — Mosaic has no atan2 lowering), so the fused Pallas
+    epilogue and the unfused XLA pipeline share ONE bit-identical
+    expression; the numpy golden oracle keeps true arctan2 and is
+    tolerance-tested (the polynomial is f32-ulp-class, ~2e-7)."""
+    from . import trig
+
+    max_iter = _f32(xp, p.max_iterations)
+    smooth = smooth_nu_loglog(xp, n, zx, zy, max_iter)
+    t = xp.power(xp.clip(smooth / max_iter, 0.0, None), _f32(xp, 0.8))
+
+    control = p.phoenix_stripe_control
+    try:
+        static_off = float(control) <= 0.01
+    except Exception:
+        static_off = False
+    base = pal.palette_color_planar(xp, t, p.palette_mode, "classic")
+    if static_off:
+        return tuple(c.astype(xp.float32) for c in base)
+
+    control = xp.maximum(_f32(xp, control), 0.0)
+    stripe_amplitude = xp.clip(control * 0.05, 0.0, 1.0)
+    angle = trig.atan2(xp, zy, zx)
+    stripe_mod = 0.5 + 0.5 * xp.sin(angle * control + smooth * 0.25)
+    adaptive = stripe_amplitude * (1.0 - xp.exp(-0.004 * smooth * smooth))
+    t2 = pal._fract(xp, t + 0.1 * stripe_mod)
+    stripe = pal.palette_color_planar(xp, t2, p.palette_mode, "classic")
+    w = adaptive * stripe_mod * (control > 0.01)
+    return tuple((b * (1.0 - w) + s * w).astype(xp.float32)
+                 for b, s in zip(base, stripe))
+
+
 def color_phoenix(xp, n, zx, zy, p: ColorParams):
     """phoenix.comp:89-146 — pow(t, 0.8) gradient + adaptive flow stripes.
 
     Phoenix's smooth value comes from smooth_nu_loglog with the fixed
     bailout of 4 (phoenix.comp:77-83); interior pixels use smooth = max_iter.
+
+    The jitted (non-numpy) static-palette path delegates to the planar
+    colorer so the unfused XLA pipeline is bit-identical to the fused
+    in-kernel epilogue (models/common._fused_ok includes phoenix).
     """
+    if xp is not np and isinstance(p.palette_mode, (int, np.integer)):
+        return xp.stack(color_phoenix_planar(xp, n, zx, zy, p),
+                        axis=-1).astype(xp.float32)
     max_iter = _f32(xp, p.max_iterations)
     smooth = smooth_nu_loglog(xp, n, zx, zy, max_iter)
     t = xp.power(xp.clip(smooth / max_iter, 0.0, None), _f32(xp, 0.8))

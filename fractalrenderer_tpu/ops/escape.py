@@ -48,7 +48,8 @@ P_A0, P_A1, P_A2, P_A3 = 7, 8, 9, 10
 P_ROW0 = 11  # global row of this shard's first output row (multi-chip)
 # fused-coloring dynamic params (only read when fused_color is set)
 P_COFF, P_CSCALE, P_BRIGHT, P_SAT, P_CONTRAST, P_BAILOUT = range(12, 18)
-NPARAMS = 18
+P_STRIPE = 18  # phoenix flow-stripe control (stripe_density, fused path)
+NPARAMS = 19
 
 FAMILIES = ("mandelbrot", "julia", "burning_ship", "phoenix")
 
@@ -336,7 +337,8 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
                 palette_mode=palette_mode,
                 color_offset=params_ref[0, P_COFF],
                 color_scale=params_ref[0, P_CSCALE],
-                interior_style=interior_style)
+                interior_style=interior_style,
+                phoenix_stripe_control=params_ref[0, P_STRIPE])
             if family == "mandelbrot":
                 r, g, b = _col.color_mandelbrot_planar(
                     jnp, n, zx_out, zy_out,
@@ -346,6 +348,11 @@ def _make_kernel(family: str, width: int, height: int, map_height: int,
                     jnp, n, zx_out, zy_out,
                     jnp.full((th, tw), 1e10, jnp.float32),
                     jnp.zeros((th, tw), jnp.float32), cp)
+            elif family == "phoenix":
+                # flow stripes via the polynomial atan2 (ops/trig.py) —
+                # the unfused XLA path uses the same expression
+                r, g, b = _col.color_phoenix_planar(jnp, n, zx_out, zy_out,
+                                                    cp)
             else:  # julia
                 r, g, b = _col.color_julia_planar(jnp, n, zx_out, zy_out, cp)
             if with_post:
@@ -453,8 +460,8 @@ def escape_fields(family: str, width: int, height: int, *,
     as ``map_height``; the output still covers ``height`` local rows.
 
     ``fused_color``: a static ``(palette_mode, interior_style, clamp_mins,
-    with_post)`` tuple enabling in-kernel coloring (mandelbrot, julia, and
-    burning ship; no trap/stripe/deriv tracking) — the kernel then returns
+    with_post)`` tuple enabling in-kernel coloring (all four 2D families;
+    no trap/stripe/deriv tracking) — the kernel then returns
     color planes {"r","g","b"} instead of fields, and the n/zx/zy arrays
     never round-trip HBM.  ``with_post`` (default True if the tuple has 3
     elements) additionally applies enhance/ACES/gamma in the kernel —
@@ -464,7 +471,7 @@ def escape_fields(family: str, width: int, height: int, *,
     this path (traced).
     """
     if fused_color is not None:
-        assert family in ("mandelbrot", "julia", "burning_ship") \
+        assert family in FAMILIES \
             and not track_trap and not track_stripe and not track_deriv, \
             "fused coloring needs a plain (no trap/stripe/deriv) render"
         assert not (family == "mandelbrot" and int(fused_color[1]) == 2), \
@@ -517,6 +524,7 @@ def escape_fields(family: str, width: int, height: int, *,
         jnp.float32(color_offset), jnp.float32(color_scale),
         jnp.float32(brightness), jnp.float32(saturation),
         jnp.float32(contrast), jnp.float32(bailout),
+        jnp.float32(stripe_density),
     ]).reshape(1, NPARAMS)
 
     outs = _escape_call(

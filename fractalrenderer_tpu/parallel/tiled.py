@@ -52,9 +52,15 @@ def _quantize_host(x: np.ndarray, bit_depth: int) -> np.ndarray:
 
 
 def render_sharded(scene: Scene, width: int, height: int,
-                   mesh: Optional[Mesh] = None) -> np.ndarray:
+                   mesh: Optional[Mesh] = None,
+                   quantize: int = 0) -> np.ndarray:
     """Render one frame with its rows sharded across the mesh's 'rows' axis
-    (gather-free: each device computes and owns its band)."""
+    (gather-free: each device computes and owns its band).
+
+    ``quantize``: 8/16 quantizes INSIDE the shard (uint8/16 out-specs, the
+    PNG writer's exact clip/scale/round) so the per-device fetch moves 1-2
+    B per channel instead of 4 — byte-identical files to the single-chip
+    quantized path."""
     from ..utils.diag import validate_scene
 
     scene = validate_scene(scene)  # parity with models.render dispatch
@@ -71,7 +77,10 @@ def render_sharded(scene: Scene, width: int, height: int,
     def shard_body(dyn):
         ridx = jax.lax.axis_index("rows")
         row0 = (ridx * band_h).astype(jnp.float32)
-        return band_fn(dyn, row0)
+        out = band_fn(dyn, row0)
+        if quantize:
+            out = common.quantize_image(out, bit_depth=quantize)
+        return out
 
     fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
@@ -83,13 +92,17 @@ def render_sharded(scene: Scene, width: int, height: int,
 
 def render_frames_sharded(scenes, width: int, height: int,
                           mesh: Optional[Mesh] = None,
-                          cap: Optional[int] = None) -> np.ndarray:
+                          cap: Optional[int] = None,
+                          quantize: int = 0) -> np.ndarray:
     """Batch of frames sharded over ('frames', 'rows'): data-parallel frames
     × spatial row bands (BASELINE configs #2/#3 at multi-chip scale).  All
     scenes must share a static config; iteration counts may differ.
     ``cap`` overrides the compiled iteration bound (callers rendering many
     chunks of one sequence pass the sequence-wide max so every chunk hits
-    the same compile)."""
+    the same compile).
+    ``quantize``: 8/16 quantizes INSIDE each shard (uint8/16 out-specs —
+    the PNG writer's expression) so the batch fetch moves uint instead of
+    f32 on the link-bound sharded animate path."""
     if mesh is None:
         mesh = make_render_mesh(frames=1)
     n_frames = mesh.shape["frames"]
@@ -116,7 +129,10 @@ def render_frames_sharded(scenes, width: int, height: int,
         ridx = jax.lax.axis_index("rows")
         row0 = (ridx * band_h).astype(jnp.float32)
         # each frame-shard renders its local frames' band sequentially
-        return jax.lax.map(lambda d: band_fn(d, row0), batch)
+        out = jax.lax.map(lambda d: band_fn(d, row0), batch)
+        if quantize:
+            out = common.quantize_image(out, bit_depth=quantize)
+        return out
 
     fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
@@ -127,11 +143,18 @@ def render_frames_sharded(scenes, width: int, height: int,
 
 
 def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
-                                **pert_kw):
+                                keep_device: bool = False, **pert_kw):
     """Row-band-sharded perturbation deep zoom: the reference orbit is
     replicated (it is small and read-only); each device computes its band's
     deltas — still gather-free.  Same signature/result as
-    ops.perturbation.perturbation_fields."""
+    ops.perturbation.perturbation_fields.
+
+    ``keep_device``: return the field planes as (row-sharded) DEVICE
+    arrays instead of gathering to numpy, so callers can color + quantize
+    on device and fetch only uint8/16 RGB — the mesh-sharded deep-zoom
+    export was otherwise host-tailed at 12+ B/px of f32 fields.  Only the
+    plain (non-stacked) path with an exact shard split honors it; other
+    shapes fall back to the host return (callers detect via isinstance)."""
     import numpy as _np
 
     from ..ops import perturbation as pert
@@ -182,6 +205,17 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
         out_specs=(P("rows"),) * n_out,
         check_vma=False))
     outs = fn(*operands)
+
+    if keep_device and aa_stack is None and h_pad == height:
+        # exact shard split: no padding rows to trim, so the sharded
+        # planes can stay on device verbatim (elementwise coloring /
+        # quantization preserves the row sharding; only uint crosses)
+        res = {"n": outs[0], "zx": outs[1], "zy": outs[2],
+               "glitch": outs[3]}
+        if rebase:
+            res["want"] = outs[4]
+            res["passes"] = int(_np.asarray(outs[5]).max())
+        return res
 
     if aa_stack is not None:
         spp_, seg_h_, aa_h_, _fullh = aa_stack  # aa_h_ == band_h
@@ -364,9 +398,14 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                             keep_device=True)
                         accu.add(n, zx, zy)
                 avg, on_dev = accu.average(spp * spp)
-            if not on_dev or use_mesh:
-                # mesh-sharded RGB takes the host tail (a strided device
-                # downsample across row shards would add halo comms)
+            if not on_dev or (use_mesh and supersample):
+                # HP-fallback bands color on host; supersampled MESH
+                # bands also take the host tail (the strided 2x
+                # downsample across row shards would add halo comms).
+                # Plain mesh bands quantize on device below — the
+                # elementwise colorer/quantizer preserve the row
+                # sharding, so the link carries 2-6 B/px of uint
+                # instead of 12 B/px of f32 RGB.
                 avg = np.asarray(avg)
                 if supersample:
                     from ..utils.image import downsample2x

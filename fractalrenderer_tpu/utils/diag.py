@@ -68,14 +68,15 @@ def params_layout_selfcheck() -> bool:
     verify_push_constant_layout memory self-check)."""
     from ..ops import dd_escape, escape, perturbation
 
-    assert escape.NPARAMS == 18
+    assert escape.NPARAMS == 19
     assert escape.P_ROW0 == 11
     # index sets must be dense and unique
     esc_idx = [escape.P_CX, escape.P_CY, escape.P_ZOOM, escape.P_OFFX,
                escape.P_OFFY, escape.P_BAIL2, escape.P_LIMIT, escape.P_A0,
                escape.P_A1, escape.P_A2, escape.P_A3, escape.P_ROW0,
                escape.P_COFF, escape.P_CSCALE, escape.P_BRIGHT,
-               escape.P_SAT, escape.P_CONTRAST, escape.P_BAILOUT]
+               escape.P_SAT, escape.P_CONTRAST, escape.P_BAILOUT,
+               escape.P_STRIPE]
     assert sorted(esc_idx) == list(range(escape.NPARAMS))
     pert_idx = [getattr(perturbation, f"Q_{n}") for n in (
         "CXH", "CXL", "CYH", "CYL", "PSH", "PSL", "LIMIT", "BAIL2", "REFLEN",

@@ -201,7 +201,14 @@ def test_fuzz_planar_export_matches_interleaved_bytes():
         tried += 1
         dyn = {k: np.float32(v)
                for k, v in common.scene_dyn_params(s).items()}
-        f32 = np.asarray(common.compiled_render_fn(cfg)(dyn))
+        # Compare at IDENTICAL kernel granularity (eager band fn on both
+        # sides → the same standalone kernel executable): on the CPU
+        # interpret lane the "kernel" is plain XLA ops, so wrapping one
+        # side in an extra outer jit can shift transcendentals by 1 ulp
+        # and flip a quantization bucket — a fusion-granularity artifact,
+        # not a layout bug (on TPU the Pallas kernel is opaque to fusion).
+        f32 = np.asarray(common.band_render_fn(cfg, 16, 16)(
+            dyn, jnp.float32(0.0)))
         depth = 8 if tried % 2 else 16
         planes = np.asarray(common.band_render_fn(
             cfg, 16, 16, planar_quantize=depth)(dyn, jnp.float32(0.0)))

@@ -368,6 +368,13 @@ def test_aa_offsets_formulas():
                    use_julia=True, cx=0.0, cy=0.0, zoom=3.0)),
     ("burning_ship", dict(fused=(5, 3, True), cx=-0.5, cy=-0.6, zoom=2.0,
                           color_offset=0.1, color_scale=1.5)),
+    # phoenix: flow stripes on (control > 0.01 → polynomial atan2 in both
+    # paths) and off (static gate)
+    ("phoenix", dict(fused=(2, 0, True), cx=0.0, cy=0.0, zoom=3.0,
+                     phoenix_p=0.1, phoenix_r=-0.4, stripe_density=8.0,
+                     color_offset=0.05, color_scale=1.2)),
+    ("phoenix", dict(fused=(0, 0, True), cx=0.0, cy=0.0, zoom=3.0,
+                     phoenix_p=0.0, phoenix_r=-0.5, stripe_density=0.0)),
 ])
 def test_fused_coloring_matches_unfused(family, kw):
     # The in-kernel fused coloring path (planar colorers + post chain in
@@ -392,16 +399,23 @@ def test_fused_coloring_matches_unfused(family, kw):
     p = coloring.ColorParams(
         max_iterations=float(base["max_iter"]), bailout=base["bailout"],
         palette_mode=fused[0], color_offset=coff, color_scale=cscale,
-        interior_style=fused[1])
-    if family == "mandelbrot":
-        color = coloring.color_mandelbrot(
-            jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e20), p)
-    elif family == "burning_ship":
-        color = coloring.color_burning_ship(
-            jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e10),
-            jnp.zeros_like(f["zx"]), p)
-    else:
-        color = coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p)
+        interior_style=fused[1],
+        phoenix_stripe_control=kw.get("stripe_density", 0.0))
+
+    def color_unfused():
+        if family == "mandelbrot":
+            return coloring.color_mandelbrot(
+                jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e20),
+                p)
+        if family == "burning_ship":
+            return coloring.color_burning_ship(
+                jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e10),
+                jnp.zeros_like(f["zx"]), p)
+        if family == "phoenix":
+            return coloring.color_phoenix(jnp, f["n"], f["zx"], f["zy"], p)
+        return coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p)
+
+    color = color_unfused()
     b2, s2, c2 = (max(bri, 0.1), max(sat, 0.0), max(con, 0.1)) \
         if fused[2] else (bri, sat, con)
     color = coloring.enhance_color(jnp, color, b2, s2, c2)
@@ -416,12 +430,7 @@ def test_fused_coloring_matches_unfused(family, kw):
 
     # with_post=False (the AA>1 sample-plane mode): kernel output must be
     # the pre-post-chain palette color
-    raw = coloring.color_mandelbrot(
-        jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e20), p)         if family == "mandelbrot" else (
-        coloring.color_burning_ship(
-            jnp, f["n"], f["zx"], f["zy"], jnp.full_like(f["zx"], 1e10),
-            jnp.zeros_like(f["zx"]), p) if family == "burning_ship"
-        else coloring.color_julia(jnp, f["n"], f["zx"], f["zy"], p))
+    raw = color_unfused()
     g2 = escape_fields(family, W, H, fused_color=fused + (False,),
                        color_offset=coff, color_scale=cscale,
                        brightness=bri, saturation=sat, contrast=con,

@@ -56,6 +56,33 @@ def test_sharded_julia():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("depth", [8, 16])
+def test_sharded_quantized_matches_single_bytes(depth):
+    # quantize=8/16 moves the clip/scale/round INSIDE the shards (uint
+    # out-specs): the sharded fetch carries 1-2 B/channel and the bytes
+    # equal the single-chip quantized export exactly.
+    from fractalrenderer_tpu.models import common
+
+    s = Scene(max_iterations=48)
+    W, H = 96, 48
+    out = render_sharded(s, W, H, quantize=depth)
+    assert out.dtype == (np.uint8 if depth == 8 else np.uint16)
+    ref = np.asarray(common.quantize_image(
+        np.asarray(render(s, W, H)), bit_depth=depth))
+    np.testing.assert_array_equal(out, ref)
+
+
+@multi_device
+def test_frames_sharded_quantized_bytes():
+    scenes = [Scene(max_iterations=32, zoom=z) for z in (3.0, 1.5, 0.8, 0.5)]
+    mesh = make_render_mesh(frames=2)
+    out = render_frames_sharded(scenes, 64, 32, mesh, quantize=8)
+    assert out.dtype == np.uint8
+    f32 = render_frames_sharded(scenes, 64, 32, mesh)
+    ref = (np.clip(f32, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(out, ref)
+
+
 @multi_device
 def test_frames_sharded():
     scenes = [Scene(max_iterations=32, zoom=z) for z in (3.0, 1.5, 0.8, 0.5)]
@@ -215,6 +242,26 @@ def test_deep_zoom_model_sharded():
     np.testing.assert_array_equal(n_s, n_1)
     np.testing.assert_array_equal(zx_s, zx_1)
     assert info_s["references_used"] == info_1["references_used"]
+
+
+def test_deep_zoom_mesh_device_quantized_bytes():
+    # The mesh-sharded deep-zoom export keeps fields device-resident
+    # (keep_device), colors + quantizes the sharded planes on device, and
+    # produces the single-chip path's exact bytes — no f32 host tail.
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.parallel import make_render_mesh
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, use_perturbation=True,
+              hp_center_x="-0.743643887037151",
+              hp_center_y="0.13182590420533",
+              hp_zoom="1e-8", max_iterations=300)
+    mesh = make_render_mesh()
+    img_m, info = deep_zoom.render(s, 48, 32, mesh=mesh, quantize=16,
+                                   return_info=True)
+    assert info["fields_on_device"] is True  # the host tail is gone
+    assert img_m.dtype == np.uint16
+    img_1 = deep_zoom.render(s, 48, 32, quantize=16)
+    np.testing.assert_array_equal(img_m, img_1)
 
 
 def test_mandelbulb_sharded_matches_single():

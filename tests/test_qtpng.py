@@ -85,6 +85,49 @@ def test_mov_structure_and_sample_tables(tmp_path):
     assert (w, h) == (32, 20)
 
 
+def test_mov_byte_level_round_trip(tmp_path):
+    """read_mov demuxes the samples back: every embedded PNG byte-equals
+    its source file AND decodes to the source pixels — the encoder is
+    end-to-end proven with no external tool."""
+    from fractalrenderer_tpu.utils.png import read_png
+
+    paths = _frames(tmp_path / "f", n=6, w=40, h=24)
+    out = str(tmp_path / "clip.mov")
+    qtpng.write_mov(out, paths, fps=24)
+    dec = qtpng.read_mov(out)
+    assert (dec["width"], dec["height"]) == (40, 24)
+    assert dec["fps"] == pytest.approx(24.0)
+    assert dec["duration_s"] == pytest.approx(6 / 24, rel=1e-3)
+    assert len(dec["frames"]) == 6
+    for sample, p in zip(dec["frames"], paths):
+        assert sample == open(p, "rb").read()  # exact container bytes
+        back = tmp_path / "back.png"
+        back.write_bytes(sample)
+        np.testing.assert_array_equal(read_png(str(back)),
+                                      read_png(p))  # decoded pixels
+
+
+def test_read_mov_rejects_corruption(tmp_path):
+    paths = _frames(tmp_path / "f", n=3)
+    out = str(tmp_path / "clip.mov")
+    qtpng.write_mov(out, paths, fps=30)
+    buf = bytearray(open(out, "rb").read())
+    # flip one byte inside the first sample's PNG signature
+    a, _ = _find(bytes(buf), [b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                              b"stco"])
+    (off,) = struct.unpack(">I", bytes(buf[a + 8:a + 12]))
+    buf[off] ^= 0xFF
+    bad = tmp_path / "bad.mov"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="not a complete PNG"):
+        qtpng.read_mov(str(bad))
+    # truncated container: atom grammar violation is caught
+    trunc = tmp_path / "trunc.mov"
+    trunc.write_bytes(bytes(buf[:-20]))
+    with pytest.raises(ValueError):
+        qtpng.read_mov(str(trunc))
+
+
 def test_encoder_qtpng_codec_path(tmp_path):
     _frames(tmp_path / "frames", n=4)
     enc = video.VideoEncoder()
