@@ -91,6 +91,11 @@ def _add_scene_args(p: argparse.ArgumentParser):
                    help="deep-zoom samples per pixel axis (spp^2 subpixel "
                         "samples, device-batched; ui_manager.cpp:659-757 "
                         "samples toggle)")
+    p.add_argument("--exact-dust", action="store_true",
+                   help="Burning Ship dust tier (--deep-ship): per-pixel "
+                        "error ledger + 160-bit orbit + HP fallback for "
+                        "flagged lanes — oracle-exact counts in chaotic "
+                        "dust, at extra host cost (DESIGN.md §8)")
 
 
 _ARG_TO_FIELD = {
@@ -193,6 +198,65 @@ def _render(scene: Scene, width: int, height: int, golden: bool):
     return np.asarray(models.render(scene, width, height))
 
 
+# Seconds of device silence before the first-frame fallback kicks in: a
+# cache-hit device render finishes well inside this, so the preview only
+# ever runs on a genuinely cold compile.
+_PREVIEW_AFTER_S = 2.0
+
+
+def _render_first_frame_fast(scene: Scene, args, t0: float):
+    """Device render with a first-visible-frame fallback (the reference
+    shows pixels in milliseconds from launch — prebuilt SPIR-V,
+    compute_effect_manager.cpp:120-138; a fresh TPU process blocks on a
+    remote XLA compile that can take minutes).
+
+    The device render runs in a worker thread; if it hasn't finished
+    after _PREVIEW_AFTER_S, the identical pipeline renders on the local
+    CPU backend (models.render_preview_cpu) and is written to --out
+    ATOMICALLY, so the user has a correct full-resolution frame on disk
+    while the device compile proceeds — then the device frame replaces
+    it.  --golden and unsupported families skip the fallback.
+    FRACTAL_TPU_NO_PREVIEW=1 disables (timing scripts)."""
+    import threading
+
+    from . import models
+
+    if args.golden or os.environ.get("FRACTAL_TPU_NO_PREVIEW"):
+        return _render(scene, args.width, args.height, args.golden)
+    res: dict = {}
+
+    def job():
+        try:
+            res["img"] = np.asarray(models.render(scene, args.width,
+                                                  args.height))
+        except BaseException as e:  # surfaced after join
+            res["err"] = e
+
+    th = threading.Thread(target=job, daemon=True, name="device-render")
+    th.start()
+    th.join(_PREVIEW_AFTER_S)
+    if th.is_alive():
+        try:
+            pv = models.render_preview_cpu(scene, args.width, args.height)
+        except Exception:
+            pv = None
+        if pv is not None and th.is_alive():
+            meta = {"Software": "fractalrenderer_tpu (preview)",
+                    **scene.metadata_summary()}
+            tmp = args.out + ".preview.tmp"
+            png.write_png(tmp, to_export_orientation(pv),
+                          bit_depth=args.bit_depth, metadata=meta,
+                          dpi=args.dpi)
+            os.replace(tmp, args.out)
+            print(f"first frame ready after {time.monotonic() - t0:.1f}s "
+                  f"(CPU preview at {args.out}; device kernel still "
+                  "compiling...)", flush=True)
+        th.join()
+    if "err" in res:
+        raise res["err"]
+    return res["img"]
+
+
 def _size_ok(args) -> bool:
     """A non-positive --width/--height must be a clean error, not a
     kernel-shape traceback (the reference's panel clamps its inputs,
@@ -237,6 +301,8 @@ def cmd_render(args) -> int:
             from .parallel import make_render_mesh
 
             dz_kw["mesh"] = make_render_mesh()
+        if getattr(args, "exact_dust", False):
+            dz_kw["exact_dust"] = True
         with _orbit_progress():
             # quantize on device to the output bit depth (byte-identical
             # PNG, 1-2 B/channel over the link instead of 4)
@@ -255,7 +321,7 @@ def cmd_render(args) -> int:
             from .parallel import render_sharded as _rs
         img = np.asarray(_rs(scene, args.width, args.height))
     else:
-        img = _render(scene, args.width, args.height, args.golden)
+        img = _render_first_frame_fast(scene, args, t0)
     dt = time.monotonic() - t0
     meta = {"Software": "fractalrenderer_tpu",
             "Fractal": scene.fractal_type.display_name,
@@ -582,7 +648,7 @@ def cmd_interactive(args) -> int:
                 scene, cols=args.cols, rows=args.rows,
                 spin=args.spin, max_frames=args.max_frames,
                 resume_last=no_explicit_view and not args.fresh,
-                persist=not args.fresh)
+                persist=not args.fresh, gfx=args.gfx)
         except BaseException:
             import traceback
 
@@ -849,6 +915,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="don't resume the previous session or persist "
                         "this one (default resumes like the reference's "
                         "imgui.ini)")
+    p.add_argument("--gfx", default=None,
+                   choices=["auto", "kitty", "iterm", "off"],
+                   help="pixel-frame protocol for the live session "
+                        "(default auto: in-band handshake; kitty/ghostty/"
+                        "wezTerm/konsole speak kitty, iTerm2 its own; "
+                        "falls back to half-block cells)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("presets", help="list all preset tables")

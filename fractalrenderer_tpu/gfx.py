@@ -1,0 +1,179 @@
+"""In-band pixel graphics for the live session.
+
+The reference's core experience is a 1700×900 *pixel* window redrawn every
+frame (src/vk_engine.cpp:630-733, window size src/vk_engine.h:74).  A
+terminal has no swapchain, but modern terminals accept real pixel frames
+in-band:
+
+- **kitty graphics protocol** (kitty, ghostty, wezterm, konsole …):
+  APC escapes ``ESC _G <k=v,...> ; <base64 payload> ESC \\`` — we transmit
+  PNG frames (``f=100``) chunked at 4096 base64 bytes, placed under the
+  text layer (``z=-1``) so the status bar / help overlay print on top.
+- **iTerm2 inline images** (iTerm2, some others): ``OSC 1337 File=...``
+  with a base64 PNG body.
+
+Detection is a standard in-band handshake (must run with the terminal in
+cbreak mode): send a tiny kitty graphics *query* (``a=q``), a window
+pixel-size report request (``CSI 14 t``), and a DA1 (``CSI c``).  Every
+terminal answers DA1, so its arrival bounds the wait; a ``ESC _G i=31``
+response before it means kitty graphics, and a ``CSI 4;H;W t`` reply gives
+the window size in pixels (→ render resolution).  ``FRACTAL_TPU_GFX``
+forces the outcome (``kitty`` / ``iterm`` / ``off``) for tests, scripts,
+and terminals that mis-advertise.
+
+The render itself rides the existing jitted pipeline — at 960×540 the
+fused kernels are well under a millisecond on TPU, so keypress-to-frame
+stays dominated by the device-link fetch exactly as at cell resolutions.
+"""
+from __future__ import annotations
+
+import base64
+import os
+import select
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+# Render-size bounds for in-band pixel frames: enough to beat the
+# reference's 1700x900 window on a big terminal, small enough that the
+# base64 stream stays comfortably under interactive latency on ssh.
+MAX_W, MAX_H = 1920, 1080
+_DEFAULT_CELL = (8.0, 16.0)  # typical monospace cell pixels (fallback)
+_CHUNK = 4096                # kitty: max base64 payload bytes per escape
+
+
+@dataclass
+class GfxInfo:
+    kind: str                              # "kitty" | "iterm"
+    term_px: Optional[Tuple[int, int]]     # (width, height) of the window
+    cell_px: Tuple[float, float] = _DEFAULT_CELL
+
+
+def _read_reports(fin, timeout: float) -> bytes:
+    """Drain handshake responses until DA1 arrives or the timeout passes."""
+    fd = fin.fileno()
+    buf = b""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        try:
+            ready, _, _ = select.select([fd], [], [],
+                                        max(0.0, deadline - time.monotonic()))
+        except (OSError, ValueError):
+            break
+        if not ready:
+            break
+        try:
+            data = os.read(fd, 4096)
+        except OSError:
+            break
+        if not data:
+            break
+        buf += data
+        # DA1 response: ESC [ ? ... c  — the fence that every terminal sends
+        if b"\x1b[?" in buf and buf.rsplit(b"\x1b[?", 1)[1].find(b"c") >= 0:
+            break
+    return buf
+
+
+def detect(fin, fout, force: Optional[str] = None,
+           timeout: float = 0.35) -> Optional[GfxInfo]:
+    """Detect an in-band graphics protocol on the attached terminal.
+
+    ``force``: "kitty" / "iterm" skip the handshake; "off" disables; None
+    consults $FRACTAL_TPU_GFX first and then handshakes.  Returns None
+    when no pixel protocol is available (the caller keeps the half-block
+    cell renderer — fallback behavior unchanged)."""
+    force = force if force is not None else os.environ.get(
+        "FRACTAL_TPU_GFX", "").lower() or None
+    if force in ("off", "none", "0"):
+        return None
+    if force == "kitty":
+        return GfxInfo("kitty", None)
+    if force == "iterm":
+        return GfxInfo("iterm", None)
+    if force is not None and force != "auto":
+        return None
+
+    env = os.environ
+    # iTerm2 advertises via environment, not an in-band query
+    if env.get("TERM_PROGRAM") == "iTerm.app" \
+            or env.get("LC_TERMINAL") == "iTerm2":
+        return GfxInfo("iterm", None)
+
+    if not hasattr(fin, "fileno"):
+        return None
+    try:
+        if not os.isatty(fin.fileno()):
+            return None
+    except (OSError, ValueError):
+        return None
+
+    # kitty graphics query (a=q never displays anything; i=31 keys the
+    # response) + window pixel size + DA1 fence.
+    try:
+        fout.write("\x1b_Gi=31,s=1,v=1,a=q,t=d,f=24;AAAA\x1b\\"
+                   "\x1b[14t\x1b[c")
+        fout.flush()
+    except (OSError, ValueError):
+        return None
+    buf = _read_reports(fin, timeout)
+    if b"\x1b_Gi=31" not in buf:
+        return None
+    term_px = None
+    # CSI 4 ; height ; width t
+    marker = b"\x1b[4;"
+    at = buf.find(marker)
+    if at >= 0:
+        endt = buf.find(b"t", at)
+        try:
+            h_s, w_s = buf[at + len(marker):endt].split(b";")
+            term_px = (int(w_s), int(h_s))
+        except ValueError:
+            term_px = None
+    return GfxInfo("kitty", term_px)
+
+
+def pick_render_size(info: GfxInfo, cols: int, rows: int,
+                     img_rows: int) -> Tuple[int, int]:
+    """Pixel render size for an ``img_rows``-cell-tall image in a
+    cols×rows terminal, from the handshake's window pixel report (or a
+    typical 8×16 cell when unreported), capped at 1080p."""
+    if info.term_px and cols > 0 and rows > 0:
+        cw = info.term_px[0] / cols
+        ch = info.term_px[1] / rows
+    else:
+        cw, ch = info.cell_px
+    w = int(cols * cw)
+    h = int(img_rows * ch)
+    w, h = min(w, MAX_W), min(h, MAX_H)
+    return max(2, w - w % 2), max(2, h - h % 2)
+
+
+def kitty_clear() -> str:
+    """Delete every image placement (entering the minimap / on exit)."""
+    return "\x1b_Ga=d,d=A,q=2\x1b\\"
+
+
+def emit_frame(info: GfxInfo, png_bytes: bytes, cols: int, rows: int,
+               image_id: int = 1) -> str:
+    """The escape string that displays ``png_bytes`` over a cols×rows cell
+    rectangle at the current cursor position."""
+    payload = base64.standard_b64encode(png_bytes).decode("ascii")
+    if info.kind == "iterm":
+        return (f"\x1b]1337;File=inline=1;size={len(png_bytes)}"
+                f";width={cols};height={rows};preserveAspectRatio=0"
+                f":{payload}\x07")
+    # kitty: transmit+display PNG under the text layer; q=2 suppresses
+    # responses (we never read them mid-frame); C=1 keeps the cursor put;
+    # re-using one image id replaces the previous frame without flicker
+    # or placement accumulation.
+    ctrl = (f"a=T,f=100,i={image_id},q=2,C=1,z=-1,c={cols},r={rows}")
+    if len(payload) <= _CHUNK:
+        return f"\x1b_G{ctrl};{payload}\x1b\\"
+    out = []
+    first, rest = payload[:_CHUNK], payload[_CHUNK:]
+    out.append(f"\x1b_G{ctrl},m=1;{first}\x1b\\")
+    while rest:
+        chunk, rest = rest[:_CHUNK], rest[_CHUNK:]
+        out.append(f"\x1b_Gm={1 if rest else 0};{chunk}\x1b\\")
+    return "".join(out)

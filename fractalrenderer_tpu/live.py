@@ -12,6 +12,12 @@ frame times.  Rendering rides the jitted pipeline with up to two frames in
 flight (the reference's FRAME_OVERLAP=2, vk_engine.h:44) via JAX async
 dispatch.
 
+Display: in a kitty-graphics or iTerm2 terminal the session shows REAL
+PIXEL frames at the window's native resolution, ≤1080p (gfx.py — the
+answer to the reference's 1700×900 SDL window, vk_engine.h:74), detected
+by an in-band handshake at startup (--gfx / $FRACTAL_TPU_GFX force or
+disable it).  Other terminals keep truecolor half-block cells.
+
 Hotkey map (every binding in input_handler.h:165-248 mapped or N/A'd):
 
   w/a/s/d, arrows  continuous pan, speed = zoom * dt * 2 (:211-235)
@@ -204,6 +210,15 @@ class LiveSession:
                  spin: bool = False):
         self.viewer = Viewer(scene, cols=cols, rows=rows)
         self._base_size = (self.viewer.width, self.viewer.height)
+        # pixel-graphics backend (gfx.GfxInfo) — None keeps half-blocks;
+        # px_per_cell maps mouse cells → render pixels (half-block cells
+        # are 1×2 render pixels; a kitty/iTerm2 image cell is
+        # width/cols × height/rows)
+        self.gfx = None
+        self.gfx_cols = 0
+        self.gfx_rows = 0
+        self.px_per_cell = (1.0, 2.0)
+        self._png_cache: Tuple = (None, b"")
         self.spin = spin
         self.spin_speed = _ROTATION_SPEED  # Rotation Speed slider
         self.running = True
@@ -266,12 +281,35 @@ class LiveSession:
 
     def _set_fullscreen(self, on: bool) -> None:
         self.fullscreen = on
+        if self.gfx is not None:
+            # pixel mode already fills the window — re-measure in case
+            # the terminal was resized since the session started
+            self.enable_gfx(self.gfx)
+            return
         if on:
             tw, th = shutil.get_terminal_size((100, 40))
             self.viewer.width = tw
             self.viewer.height = max(2, (th - 1) * 2)
         else:
             self.viewer.width, self.viewer.height = self._base_size
+        self.dirty = True
+
+    def enable_gfx(self, info) -> None:
+        """Switch to in-band pixel frames (kitty/iTerm2): render at the
+        terminal's real pixel size (≤1080p) instead of half-block cells —
+        the reference's 1700×900 interactive window, finally matched
+        (vk_engine.h:74)."""
+        from . import gfx as gfx_mod
+
+        tw, th = shutil.get_terminal_size((100, 40))
+        img_rows = max(2, th - 1)  # one row stays for the status bar
+        w, h = gfx_mod.pick_render_size(info, tw, th, img_rows)
+        self.gfx = info
+        self.gfx_cols, self.gfx_rows = tw, img_rows
+        self.viewer.width, self.viewer.height = w, h
+        self._base_size = (w, h)
+        self.px_per_cell = (w / tw, h / img_rows)
+        self._png_cache = (None, b"")
         self.dirty = True
 
     # -- input ------------------------------------------------------------
@@ -380,7 +418,8 @@ class LiveSession:
         s = self.scene
         bulb = s.fractal_type == FractalType.MANDELBULB
         deep = s.fractal_type == FractalType.DEEP_ZOOM
-        px, py_screen = float(cx), float(cy * 2)  # one cell = 2 pixel rows
+        ppx, ppy = self.px_per_cell  # half-blocks: 1×2 px; gfx: w/cols etc.
+        px, py_screen = cx * ppx, cy * ppy
         if kind == "wheelup" or kind == "wheeldown":
             zoom_in = kind == "wheelup"
             if bulb:  # input_handler.h:102-107
@@ -401,8 +440,8 @@ class LiveSession:
         elif kind == "press" and btn == 2:
             self._zoom_to_cell(px, py_screen, False)
         elif kind == "motion" and self._dragging:
-            dx = (cx - self._drag_at[0])
-            dy = (cy - self._drag_at[1]) * 2
+            dx = (cx - self._drag_at[0]) * ppx
+            dy = (cy - self._drag_at[1]) * ppy
             self._drag_at = (cx, cy)
             if bulb:  # input_handler.h:147-150
                 self.scene = s.with_(rotation_y=s.rotation_y + dx * 0.01)
@@ -482,20 +521,41 @@ class LiveSession:
                     self._stop_playback("playback done")
 
     # -- output -----------------------------------------------------------
-    def dispatch(self):
-        """Dispatch the current frame's render (async on device)."""
-        if self.show_minimap:
-            return None  # minimap composes host-side
-        if self.scene.fractal_type == FractalType.DEEP_ZOOM:
+    def _render_async(self, scene: Scene):
+        """Dispatch one frame of ``scene`` at the session size.  Pixel
+        (gfx) sessions prefer the planar-quantized path — fused kernel +
+        device uint8 quantization, so the link fetch carries 1 B/px/ch
+        instead of 4 (keypress-to-frame is fetch-bound at ≥0.5 Mpix)."""
+        if scene.fractal_type == FractalType.DEEP_ZOOM:
             # session-persistent orbit cache: pan/zoom about a center
             # reuses its reference orbit instead of recomputing the HP
             # loop every frame (the reference recomputes only when dirty,
             # deep_zoom_system.cpp:363)
             from .models import deep_zoom
 
-            return deep_zoom.render(self.scene, self.width, self.height,
-                                    orbit_cache=self._orbit_cache)
-        return models.render(self.scene, self.width, self.height)
+            return deep_zoom.render(
+                self.scene, self.width, self.height,
+                orbit_cache=self._orbit_cache,
+                quantize=8 if self.gfx is not None else 0)
+        if self.gfx is not None:
+            from .models import common as _c
+            from .utils.diag import validate_scene
+
+            fam = _c.family_map().get(scene.fractal_type)
+            if fam is not None:
+                sc = validate_scene(scene)
+                cfg = _c.scene_static_cfg(sc, self.width, self.height,
+                                          *fam)
+                if _c.planar_export_ok(cfg):
+                    return _c.compiled_planar_render_fn(cfg)(
+                        _c.scene_dyn_params(sc))
+        return models.render(scene, self.width, self.height)
+
+    def dispatch(self):
+        """Dispatch the current frame's render (async on device)."""
+        if self.show_minimap:
+            return None  # minimap composes host-side
+        return self._render_async(self.scene)
 
     def prewarm_ladder(self) -> None:
         """Compile the auto-iteration ladder rungs for the current render
@@ -516,7 +576,9 @@ class LiveSession:
                     if not self.running:
                         return
                     s = self.scene.with_(max_iterations=iters)
-                    np.asarray(models.render(s, self.width, self.height))
+                    # prewarm the SESSION's render path (planar-quantized
+                    # under gfx) so the ladder compiles what zoom will run
+                    np.asarray(self._render_async(s))
             except Exception:
                 pass  # prewarming is best-effort
 
@@ -534,8 +596,12 @@ class LiveSession:
         # reference orbit instead of freezing on a fresh HP loop
         kw = {"orbit_cache": self._orbit_cache} \
             if self.scene.fractal_type == FractalType.DEEP_ZOOM else {}
-        img = np.asarray(models.render(self.scene, self.width * 8,
-                                       self.height * 8, **kw))
+        # cell sessions upscale 8x for a print-worthy shot; pixel (gfx)
+        # sessions are already ~1080p, so 2x suffices (and 8x would be 60+
+        # Mpix)
+        scale = 2 if self.gfx is not None else 8
+        img = np.asarray(models.render(self.scene, self.width * scale,
+                                       self.height * scale, **kw))
         write_png(path, to_export_orientation(img),
                   metadata=self.scene.metadata_summary())
         return f"saved {path}"
@@ -616,6 +682,21 @@ class LiveSession:
                  f"({s.center_x:.6g}, {s.center_y:.6g})",
                  f"zoom={zoom}", f"iters={s.max_iterations}",
                  f"{self.stats.ms:.1f} ms/frame"]
+        if s.fractal_type == FractalType.DEEP_ZOOM:
+            # live precision-tier display: the deep-zoom panel's
+            # "Precision Mode" readout (ui_manager.cpp:659-757) — descent
+            # promotions (DOUBLE→QUAD→ARBITRARY) show as they happen
+            try:
+                from fractions import Fraction
+
+                from .deepzoom.hp import precision_mode_for_zoom_frac
+
+                z = s.hp_zoom if s.hp_zoom is not None else s.zoom
+                mode, bits = precision_mode_for_zoom_frac(
+                    Fraction(str(z)))
+                parts.insert(4, f"{mode.name}:{bits}b")
+            except (ValueError, ZeroDivisionError):
+                pass
         if self.spin:
             parts.append("spin")
         if self.playing:
@@ -658,8 +739,60 @@ def _ansi_rows(img: np.ndarray) -> List[str]:
     return rows
 
 
+def _compose_gfx(sess: LiveSession, img: Optional[np.ndarray]) -> str:
+    """Pixel-frame redraw: clear the text layer, place the PNG frame
+    (kitty: z=-1, under text; one image id per session so each frame
+    replaces the last), then print overlays/status as ordinary text.
+    PNG encoding is cached per fetched frame (redraws re-emit bytes)."""
+    from . import gfx as gfx_mod
+    from .utils.png import encode_png
+
+    out = []
+    if sess.gfx.kind == "kitty":
+        out.append(gfx_mod.kitty_clear())
+    out.append("\x1b[2J\x1b[H")
+    if img is not None:
+        key = id(img)
+        if sess._png_cache[0] != key:
+            if img.dtype == np.uint8:
+                # device-quantized fetch: (3, H, W) planes from the
+                # planar path or (H, W, 3) from deep zoom — no host math
+                img8 = np.moveaxis(img, 0, 2) \
+                    if img.ndim == 3 and img.shape[0] == 3 else img
+                img8 = img8[::-1]
+            else:
+                img8 = (np.clip(img[::-1], 0.0, 1.0) * 255.0
+                        + 0.5).astype(np.uint8)
+            sess._png_cache = (key, encode_png(img8, compress_level=1))
+        out.append(gfx_mod.emit_frame(sess.gfx, sess._png_cache[1],
+                                      sess.gfx_cols, sess.gfx_rows))
+    if sess.show_help:
+        top = max(0, (sess.gfx_rows - len(sess.HELP)) // 2)
+        for k, text in enumerate(sess.HELP):
+            out.append(f"\x1b[{top + k + 1};1H\x1b[1;37;44m{text}\x1b[0m")
+    out.append(f"\x1b[{sess.gfx_rows + 1};1H")
+    if sess.cmdline is not None:
+        out.append(":" + sess.cmdline)
+    elif sess.show_status:
+        out.append("\x1b[7m" + sess.status_line()[:max(sess.gfx_cols, 60)]
+                   + "\x1b[0m")
+    out.append("\x1b[K")
+    return "".join(out)
+
+
 def compose_frame(sess: LiveSession, img: Optional[np.ndarray]) -> str:
     """Full redraw string: home cursor, view rows, overlays, status."""
+    pre = ""
+    if sess.gfx is not None:
+        if not sess.show_minimap:
+            return _compose_gfx(sess, img)
+        # minimap in pixel mode: a text screen — delete the image frame
+        # first (it sits under the text layer and would show through)
+        from . import gfx as gfx_mod
+
+        if sess.gfx.kind == "kitty":
+            pre = gfx_mod.kitty_clear()
+        pre += "\x1b[2J"
     if sess.show_minimap:
         body = sess.viewer.minimap().split("\n")
     elif img is not None:
@@ -673,7 +806,7 @@ def compose_frame(sess: LiveSession, img: Optional[np.ndarray]) -> str:
                 body[top + k] = "\x1b[1;37;44m" + text + "\x1b[0m"
             else:
                 body.append("\x1b[1;37;44m" + text + "\x1b[0m")
-    out = ["\x1b[H"]
+    out = [pre + "\x1b[H"]
     for line in body:
         out.append(line + "\x1b[K\r\n")
     if sess.cmdline is not None:
@@ -746,13 +879,19 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
              rows: Optional[int] = None, spin: bool = False,
              max_frames: Optional[int] = None, infile=None,
              outfile=None, resume_last: bool = False,
-             persist: bool = False) -> int:
+             persist: bool = False, gfx: Optional[str] = None) -> int:
     """The event loop: poll input → continuous update → async dispatch →
     fetch+draw, with up to two frames in flight (FRAME_OVERLAP=2).
 
     ``resume_last``: start from the previous session's persisted Scene
     (the reference resumes implicitly via imgui.ini); ``persist``: save
-    the Scene on exit so the next launch can."""
+    the Scene on exit so the next launch can.
+
+    ``gfx``: pixel-frame protocol — "auto" (default; in-band handshake,
+    $FRACTAL_TPU_GFX overrides), "kitty", "iterm", or "off".  With a
+    capable terminal the session renders real ≥0.5 Mpix frames (the
+    reference's 1700×900 window experience); otherwise half-block cells
+    as before."""
     if resume_last:
         prev = load_last_session()
         if prev is not None:
@@ -760,7 +899,7 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
     sess = LiveSession(scene, cols=cols, rows=rows, spin=spin)
     ui = TermUI(infile=infile, outfile=outfile)
     try:
-        _live_loop(sess, ui, max_frames)
+        _live_loop(sess, ui, max_frames, gfx_mode=gfx)
     except KeyboardInterrupt:
         # tty.setcbreak keeps ISIG, so ^C arrives as KeyboardInterrupt,
         # not as a \x03 byte — treat it as quit (TermUI.__exit__ has
@@ -775,11 +914,58 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
 
 
 def _live_loop(sess: "LiveSession", ui: "TermUI",
-               max_frames: Optional[int]) -> None:
+               max_frames: Optional[int],
+               gfx_mode: Optional[str] = None) -> None:
+    import threading
     from collections import deque
 
-    frames = 0
+    from . import gfx as gfx_mod
+
+    state = {"frames": 0}
+    draw_lock = threading.Lock()
     with ui:
+        if gfx_mode != "off":
+            # the handshake needs the terminal in cbreak mode (responses
+            # arrive on stdin), so it runs inside the TermUI context
+            try:
+                info = gfx_mod.detect(ui.fin, ui.fout, force=gfx_mode)
+            except Exception:
+                info = None
+            if info is not None:
+                sess.enable_gfx(info)
+
+        def preview_worker():
+            """First-visible-frame fallback: a cold device compile blocks
+            the first dispatch() for up to minutes with a blank screen
+            (the reference shows pixels in ms — prebuilt SPIR-V).  This
+            worker renders the identical pipeline on the local CPU
+            backend and draws it IF no device frame has landed yet; the
+            device frame then replaces it (vk-style splash, correct
+            pixels).  0.5 s of grace skips it entirely on a warm cache."""
+            time.sleep(0.5)
+            if state["frames"] or not sess.running:
+                return
+            try:
+                img = models.render_preview_cpu(sess.scene, sess.width,
+                                                sess.height)
+            except Exception:
+                return
+            if img is None:
+                return
+            with draw_lock:
+                if state["frames"] or not sess.running:
+                    return
+                msg, sess.message = sess.message, "CPU preview (compiling)"
+                try:
+                    ui.fout.write(compose_frame(sess, img))
+                    ui.fout.flush()
+                except (OSError, ValueError):
+                    pass
+                finally:
+                    sess.message = msg
+
+        threading.Thread(target=preview_worker, daemon=True,
+                         name="first-frame-preview").start()
         last = time.perf_counter()
         last_img: Optional[np.ndarray] = None
         inflight: deque = deque()  # (dispatch_time, jax array or None)
@@ -806,13 +992,14 @@ def _live_loop(sess: "LiveSession", ui: "TermUI",
                 last_img = np.asarray(arr) if arr is not None else None
                 sess.stats.add(time.perf_counter() - t0)
                 sess.redraw = False
-                ui.fout.write(compose_frame(sess, last_img))
-                ui.fout.flush()
-                frames += 1
-                if frames == 1:
+                with draw_lock:  # the first-frame preview checks frames
+                    state["frames"] += 1
+                    ui.fout.write(compose_frame(sess, last_img))
+                    ui.fout.flush()
+                if state["frames"] == 1:
                     # first frame is up: compile the zoom ladder behind it
                     sess.prewarm_ladder()
-                if max_frames is not None and frames >= max_frames:
+                if max_frames is not None and state["frames"] >= max_frames:
                     break
             elif sess.redraw and not inflight:
                 # overlay/status/cmdline changed without a scene change:
@@ -820,4 +1007,12 @@ def _live_loop(sess: "LiveSession", ui: "TermUI",
                 sess.redraw = False
                 ui.fout.write(compose_frame(sess, last_img))
                 ui.fout.flush()
+        if sess.gfx is not None and sess.gfx.kind == "kitty":
+            # drop the session's image placements before leaving the
+            # alternate screen (some terminals keep them per-screen)
+            try:
+                ui.fout.write(gfx_mod.kitty_clear())
+                ui.fout.flush()
+            except (OSError, ValueError):
+                pass
 

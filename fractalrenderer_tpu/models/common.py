@@ -338,6 +338,26 @@ def quantize_image(img, *, bit_depth: int):
 
 
 @functools.lru_cache(maxsize=64)
+def compiled_planar_render_fn(cfg: StaticCfg, quantize: int = 8):
+    """A jitted single-frame render(dyn) -> (3, H, W) uint8/16 planes —
+    the live session's pixel-frame path: fused kernel + in-kernel post
+    chain + device quantization, fetching 1-2 B/px/channel instead of 4
+    (keypress-to-frame is fetch-bound over the tunneled link).  Requires
+    ``planar_export_ok(cfg)``."""
+    if not planar_export_ok(cfg):
+        raise ValueError("compiled_planar_render_fn requires "
+                         "planar_export_ok(cfg)")
+    band = band_render_fn(cfg, cfg.height, cfg.height,
+                          planar_quantize=quantize)
+
+    def fn(dyn):
+        dyn = {k: jnp.asarray(v, jnp.float32) for k, v in dyn.items()}
+        return band(dyn, jnp.float32(0.0))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def compiled_batch_render_fn(cfg: StaticCfg, quantize: int = 0,
                              planar: bool = False):
     """A jitted render of a whole frame batch: dict of (B,)-shaped dynamic

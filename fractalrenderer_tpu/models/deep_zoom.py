@@ -49,6 +49,14 @@ def _scene_coords(scene: Scene):
     return cx, cy, zoom
 
 
+# Suspect threshold for the exact-dust tier: flag a pixel when its
+# error ledger (log2 absolute error, ops/perturbation track_err) exceeds
+# 2^-8 — an 11-bit margin below the smallest observed count-flipping
+# error (errx >= 3.8 at the 1e-10/400 dust benchmark; correct pixels
+# top out at 1.6).  Flags ~13% of that maximally-chaotic viewport.
+_DUST_SUSPECT_LOG2 = -8.0
+
+
 def render_fields(scene: Scene, width: int, height: int,
                   max_references: int = 16, glitch_tol: float = 1e-6,
                   offset: Tuple[float, float] = (0.0, 0.0),
@@ -58,7 +66,8 @@ def render_fields(scene: Scene, width: int, height: int,
                   rebasing: bool = True, max_passes: int = 256,
                   aa_spp: int = 1,
                   row_band: Tuple[int, int] = None,
-                  keep_device: bool = False):
+                  keep_device: bool = False,
+                  exact_dust: bool = False):
     """Returns (n, zx, zy, glitch_remaining, info dict).
 
     ``keep_device`` (rebasing only): when no lane needs the host HP
@@ -95,6 +104,19 @@ def render_fields(scene: Scene, width: int, height: int,
     ops/perturbation._pert_rebase_call).  False selects the round-1
     pipeline: Pauldelbrot detection + secondary references + HP fallback."""
     aa_spp = int(aa_spp)
+    if exact_dust:
+        # Opt-in Burning Ship dust tier (DESIGN.md §8): the kernel keeps
+        # a per-pixel error ledger; lanes whose carried delta error could
+        # have flipped their count re-render via the exact per-pixel HP
+        # fallback — oracle-exact by construction, at a host cost
+        # proportional to the flagged fraction (~13% of maximally-chaotic
+        # dust, ~5k px/s/400-iter on the native engine).
+        if not (getattr(scene, "deep_zoom_ship", False) and rebasing):
+            raise ValueError("exact_dust is the Burning Ship dust tier "
+                             "(deep_zoom_ship scenes, rebasing pipeline)")
+        if mesh is not None:
+            raise ValueError("exact_dust does not compose with mesh "
+                             "sharding yet (host fallback is per-pixel)")
     if aa_spp > 1:
         assert rebasing and offset == (0.0, 0.0), \
             "aa_spp needs the rebasing pipeline and the default offset"
@@ -125,6 +147,20 @@ def render_fields(scene: Scene, width: int, height: int,
     zoom_fr = Fraction(str(zoom))
     zoom_f = float(zoom_fr)
     mode, bits = precision_mode_for_zoom_frac(zoom_fr)
+    # Bucket the orbit precision UP to the next 64-bit step: the formula
+    # (calculate_precision_bits_for_zoom) grows with every decimal digit
+    # of zoom, so an interactive descent would otherwise recompute its
+    # reference orbit every ~3 frames (a fresh key per bits value); the
+    # bucketed orbit is computed at >= the required bits — never less
+    # accurate — and one orbit serves ~19 digits of descent.
+    bits = -(-bits // 64) * 64
+    if exact_dust:
+        # DESIGN.md §8's escalation table: dust counts pin only over a
+        # high-precision orbit (96-bit deltas over a 160-bit table →
+        # 6/6); the table's own recurrence error amplifies chaotically
+        # just like the delta's, so the standard zoom-scaled bits are
+        # not enough in this regime.  Host-side scalar cost only.
+        bits = max(bits + 96, 160)
     max_iter = scene.max_iterations
 
     center_x_dd = _dd_of(cx, 0.0)
@@ -167,6 +203,9 @@ def render_fields(scene: Scene, width: int, height: int,
         # the armada dust flips f32-tier counts even at 1e-5 — always dd
         dd_delta = not scaled
         float_cont = False
+    if exact_dust and not dd_delta:
+        raise ValueError("exact_dust covers the dd tier (zoom above the "
+                         "ARBITRARY/floatexp threshold, ~1e-30)")
     if phoenix:
         assert rebasing, "deep-zoom phoenix requires the rebasing pipeline"
         float_cont = False
@@ -278,8 +317,10 @@ def render_fields(scene: Scene, width: int, height: int,
                    float(Fraction(str(orbit_center[1]))))
                   if julia else None),
         **({"orbit_exp": orbit_exp} if orbit_exp is not None else {}),
+        **({"track_err": True} if exact_dust else {}),
         **({"aa_spp": aa_spp} if aa_spp > 1 else {}), **band_kw, **shift_kw)
-    if keep_device and rebasing and not isinstance(f["n"], np.ndarray):
+    if keep_device and rebasing and not exact_dust \
+            and not isinstance(f["n"], np.ndarray):
         # One scalar crosses the link; if the render is already complete
         # (always, barring a pathological max_passes exhaustion) the field
         # planes stay on device for the caller to color there.  The
@@ -309,6 +350,13 @@ def render_fields(scene: Scene, width: int, height: int,
         glitch = np.asarray(f["want"]) > 0.5
     else:
         glitch = np.asarray(f["glitch"]) > 0.5
+    dust_suspect = 0
+    if exact_dust:
+        # precision-starved dust lanes join the HP-fallback set: the
+        # per-pixel orbit below pins their counts exactly
+        suspect = np.asarray(f["errx"]) > _DUST_SUSPECT_LOG2
+        dust_suspect = int(suspect.sum())
+        glitch = glitch | suspect
     info = {"precision_mode": mode.name, "precision_bits": bits,
             "dd_delta": dd_delta, "scaled_delta": scaled,
             "deep_zoom_julia": julia, "deep_zoom_ship": ship,
@@ -317,6 +365,7 @@ def render_fields(scene: Scene, width: int, height: int,
             "rebase_passes": int(f["passes"]) if rebasing else 0,
             "reference_iterations": len(orbit), "references_used": 1,
             "series_skip": series.n_skip if series else 0,
+            "dust_suspect_pixels": dust_suspect,
             "glitched_pixels_initial": int(glitch.sum())}
 
     # ---- secondary references for glitched pixels ----------------------

@@ -249,7 +249,7 @@ def _make_kernel(width: int, height: int, map_height: int,
                  scaled: bool = False, rebase: bool = False,
                  julia: bool = False, ship: bool = False,
                  phoenix: bool = False, aa_stack=None,
-                 inkernel_rounds: int = 0):
+                 inkernel_rounds: int = 0, track_err: bool = False):
     """``julia=True`` iterates the JULIA perturbation dz <- 2*Z*dz + dz^2
     (no +dc term — c is a shared constant; the reference orbit starts at
     the view center z0 instead of 0).  The orbit tables hold the DRIFT
@@ -299,6 +299,14 @@ def _make_kernel(width: int, height: int, map_height: int,
         "julia/ship/phoenix are mutually exclusive families"
     assert not (julia or ship or phoenix) or rebase, \
         "the non-Mandelbrot deep-zoom families require rebase mode"
+    # track_err: per-pixel absolute-error ledger (log2 domain) for the
+    # Burning Ship dust tier — the carried delta error amplifies by the
+    # local Jacobian ~2|z| per step (DESIGN.md §8's Lyapunov trace); lanes
+    # whose ledger crosses the suspect threshold re-render via the exact
+    # per-pixel HP fallback (models/deep_zoom exact_dust).
+    assert not track_err or (ship and dd_delta and rebase
+                             and inkernel_rounds), \
+        "track_err is the ship dd-tier in-kernel-rounds error ledger"
     th, tw = tile
     n_streams = _n_orbit_streams(dd_delta, scaled, julia)
     comps = _state_comps(dd_delta, scaled, phoenix)
@@ -308,10 +316,12 @@ def _make_kernel(width: int, height: int, map_height: int,
                orbit_im_ex_ref, *rest):
         if rebase and inkernel_rounds:
             # self-contained: no state inputs, rounds plane instead of the
-            # nf/comps feedback outputs
+            # nf/comps feedback outputs (+ the error-ledger plane when
+            # track_err)
+            n_fixed = 7 if track_err else 6
             (n_ref, zx_ref, zy_ref, glitch_ref, want_ref,
-             rounds_ref) = rest[:6]
-            scratch = rest[6:]
+             rounds_ref, *err_out) = rest[:n_fixed]
+            scratch = rest[n_fixed:]
         elif rebase:
             n_in = 4 + len(comps)  # live, nf, zfr, zfi, delta comps
             st_refs = rest[:n_in]
@@ -598,6 +608,15 @@ def _make_kernel(width: int, height: int, map_height: int,
                 z_ = jnp.zeros((th, tw), jnp.float32)
                 state0["pzrh"] = state0["pzrl"] = z_
                 state0["pzih"] = state0["pzil"] = z_
+            if track_err:
+                # ledger starts at the dd compose floor: 2^-48 relative
+                # rounding on the initial delta
+                state0["errx"] = jnp.where(
+                    in_bounds,
+                    0.5 * jnp.log2(jnp.maximum(
+                        dz0r_dd[0] * dz0r_dd[0] + dz0i_dd[0] * dz0i_dd[0],
+                        jnp.float32(1e-76))) - 48.0,
+                    jnp.float32(-200.0))
         else:
             state0["dzr"] = dz0r
             state0["dzi"] = dz0i
@@ -988,6 +1007,33 @@ def _make_kernel(width: int, height: int, map_height: int,
                                     ("pzil", dzi[1], zai[1])):
                                 v = jnp.where(want_now, reb_, cur_)
                                 s[nm_] = jnp.where(alive, v, s[nm_])
+                    if track_err:
+                        # absolute-error ledger (log2): the carried error
+                        # amplifies by the local Jacobian ~2|z| per step,
+                        # floored at fresh dd rounding (2^-48 relative) of
+                        # the new delta.  Rebasing replaces the delta but
+                        # not its accumulated error, so the ledger carries
+                        # through unchanged.  (X/Y are the dd full-z parts
+                        # of the ship branch; the assert ties track_err to
+                        # ship + dd.)
+                        fxr = X[0] + dzr[0]
+                        fxi = Y[0] + dzi[0]
+                        amp = 0.5 * jnp.log2(jnp.maximum(
+                            4.0 * (fxr * fxr + fxi * fxi),
+                            jnp.float32(1e-38)))
+                        # fresh rounding floor: 2^-48 relative on the new
+                        # delta (the dd table's per-entry emission error
+                        # is independent per step and does not compound
+                        # through the delta recurrence; the table's OWN
+                        # recurrence error is handled by the raised orbit
+                        # precision — models/deep_zoom exact_dust)
+                        floor_ = 0.5 * jnp.log2(jnp.maximum(
+                            ndzr[0] * ndzr[0] + ndzi[0] * ndzi[0],
+                            jnp.float32(1e-76))) - 48.0
+                        s["errx"] = jnp.where(
+                            alive,
+                            jnp.maximum(s["errx"] + amp, floor_),
+                            s["errx"])
                     s["dzrh"] = jnp.where(alive, ndzr[0], dzr[0])
                     s["dzrl"] = jnp.where(alive, ndzr[1], dzr[1])
                     s["dzih"] = jnp.where(alive, ndzi[0], dzi[0])
@@ -1205,6 +1251,8 @@ def _make_kernel(width: int, height: int, map_height: int,
             want_ref[:, :] = s["want"]
             rounds_ref[:, :] = jnp.broadcast_to(
                 rounds.astype(jnp.float32), (th, tw))
+            if track_err:
+                err_out[0][:, :] = s["errx"]
         elif rebase:
             want_ref[:, :] = s["want"]
             nf_ref[:, :] = s["nf"]
@@ -1220,7 +1268,7 @@ def _make_kernel(width: int, height: int, map_height: int,
 def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
                  chunk, interpret, float_continuation, dd_delta, orbit_hbm,
                  scaled, julia=False, ship=False, phoenix=False,
-                 aa_stack=None, inkernel_rounds=0):
+                 aa_stack=None, inkernel_rounds=0, track_err=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     # orbit_cap is NOT consumed by the kernel body (the orbit bound comes
@@ -1229,14 +1277,15 @@ def _pallas_pert(rebase, *, width, height, map_height, orbit_cap, tile,
     kernel = _make_kernel(width, height, map_height, tile, chunk,
                           float_continuation, dd_delta, orbit_hbm,
                           scaled, rebase, julia, ship, phoenix,
-                          aa_stack, inkernel_rounds)
+                          aa_stack, inkernel_rounds, track_err)
     comps = _state_comps(dd_delta, scaled, phoenix)
     n_state = 4 + len(comps) if (rebase and not inkernel_rounds) else 0
     f32s = jax.ShapeDtypeStruct((height, width), jnp.float32)
     if rebase and inkernel_rounds:
-        # n, zx, zy, glitch, want, rounds — no feedback planes
+        # n, zx, zy, glitch, want, rounds (+ errx under track_err) — no
+        # feedback planes
         out_shapes = ((jax.ShapeDtypeStruct((height, width), jnp.int32),)
-                      + (f32s,) * 5)
+                      + (f32s,) * (6 if track_err else 5))
     else:
         out_shapes = (
             (jax.ShapeDtypeStruct((height, width), jnp.int32),)
@@ -1290,14 +1339,14 @@ def _pert_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
     static_argnames=("width", "height", "map_height", "orbit_cap", "tile",
                      "chunk", "interpret", "dd_delta", "orbit_hbm",
                      "scaled", "max_passes", "julia", "ship", "phoenix",
-                     "aa_stack", "inkernel"))
+                     "aa_stack", "inkernel", "track_err"))
 def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                       orbit_im_lo, orbit_re_ex, orbit_im_ex, *, width,
                       height, map_height, orbit_cap,
                       tile, chunk, interpret, dd_delta=False,
                       orbit_hbm=False, scaled=False, max_passes=256,
                       julia=False, ship=False, phoenix=False,
-                      aa_stack=None, inkernel=True):
+                      aa_stack=None, inkernel=True, track_err=False):
     """Device-resident rebasing passes.  Default (``inkernel``): ONE
     kernel call runs each tile's rounds over in-VMEM state until no lane
     wants a rebase — finished tiles never re-enter, and no per-pixel
@@ -1313,11 +1362,15 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
                             float_continuation=False, dd_delta=dd_delta,
                             orbit_hbm=orbit_hbm, scaled=scaled, julia=julia,
                             ship=ship, phoenix=phoenix, aa_stack=aa_stack,
-                            inkernel_rounds=int(max_passes))
-        n, zx, zy, gl, want, rounds = call(
+                            inkernel_rounds=int(max_passes),
+                            track_err=track_err)
+        outs = call(
             params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
             orbit_im_lo, orbit_re_ex, orbit_im_ex)
-        return n, zx, zy, gl, want, jnp.max(rounds).astype(jnp.int32)
+        n, zx, zy, gl, want, rounds = outs[:6]
+        ret = (n, zx, zy, gl, want, jnp.max(rounds).astype(jnp.int32))
+        return ret + ((outs[6],) if track_err else ())
+    assert not track_err, "track_err requires the in-kernel rounds form"
     call = _pallas_pert(True, width=width, height=height,
                         map_height=map_height, orbit_cap=orbit_cap,
                         tile=tile, chunk=chunk, interpret=interpret,
@@ -1380,6 +1433,7 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
                         interpret: Optional[bool] = None,
                         aa_spp: int = 1,
                         orbit_exp: Optional[np.ndarray] = None,
+                        track_err: bool = False,
                         _build_only: bool = False):
     """Run the perturbation kernel against a precomputed reference orbit
     ((L, 2) float64 from deepzoom.orbit).  Returns n/zx/zy/glitch fields.
@@ -1737,17 +1791,25 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         spp_, seg_h_, aa_h_, _fullh = aa_stack
         return jnp.reshape(arr, (spp_ * spp_, seg_h_, width))[:, :aa_h_]
 
+    if track_err:
+        assert ship and dd_delta and rebase and rebase_inkernel, \
+            "track_err is the ship dd-tier error ledger (rebase in-kernel)"
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)
         call_kw["inkernel"] = bool(rebase_inkernel)
+        if track_err:
+            call_kw["track_err"] = True
         if _build_only:
             return operands, call_kw
-        n, zx, zy, glitch, want, passes = _pert_rebase_call(*operands,
-                                                            **call_kw)
-        return {"n": _unstack(n), "zx": _unstack(zx), "zy": _unstack(zy),
-                "glitch": _unstack(glitch), "want": _unstack(want),
-                "passes": passes}
+        outs = _pert_rebase_call(*operands, **call_kw)
+        n, zx, zy, glitch, want, passes = outs[:6]
+        res = {"n": _unstack(n), "zx": _unstack(zx), "zy": _unstack(zy),
+               "glitch": _unstack(glitch), "want": _unstack(want),
+               "passes": passes}
+        if track_err:
+            res["errx"] = _unstack(outs[6])
+        return res
     if _build_only:
         return operands, call_kw
     n, zx, zy, glitch = _pert_call(*operands, **call_kw)

@@ -205,6 +205,23 @@ def write_png(path: str, image: np.ndarray, bit_depth: int = 8,
             w.write_rows(image)
 
 
+def encode_png(image: np.ndarray, bit_depth: int = 8,
+               metadata: Optional[Dict[str, str]] = None,
+               srgb: bool = True, compress_level: int = 1) -> bytes:
+    """In-memory PNG encode of an (H, W, C) image — the live session's
+    pixel-frame path (gfx.py) streams these in-band per frame, so the
+    default deflate level is 1 (interiors are flat; speed wins)."""
+    import io
+
+    image = np.asarray(image)
+    channels = 1 if image.ndim == 2 else image.shape[2]
+    buf = io.BytesIO()
+    with PNGWriter(buf, image.shape[1], image.shape[0], bit_depth,
+                   channels, metadata, None, srgb, compress_level) as w:
+        w.write_rows(image)
+    return buf.getvalue()
+
+
 def _load_pngfilter():
     """Load native/libpngfilter.so via the shared loader; None when the
     toolchain is unavailable — callers fall back to NumPy loops."""

@@ -688,3 +688,77 @@ def test_cli_cpu_flag(tmp_path):
     assert p.returncode == 0, p.stderr
     import os
     assert os.path.exists(out)
+
+
+# ---- first-frame-fast cold start ------------------------------------------
+
+def test_render_preview_cpu_matches_render():
+    """The CPU first-frame fallback runs the identical pipeline (interpret
+    mode on the local CPU backend) — same image as the device path within
+    the fused/unfused float contract."""
+    from fractalrenderer_tpu import Scene, models
+
+    s = Scene(max_iterations=32)
+    pv = models.render_preview_cpu(s, 48, 24)
+    dev = np.asarray(models.render(s, 48, 24))
+    assert pv.shape == dev.shape
+    np.testing.assert_allclose(pv, dev, atol=1e-5)
+    # unsupported families return None (no cheap CPU path)
+    s3d = Scene(fractal_type=FractalType.MANDELBULB)
+    assert models.render_preview_cpu(s3d, 8, 8) is None
+
+
+def test_render_cli_first_frame_preview(tmp_path, capsys, monkeypatch):
+    """With a slow device compile, `render` serves a correct frame at
+    --out within the preview window, then swaps in the device frame."""
+    import time as _time
+
+    from fractalrenderer_tpu import models
+
+    monkeypatch.setattr(cli, "_PREVIEW_AFTER_S", 0.1)
+    real_render = models.render
+    seen = {}
+
+    def slow_render(scene, w, h, **kw):
+        _time.sleep(1.5)  # a "cold compile"
+        return real_render(scene, w, h, **kw)
+
+    monkeypatch.setattr(models, "render", slow_render)
+    out = str(tmp_path / "cold.png")
+
+    # watch the out file from a side thread to prove the preview landed
+    # complete BEFORE the device frame
+    import threading
+
+    def watcher():
+        end = _time.time() + 10
+        while _time.time() < end:
+            try:
+                with open(out, "rb") as fh:
+                    fh.seek(-8, 2)
+                    if fh.read(8) == b"IEND\xaeB`\x82":
+                        seen["t"] = _time.time()
+                        return
+            except OSError:
+                pass
+            _time.sleep(0.02)
+
+    t0 = _time.time()
+    th = threading.Thread(target=watcher)
+    th.start()
+    rc = cli.main(["render", "--width", "48", "--height", "24",
+                   "--iters", "32", "--out", out])
+    th.join()
+    assert rc == 0
+    assert "first frame ready" in capsys.readouterr().out
+    assert seen.get("t", 1e18) - t0 < 1.5  # preview beat the device frame
+    assert read_png(out).shape == (24, 48, 3)  # final device frame on disk
+
+
+def test_render_cli_no_preview_on_fast_device(tmp_path, capsys):
+    """A warm device render never triggers the preview path."""
+    out = str(tmp_path / "warm.png")
+    rc = cli.main(["render", "--width", "32", "--height", "16",
+                   "--iters", "16", "--out", out])
+    assert rc == 0
+    assert "first frame ready" not in capsys.readouterr().out

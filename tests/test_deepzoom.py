@@ -1393,6 +1393,43 @@ def test_deep_ship_matches_exact_oracle():
     assert exact >= 0.85, f"only {exact:.2%}\n{n}\n{nref}"
 
 
+def test_deep_ship_exact_dust_tier():
+    """The opt-in exact-dust tier (VERDICT r3 item 5): a per-pixel error
+    ledger in the dd ship kernel + a 160-bit orbit + HP fallback for the
+    flagged lanes pins EVERY count in the maximally-chaotic armada dust —
+    where the plain dd tier holds ~93% (DESIGN.md §8's escalation table,
+    as a production path instead of a proof)."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    cx, cy, zoom = "-1.7623025", "-0.028000625", "1e-10"
+    W, H, MI = 12, 8, 400
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, deep_zoom_ship=True,
+              hp_center_x=cx, hp_center_y=cy, hp_zoom=zoom,
+              max_iterations=MI, use_perturbation=True)
+    n, _, _, g, info = deep_zoom.render_fields(s, W, H, exact_dust=True)
+    assert info["precision_bits"] >= 160     # raised orbit table
+    assert not g.any()
+    # the suspect set is a small fraction, not a blanket re-render
+    assert 0 < info["dust_suspect_pixels"] <= int(0.4 * W * H)
+    # ≥99% demanded; the ledger margin gives 100% here (192-bit oracle —
+    # the 128-bit oracle itself mislabels one pixel at this depth)
+    nref = _hp_ship_oracle_counts(cx, cy, zoom, W, H, MI, 192)
+    exact = (np.asarray(n) == nref).mean()
+    assert exact == 1.0, f"exact-dust tier only {exact:.2%}"
+
+    # invalid combinations are clean errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Burning Ship"):
+        deep_zoom.render_fields(
+            Scene(fractal_type=FractalType.DEEP_ZOOM, hp_zoom="1e-8",
+                  use_perturbation=True), 8, 6, exact_dust=True)
+    with _pytest.raises(ValueError, match="dd tier"):
+        deep_zoom.render_fields(
+            s.with_(hp_zoom="1e-40"), 8, 6, exact_dust=True)
+
+
 def test_deep_ship_model_and_scene():
     from fractalrenderer_tpu.models import deep_zoom
     from fractalrenderer_tpu.scene import FractalType, Scene

@@ -1,0 +1,205 @@
+"""Pixel-frame graphics backends (gfx.py) + the live session's gfx path —
+the in-band replacement for the reference's 1700×900 SDL window
+(src/vk_engine.cpp:630-733, src/vk_engine.h:74)."""
+import base64
+import io
+import os
+import pty
+import re
+import struct
+import tty
+
+import numpy as np
+
+from fractalrenderer_tpu import Scene, gfx, live
+from fractalrenderer_tpu.live import LiveSession, compose_frame
+
+
+def _kitty_payload(out: str) -> bytes:
+    """Reassemble the base64 payload of the first kitty image in ``out``."""
+    parts = re.findall(r"\x1b_G([^;\x1b]*);([^\x1b]*)\x1b\\", out)
+    payload = ""
+    started = False
+    for ctrl, data in parts:
+        keys = dict(kv.split("=") for kv in ctrl.split(",") if "=" in kv)
+        if keys.get("a") == "T":
+            started = True
+            payload = data
+            if keys.get("m", "0") == "0":
+                break
+        elif started:
+            payload += data
+            if keys.get("m") == "0":
+                break
+    assert started, f"no kitty transmit found in {out[:200]!r}"
+    return base64.standard_b64decode(payload)
+
+
+def _png_dims(png: bytes):
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    return struct.unpack(">II", png[16:24])
+
+
+# ---- emit_frame ------------------------------------------------------------
+
+def test_kitty_emit_chunking_round_trips():
+    info = gfx.GfxInfo("kitty", None)
+    blob = os.urandom(9000)  # b64 ≈ 12000 > 2 chunks
+    out = gfx.emit_frame(info, blob, cols=80, rows=24)
+    assert out.startswith("\x1b_G")
+    # first escape carries the control data incl. PNG format + placement
+    head = out[: out.index(";")]
+    for want in ("a=T", "f=100", "q=2", "z=-1", "c=80", "r=24", "m=1"):
+        assert want in head, head
+    assert _kitty_payload(out) == blob
+    # small payload: single unchunked escape
+    small = gfx.emit_frame(info, b"x" * 10, cols=2, rows=2)
+    assert small.count("\x1b_G") == 1 and "m=" not in small.split(";")[0]
+
+
+def test_iterm_emit():
+    info = gfx.GfxInfo("iterm", None)
+    blob = b"png-bytes-here"
+    out = gfx.emit_frame(info, blob, cols=10, rows=5)
+    assert out.startswith("\x1b]1337;File=inline=1")
+    assert f"size={len(blob)}" in out and "width=10" in out
+    assert out.endswith("\x07")
+    assert base64.standard_b64decode(out.split(":")[-1][:-1]) == blob
+
+
+# ---- detection -------------------------------------------------------------
+
+def test_detect_forced_and_off(monkeypatch):
+    assert gfx.detect(None, None, force="kitty").kind == "kitty"
+    assert gfx.detect(None, None, force="iterm").kind == "iterm"
+    assert gfx.detect(None, None, force="off") is None
+    monkeypatch.setenv("FRACTAL_TPU_GFX", "kitty")
+    assert gfx.detect(None, None).kind == "kitty"
+    monkeypatch.setenv("FRACTAL_TPU_GFX", "off")
+    assert gfx.detect(None, None) is None
+
+
+def test_detect_iterm_env(monkeypatch):
+    monkeypatch.delenv("FRACTAL_TPU_GFX", raising=False)
+    monkeypatch.setenv("TERM_PROGRAM", "iTerm.app")
+    assert gfx.detect(io.BytesIO(), io.StringIO()).kind == "iterm"
+
+
+def test_detect_non_tty_returns_none(monkeypatch):
+    """Pipes (tests, scripts) never handshake — fallback unchanged."""
+    monkeypatch.delenv("FRACTAL_TPU_GFX", raising=False)
+    monkeypatch.delenv("TERM_PROGRAM", raising=False)
+    monkeypatch.delenv("LC_TERMINAL", raising=False)
+    r, w = os.pipe()
+    try:
+        with open(r, "rb", buffering=0) as fin:
+            assert gfx.detect(fin, io.StringIO()) is None
+    finally:
+        os.close(w)
+
+
+def test_detect_handshake_on_pty(monkeypatch):
+    """A terminal answering the kitty query before DA1 is detected, and
+    the CSI 14 t pixel report sets the render size."""
+    monkeypatch.delenv("FRACTAL_TPU_GFX", raising=False)
+    monkeypatch.delenv("TERM_PROGRAM", raising=False)
+    monkeypatch.delenv("LC_TERMINAL", raising=False)
+    m, sl = pty.openpty()
+    tty.setraw(sl)
+    try:
+        # pre-load the terminal's answers (readable on the slave side)
+        os.write(m, b"\x1b_Gi=31;OK\x1b\\\x1b[4;320;640t\x1b[?62;c")
+        with open(sl, "rb", buffering=0, closefd=False) as fin, \
+                open(sl, "w", closefd=False) as fout:
+            info = gfx.detect(fin, fout, timeout=2.0)
+        assert info is not None and info.kind == "kitty"
+        assert info.term_px == (640, 320)
+        # 640x320 window, 80x24 cells, 23 image rows -> 8x13.33 px cells
+        w, h = gfx.pick_render_size(info, 80, 24, 23)
+        assert w == 640 and h == int(23 * (320 / 24)) // 2 * 2
+        # no kitty answer -> None (plain terminal)
+        os.write(m, b"\x1b[?62;c")
+        with open(sl, "rb", buffering=0, closefd=False) as fin, \
+                open(sl, "w", closefd=False) as fout:
+            assert gfx.detect(fin, fout, timeout=2.0) is None
+    finally:
+        os.close(m)
+        os.close(sl)
+
+
+def test_pick_render_size_defaults_and_caps():
+    info = gfx.GfxInfo("kitty", None)  # unreported window: 8x16 cells
+    assert gfx.pick_render_size(info, 120, 35, 34) == (960, 544)
+    big = gfx.GfxInfo("kitty", (10000, 8000))
+    w, h = gfx.pick_render_size(big, 500, 100, 99)
+    assert (w, h) == (1920, 1080)  # capped
+
+
+# ---- live-session gfx path --------------------------------------------------
+
+def test_live_session_gfx_frame_bytes(monkeypatch):
+    """run_live with a forced kitty backend emits protocol-correct PNG
+    frames at pixel resolution, with the status bar below the image."""
+    monkeypatch.setenv("COLUMNS", "24")
+    monkeypatch.setenv("LINES", "9")
+    monkeypatch.setenv("FRACTAL_TPU_GFX", "kitty")
+    r, w = os.pipe()  # stays open: max_frames exits the loop, not EOF
+    out = io.StringIO()
+    try:
+        with open(r, "rb", buffering=0) as fin:
+            live.run_live(Scene(max_iterations=24), infile=fin, outfile=out,
+                          max_frames=1)
+    finally:
+        os.close(w)
+    s = out.getvalue()
+    png = _kitty_payload(s)
+    w_px, h_px = _png_dims(png)
+    # 24 cols x 8 image rows at the default 8x16 cell -> 192x128 pixels
+    assert (w_px, h_px) == (192, 128)
+    head = s[s.index("\x1b_G"):].split(";")[0]
+    assert "c=24" in head and "r=8" in head  # placed over the cell grid
+    # status bar on the row below the image
+    assert "\x1b[9;1H" in s and "\x1b[7m" in s
+    # session cleanup deletes the placements before leaving alt screen
+    assert "\x1b_Ga=d,d=A" in s
+
+
+def test_live_session_gfx_mouse_scaling(monkeypatch):
+    """Mouse cells map through px_per_cell: a double-click at the window
+    center zooms to the view center (not to cell coordinates)."""
+    monkeypatch.setenv("COLUMNS", "20")
+    monkeypatch.setenv("LINES", "11")
+    sess = LiveSession(Scene(max_iterations=16))
+    sess.enable_gfx(gfx.GfxInfo("kitty", None))
+    assert (sess.viewer.width, sess.viewer.height) == (160, 160)
+    assert sess.px_per_cell == (8.0, 16.0)
+    c0 = sess.scene.center_x
+    # double-click at cell (10, 5) == pixel (80, 80) == image center
+    sess.handle_event(("mouse", 0, 10, 5, "press"), 1.0)
+    sess.handle_event(("mouse", 0, 10, 5, "press"), 1.1)
+    assert sess.scene.zoom < Scene().zoom       # zoomed in
+    assert abs(sess.scene.center_x - c0) < 0.05  # about the center
+
+
+def test_live_session_gfx_overlays(monkeypatch):
+    """Help draws over the image as text; the minimap clears the image
+    (kitty delete-all) and falls back to the text composer."""
+    monkeypatch.setenv("COLUMNS", "20")
+    monkeypatch.setenv("LINES", "6")
+    sess = LiveSession(Scene(max_iterations=16))
+    sess.enable_gfx(gfx.GfxInfo("kitty", None))
+    img = np.zeros((sess.height, sess.width, 3), np.float32)
+    sess.show_help = True
+    s = compose_frame(sess, img)
+    assert "\x1b_G" in s and "w a s d" in s
+    sess.show_help = False
+    sess.show_minimap = True
+    s2 = compose_frame(sess, img)
+    assert "\x1b_Ga=d,d=A" in s2          # image deleted
+    assert "\x1b_Ga=T" not in s2          # no frame placed under the map
+    # png cache: recomposing the same frame reuses the encoded bytes
+    sess.show_minimap = False
+    compose_frame(sess, img)
+    key, blob = sess._png_cache
+    compose_frame(sess, img)
+    assert sess._png_cache == (key, blob)

@@ -601,3 +601,82 @@ def test_anim_pause_resume():
     for _ in range(40):  # default 10 s timeline from t=2
         s.tick(0.2, 0.25)
     assert not s.playing and s.playback is None and "done" in s.message
+
+
+def test_live_first_frame_preview(monkeypatch):
+    """A cold device compile blocks the first dispatch for seconds; the
+    session draws a CPU-preview frame in the meantime instead of a blank
+    screen (the reference shows pixels in ms via prebuilt SPIR-V)."""
+    import io
+    import time as _time
+
+    real_dispatch = live.LiveSession.dispatch
+
+    def slow_dispatch(self):
+        _time.sleep(2.0)  # a "cold compile" inside the first dispatch
+        return real_dispatch(self)
+
+    monkeypatch.setattr(live.LiveSession, "dispatch", slow_dispatch)
+    r, w = os.pipe()
+    out = io.StringIO()
+    try:
+        with open(r, "rb", buffering=0) as fin:
+            live.run_live(Scene(max_iterations=16), infile=fin, outfile=out,
+                          cols=90, rows=6, max_frames=1)
+    finally:
+        os.close(w)
+    s = out.getvalue()
+    assert "CPU preview" in s          # the fallback frame was drawn
+    assert "▀" in s                    # with actual pixels, not just text
+
+
+def test_live_deep_zoom_descent_to_1e20():
+    """Interactive descent PAST the dd threshold: continuous 'e' from
+    2e-14 down through 1e-20 — the hp camera steps exactly, the status
+    bar shows the precision-tier promotion (DOUBLE→QUAD) as it happens,
+    ONE reference orbit per tier serves the whole descent (no per-frame
+    HP recompute stalls), and hp drag-pan works at depth."""
+    import time as _time
+    from fractions import Fraction
+
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM,
+              hp_center_x="-0.74364388703715158",
+              hp_center_y="0.13182590420531198",
+              hp_zoom="2e-14", max_iterations=256, use_perturbation=True)
+    sess = LiveSession(s, cols=12, rows=5)
+    assert "DOUBLE:64b" in sess.status_line()
+    iters0 = sess.scene.max_iterations
+
+    frame_s = []
+    now = 0.0
+    for step in range(200):
+        if Fraction(str(sess.scene.hp_zoom)) <= Fraction(1, 10 ** 20):
+            break
+        sess.handle_event(("key", "e"), now)
+        sess.tick(now + 0.001, 1 / 60)
+        t0 = _time.monotonic()
+        img = sess.dispatch()
+        assert np.isfinite(np.asarray(img)).all()
+        frame_s.append(_time.monotonic() - t0)
+        now += 0.1
+    assert Fraction(str(sess.scene.hp_zoom)) <= Fraction(1, 10 ** 20)
+    # tier promoted mid-session (QUAD bits scale with depth, ~194b here)
+    assert "QUAD:" in sess.status_line()
+    assert sess.scene.max_iterations > iters0  # auto-iteration ladder
+    # orbits recompute only on 64-bit precision buckets / ladder rungs,
+    # never per frame (the unbucketed formula recomputed every ~3 frames)
+    assert len(sess._orbit_cache) <= 6, len(sess._orbit_cache)
+    # no per-frame stalls: after the first frame of each tier (compile +
+    # orbit), every frame is a cheap cached-kernel dispatch.  5 s bounds
+    # a stall on the loaded CI CPU; on TPU these frames are ~10 ms.
+    steady = sorted(frame_s)[: len(frame_s) - 2]
+    assert max(steady) < 5.0, f"stalls: {sorted(frame_s)[-4:]}"
+
+    # hp drag-pan at 1e-20: press, move, release — the exact-rational
+    # camera shifts and the next frame still renders
+    cx_before = sess.scene.hp_center_x
+    sess.handle_event(("mouse", 0, 4, 2, "press"), now)
+    sess.handle_event(("mouse", 32, 6, 3, "motion"), now + 0.05)
+    sess.handle_event(("mouse", 0, 6, 3, "release"), now + 0.1)
+    assert sess.scene.hp_center_x != cx_before
+    assert np.isfinite(np.asarray(sess.dispatch())).all()
