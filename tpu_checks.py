@@ -43,6 +43,9 @@ PHASES = {
         ("giant_still_resume or giant_still_sharded or "
          "giant_still_mandelbulb or giant_still_deep_zoom or "
          "giant_still_supersample")],
+    # the pixel-frame live display on the chip: protocol emission, the
+    # planar-quantized dispatch path, and the first-frame CPU preview
+    "live_gfx": ["tests/test_gfx.py"],
 }
 
 
