@@ -84,33 +84,40 @@ def bench_cold_start():
     def probe():
         with tempfile.TemporaryDirectory() as d:
             out_png = os.path.join(d, "cold.png")
+            # child output goes to FILES, not pipes: an undrained pipe
+            # fills at ~64 KiB and deadlocks a chatty child (XLA/absl
+            # logging during a 300 s remote compile easily exceeds it)
+            so_path = os.path.join(d, "stdout.txt")
+            se_path = os.path.join(d, "stderr.txt")
             t0 = time.perf_counter()
-            p = subprocess.Popen(
-                [sys.executable, "-m", "fractalrenderer_tpu.cli", "render",
-                 "--width", "1920", "--height", "1080", "--iters", "256",
-                 "--out", out_png],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-            first_visible = None
-            while p.poll() is None:
-                if first_visible is None and os.path.exists(out_png):
-                    try:
-                        with open(out_png, "rb") as fh:
-                            fh.seek(-8, 2)
-                            if fh.read(8) == b"IEND\xaeB`\x82":
-                                first_visible = time.perf_counter() - t0
-                    except OSError:
-                        pass
-                time.sleep(0.05)
-                if time.perf_counter() - t0 > 1800:
-                    p.kill()
-                    raise RuntimeError("cold-start probe timed out")
+            with open(so_path, "w") as so, open(se_path, "w") as se:
+                p = subprocess.Popen(
+                    [sys.executable, "-m", "fractalrenderer_tpu.cli",
+                     "render", "--width", "1920", "--height", "1080",
+                     "--iters", "256", "--out", out_png],
+                    stdout=so, stderr=se, text=True)
+                first_visible = None
+                while p.poll() is None:
+                    if first_visible is None and os.path.exists(out_png):
+                        try:
+                            with open(out_png, "rb") as fh:
+                                fh.seek(-8, 2)
+                                if fh.read(8) == b"IEND\xaeB`\x82":
+                                    first_visible = (time.perf_counter()
+                                                     - t0)
+                        except OSError:
+                            pass
+                    time.sleep(0.05)
+                    if time.perf_counter() - t0 > 1800:
+                        p.kill()
+                        raise RuntimeError("cold-start probe timed out")
             wall = time.perf_counter() - t0
             if p.returncode != 0:
                 raise RuntimeError("cold-start probe failed: "
-                                   f"{p.stderr.read()[-300:]}")
+                                   f"{open(se_path).read()[-300:]}")
             if first_visible is None:
                 first_visible = wall  # final write was the first
-            preview_used = "preview" in (p.stdout.read() or "")
+            preview_used = "preview" in open(so_path).read()
             return wall, first_visible, preview_used
 
     from fractalrenderer_tpu.utils.compile_cache import \

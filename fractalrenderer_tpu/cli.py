@@ -277,6 +277,14 @@ def cmd_render(args) -> int:
               "--precision dd", file=sys.stderr)
         return 2
     scene = scene_from_args(args)
+    if getattr(args, "exact_dust", False) and not (
+            scene.fractal_type == FractalType.DEEP_ZOOM
+            and getattr(scene, "deep_zoom_ship", False)):
+        # a silently-ignored exactness flag would be worse than an error
+        print("--exact-dust is the Burning Ship dust tier: use "
+              "--type deep-zoom --deep-ship (see DESIGN.md §8)",
+              file=sys.stderr)
+        return 2
     if args.debug:
         from .utils.diag import scene_debug_summary
 

@@ -76,13 +76,17 @@ def _read_reports(fin, timeout: float) -> bytes:
 
 
 def detect(fin, fout, force: Optional[str] = None,
-           timeout: float = 0.35) -> Optional[GfxInfo]:
+           timeout: float = 0.35, pushback=None) -> Optional[GfxInfo]:
     """Detect an in-band graphics protocol on the attached terminal.
 
     ``force``: "kitty" / "iterm" skip the handshake; "off" disables; None
     consults $FRACTAL_TPU_GFX first and then handshakes.  Returns None
     when no pixel protocol is available (the caller keeps the half-block
-    cell renderer — fallback behavior unchanged)."""
+    cell renderer — fallback behavior unchanged).
+
+    ``pushback``: callable receiving any bytes read past the DA1 reply —
+    user type-ahead that arrived during the handshake window must reach
+    the session's input parser, not vanish."""
     force = force if force is not None else os.environ.get(
         "FRACTAL_TPU_GFX", "").lower() or None
     if force in ("off", "none", "0"):
@@ -117,6 +121,17 @@ def detect(fin, fout, force: Optional[str] = None,
     except (OSError, ValueError):
         return None
     buf = _read_reports(fin, timeout)
+    # bytes past the DA1 reply terminator are user type-ahead — hand them
+    # back to the caller's input buffer (bytes interleaved BEFORE the
+    # replies within the ~0.35 s window are indistinguishable from reply
+    # payloads and are dropped; DA1 ends the window, so the common case —
+    # typing right after the prompt appears — lands after it)
+    if pushback is not None:
+        at = buf.rfind(b"\x1b[?")
+        if at >= 0:
+            endc = buf.find(b"c", at)
+            if endc >= 0 and buf[endc + 1:]:
+                pushback(buf[endc + 1:])
     if b"\x1b_Gi=31" not in buf:
         return None
     term_px = None

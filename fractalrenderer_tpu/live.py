@@ -694,6 +694,9 @@ class LiveSession:
                 z = s.hp_zoom if s.hp_zoom is not None else s.zoom
                 mode, bits = precision_mode_for_zoom_frac(
                     Fraction(str(z)))
+                # report the 64-bit-bucketed bits the orbit actually uses
+                # (models/deep_zoom.render_fields buckets identically)
+                bits = -(-bits // 64) * 64
                 parts.insert(4, f"{mode.name}:{bits}b")
             except (ValueError, ZeroDivisionError):
                 pass
@@ -752,8 +755,11 @@ def _compose_gfx(sess: LiveSession, img: Optional[np.ndarray]) -> str:
         out.append(gfx_mod.kitty_clear())
     out.append("\x1b[2J\x1b[H")
     if img is not None:
-        key = id(img)
-        if sess._png_cache[0] != key:
+        # cache key holds the ARRAY REFERENCE (identity via `is`): a bare
+        # id() key could collide when CPython reuses a freed ndarray's
+        # address and replay a stale frame; holding the reference pins it
+        key = img
+        if sess._png_cache[0] is not key:
             if img.dtype == np.uint8:
                 # device-quantized fetch: (3, H, W) planes from the
                 # planar path or (H, W, 3) from deep zoom — no host math
@@ -927,8 +933,12 @@ def _live_loop(sess: "LiveSession", ui: "TermUI",
         if gfx_mode != "off":
             # the handshake needs the terminal in cbreak mode (responses
             # arrive on stdin), so it runs inside the TermUI context
+            def _pushback(b: bytes) -> None:
+                ui._rest += b  # type-ahead during the handshake survives
+
             try:
-                info = gfx_mod.detect(ui.fin, ui.fout, force=gfx_mode)
+                info = gfx_mod.detect(ui.fin, ui.fout, force=gfx_mode,
+                                      pushback=_pushback)
             except Exception:
                 info = None
             if info is not None:
@@ -966,53 +976,62 @@ def _live_loop(sess: "LiveSession", ui: "TermUI",
 
         threading.Thread(target=preview_worker, daemon=True,
                          name="first-frame-preview").start()
-        last = time.perf_counter()
-        last_img: Optional[np.ndarray] = None
         inflight: deque = deque()  # (dispatch_time, jax array or None)
-        while sess.running:
-            now = time.perf_counter()
-            dt, last = now - last, now
-            timeout = 0.002 if (sess.dirty or inflight) else 0.05
-            for ev in ui.poll(timeout):
-                sess.handle_event(ev, time.perf_counter())
-            sess.tick(time.perf_counter(), dt)
-            animating = bool(sess.held) or sess.playing or (
-                sess.spin
-                and sess.scene.fractal_type == FractalType.MANDELBULB)
-            # FRAME_OVERLAP=2: while frame n is on the device, frame n+1
-            # (with the input applied since) dispatches behind it.
-            if (sess.dirty or animating) and len(inflight) < 2:
-                sess.dirty = False
-                inflight.append((time.perf_counter(), sess.dispatch()))
-            if inflight and (len(inflight) == 2
-                             or inflight[0][1] is None
-                             or not hasattr(inflight[0][1], "is_ready")
-                             or inflight[0][1].is_ready()):
-                t0, arr = inflight.popleft()
-                last_img = np.asarray(arr) if arr is not None else None
-                sess.stats.add(time.perf_counter() - t0)
-                sess.redraw = False
-                with draw_lock:  # the first-frame preview checks frames
-                    state["frames"] += 1
-                    ui.fout.write(compose_frame(sess, last_img))
+        try:
+            _live_frames(sess, ui, max_frames, state, draw_lock,
+                         time.perf_counter(), inflight)
+        finally:
+            # placement cleanup must survive ^C / errors out of the loop
+            # (tty cbreak keeps ISIG, so KeyboardInterrupt lands here)
+            if sess.gfx is not None and sess.gfx.kind == "kitty":
+                try:
+                    ui.fout.write(gfx_mod.kitty_clear())
                     ui.fout.flush()
-                if state["frames"] == 1:
-                    # first frame is up: compile the zoom ladder behind it
-                    sess.prewarm_ladder()
-                if max_frames is not None and state["frames"] >= max_frames:
-                    break
-            elif sess.redraw and not inflight:
-                # overlay/status/cmdline changed without a scene change:
-                # recompose over the last fetched image
-                sess.redraw = False
+                except (OSError, ValueError):
+                    pass
+
+
+def _live_frames(sess, ui, max_frames, state, draw_lock, last,
+                 inflight) -> None:
+    """The poll → tick → dispatch → fetch/draw cycle (split out so
+    _live_loop can guarantee the kitty placement cleanup in a finally)."""
+    last_img: Optional[np.ndarray] = None
+    while sess.running:
+        now = time.perf_counter()
+        dt, last = now - last, now
+        timeout = 0.002 if (sess.dirty or inflight) else 0.05
+        for ev in ui.poll(timeout):
+            sess.handle_event(ev, time.perf_counter())
+        sess.tick(time.perf_counter(), dt)
+        animating = bool(sess.held) or sess.playing or (
+            sess.spin
+            and sess.scene.fractal_type == FractalType.MANDELBULB)
+        # FRAME_OVERLAP=2: while frame n is on the device, frame n+1
+        # (with the input applied since) dispatches behind it.
+        if (sess.dirty or animating) and len(inflight) < 2:
+            sess.dirty = False
+            inflight.append((time.perf_counter(), sess.dispatch()))
+        if inflight and (len(inflight) == 2
+                         or inflight[0][1] is None
+                         or not hasattr(inflight[0][1], "is_ready")
+                         or inflight[0][1].is_ready()):
+            t0, arr = inflight.popleft()
+            last_img = np.asarray(arr) if arr is not None else None
+            sess.stats.add(time.perf_counter() - t0)
+            sess.redraw = False
+            with draw_lock:  # the first-frame preview checks frames
+                state["frames"] += 1
                 ui.fout.write(compose_frame(sess, last_img))
                 ui.fout.flush()
-        if sess.gfx is not None and sess.gfx.kind == "kitty":
-            # drop the session's image placements before leaving the
-            # alternate screen (some terminals keep them per-screen)
-            try:
-                ui.fout.write(gfx_mod.kitty_clear())
-                ui.fout.flush()
-            except (OSError, ValueError):
-                pass
+            if state["frames"] == 1:
+                # first frame is up: compile the zoom ladder behind it
+                sess.prewarm_ladder()
+            if max_frames is not None and state["frames"] >= max_frames:
+                break
+        elif sess.redraw and not inflight:
+            # overlay/status/cmdline changed without a scene change:
+            # recompose over the last fetched image
+            sess.redraw = False
+            ui.fout.write(compose_frame(sess, last_img))
+            ui.fout.flush()
 

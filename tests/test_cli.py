@@ -762,3 +762,17 @@ def test_render_cli_no_preview_on_fast_device(tmp_path, capsys):
                    "--iters", "16", "--out", out])
     assert rc == 0
     assert "first frame ready" not in capsys.readouterr().out
+
+
+def test_render_exact_dust_requires_deep_ship(tmp_path, capsys):
+    """--exact-dust on a non-ship scene is a clean CLI error, not a
+    silently-ignored flag or a raw traceback."""
+    rc = cli.main(["render", "--width", "16", "--height", "8",
+                   "--exact-dust", "--out", str(tmp_path / "x.png")])
+    assert rc == 2
+    assert "deep-ship" in capsys.readouterr().err
+    rc = cli.main(["render", "--type", "deep-zoom", "--perturbation",
+                   "--hp-zoom", "1e-10", "--exact-dust",
+                   "--width", "16", "--height", "8",
+                   "--out", str(tmp_path / "y.png")])
+    assert rc == 2  # deep-zoom but not --deep-ship

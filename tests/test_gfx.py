@@ -127,6 +127,28 @@ def test_detect_handshake_on_pty(monkeypatch):
         os.close(sl)
 
 
+def test_detect_pushes_back_typeahead(monkeypatch):
+    """Keystrokes arriving during the handshake window (after the DA1
+    reply) are handed back to the caller instead of vanishing."""
+    monkeypatch.delenv("FRACTAL_TPU_GFX", raising=False)
+    monkeypatch.delenv("TERM_PROGRAM", raising=False)
+    monkeypatch.delenv("LC_TERMINAL", raising=False)
+    m, sl = pty.openpty()
+    tty.setraw(sl)
+    got = []
+    try:
+        os.write(m, b"\x1b_Gi=31;OK\x1b\\\x1b[?62;c" b"eee")  # user held 'e'
+        with open(sl, "rb", buffering=0, closefd=False) as fin, \
+                open(sl, "w", closefd=False) as fout:
+            info = gfx.detect(fin, fout, timeout=2.0,
+                              pushback=got.append)
+        assert info is not None and info.kind == "kitty"
+        assert got == [b"eee"]
+    finally:
+        os.close(m)
+        os.close(sl)
+
+
 def test_pick_render_size_defaults_and_caps():
     info = gfx.GfxInfo("kitty", None)  # unreported window: 8x16 cells
     assert gfx.pick_render_size(info, 120, 35, 34) == (960, 544)
