@@ -924,11 +924,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "this one (default resumes like the reference's "
                         "imgui.ini)")
     p.add_argument("--gfx", default=None,
-                   choices=["auto", "kitty", "iterm", "off"],
+                   choices=["auto", "kitty", "iterm", "sixel", "off"],
                    help="pixel-frame protocol for the live session "
                         "(default auto: in-band handshake; kitty/ghostty/"
-                        "wezTerm/konsole speak kitty, iTerm2 its own; "
-                        "falls back to half-block cells)")
+                        "wezTerm/konsole speak kitty, iTerm2 its own, "
+                        "xterm/foot/mlterm sixel; falls back to "
+                        "half-block cells)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("presets", help="list all preset tables")

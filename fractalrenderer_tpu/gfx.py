@@ -11,6 +11,9 @@ in-band:
   text layer (``z=-1``) so the status bar / help overlay print on top.
 - **iTerm2 inline images** (iTerm2, some others): ``OSC 1337 File=...``
   with a base64 PNG body.
+- **SIXEL** (xterm -ti vt340, foot, mlterm, Windows Terminal preview):
+  the classic DEC raster format — a 6×7×6 RGB palette quantization
+  encoded as per-band color runs; detected via DA1 capability 4.
 
 Detection is a standard in-band handshake (must run with the terminal in
 cbreak mode): send a tiny kitty graphics *query* (``a=q``), a window
@@ -91,10 +94,8 @@ def detect(fin, fout, force: Optional[str] = None,
         "FRACTAL_TPU_GFX", "").lower() or None
     if force in ("off", "none", "0"):
         return None
-    if force == "kitty":
-        return GfxInfo("kitty", None)
-    if force == "iterm":
-        return GfxInfo("iterm", None)
+    if force in ("kitty", "iterm", "sixel"):
+        return GfxInfo(force, None)
     if force is not None and force != "auto":
         return None
 
@@ -126,26 +127,33 @@ def detect(fin, fout, force: Optional[str] = None,
     # replies within the ~0.35 s window are indistinguishable from reply
     # payloads and are dropped; DA1 ends the window, so the common case —
     # typing right after the prompt appears — lands after it)
-    if pushback is not None:
-        at = buf.rfind(b"\x1b[?")
-        if at >= 0:
-            endc = buf.find(b"c", at)
-            if endc >= 0 and buf[endc + 1:]:
-                pushback(buf[endc + 1:])
+    da1_at = buf.rfind(b"\x1b[?")
+    da1_end = buf.find(b"c", da1_at) if da1_at >= 0 else -1
+    if pushback is not None and da1_end >= 0 and buf[da1_end + 1:]:
+        pushback(buf[da1_end + 1:])
     if b"\x1b_Gi=31" not in buf:
+        # no kitty — DA1 capability 4 advertises SIXEL (xterm -ti vt340,
+        # foot, mlterm, Windows Terminal preview, ...)
+        if da1_at >= 0 and da1_end > da1_at:
+            attrs = buf[da1_at + 3:da1_end].split(b";")
+            if b"4" in attrs:
+                return GfxInfo("sixel", _parse_14t(buf))
         return None
-    term_px = None
-    # CSI 4 ; height ; width t
+    return GfxInfo("kitty", _parse_14t(buf))
+
+
+def _parse_14t(buf: bytes) -> Optional[Tuple[int, int]]:
+    """Window pixel size from a ``CSI 4 ; height ; width t`` report."""
     marker = b"\x1b[4;"
     at = buf.find(marker)
-    if at >= 0:
-        endt = buf.find(b"t", at)
-        try:
-            h_s, w_s = buf[at + len(marker):endt].split(b";")
-            term_px = (int(w_s), int(h_s))
-        except ValueError:
-            term_px = None
-    return GfxInfo("kitty", term_px)
+    if at < 0:
+        return None
+    endt = buf.find(b"t", at)
+    try:
+        h_s, w_s = buf[at + len(marker):endt].split(b";")
+        return (int(w_s), int(h_s))
+    except ValueError:
+        return None
 
 
 def pick_render_size(info: GfxInfo, cols: int, rows: int,
@@ -167,6 +175,86 @@ def pick_render_size(info: GfxInfo, cols: int, rows: int,
 def kitty_clear() -> str:
     """Delete every image placement (entering the minimap / on exit)."""
     return "\x1b_Ga=d,d=A,q=2\x1b\\"
+
+
+# ---------------------------------------------------------------------------
+# SIXEL encoder (DEC raster graphics)
+# ---------------------------------------------------------------------------
+# Fixed 6x7x6 RGB palette (252 colors): idx = r6*42 + g7*6 + b6.  Sixel
+# has no alpha/truecolor; a fixed cube keeps the encode one vectorized
+# quantization instead of a per-frame median cut.
+
+def _sixel_palette_defs() -> str:
+    out = []
+    for r in range(6):
+        for g in range(7):
+            for b in range(6):
+                idx = r * 42 + g * 6 + b
+                out.append(f"#{idx};2;{round(r * 100 / 5)};"
+                           f"{round(g * 100 / 6)};{round(b * 100 / 5)}")
+    return "".join(out)
+
+
+_SIXEL_PALETTE = None  # built once (it is ~2.5 KB of text)
+
+
+def sixel_frame(img8) -> str:
+    """Encode an (H, W, 3) uint8 image as a SIXEL sequence.
+
+    Per 6-row band, each palette color present emits its bitmask row as
+    run-length-encoded sixel characters; numpy does the masking and RLE
+    boundary detection, so a 960x540 fractal frame (smooth palettes →
+    few colors per band) encodes in tens of milliseconds."""
+    import numpy as np
+
+    global _SIXEL_PALETTE
+    if _SIXEL_PALETTE is None:
+        _SIXEL_PALETTE = _sixel_palette_defs()
+    h, w = img8.shape[:2]
+    r = img8[..., 0].astype(np.int32) * 6 // 256
+    g = img8[..., 1].astype(np.int32) * 7 // 256
+    b = img8[..., 2].astype(np.int32) * 6 // 256
+    idx = r * 42 + g * 6 + b  # (H, W) palette indices
+
+    out = ["\x1bP0;1;0q", f'"1;1;{w};{h}', _SIXEL_PALETTE]
+    for y0 in range(0, h, 6):
+        band = idx[y0:y0 + 6]  # (<=6, W)
+        rows = band.shape[0]
+        colors = np.unique(band)
+        first = True
+        for c in colors:
+            bits = np.zeros(w, np.int32)
+            for k in range(rows):
+                bits |= (band[k] == c) << k
+            if not bits.any():
+                continue
+            chars = bits + 63
+            # RLE: runs of equal sixel chars -> '!<n><ch>' (n >= 4 pays)
+            cuts = np.flatnonzero(np.diff(chars)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [w]))
+            parts = [] if first else ["$"]  # '$' = return to band start
+            first = False
+            parts.append(f"#{c}")
+            for s_, e_ in zip(starts, ends):
+                n, ch = int(e_ - s_), chr(int(chars[s_]))
+                parts.append(f"!{n}{ch}" if n >= 4 else ch * n)
+            out.append("".join(parts))
+        out.append("-")  # next band
+    out.append("\x1b\\")
+    return "".join(out)
+
+
+def encode_frame(info: GfxInfo, img8, cols: int, rows: int,
+                 image_id: int = 1) -> str:
+    """img8 (H, W, 3) uint8 → the complete escape string for this
+    backend (kitty/iTerm2: in-band PNG; sixel: direct raster)."""
+    if info.kind == "sixel":
+        return sixel_frame(img8)
+    from .utils.png import encode_png
+
+    return emit_frame(info, encode_png(img8, compress_level=1), cols,
+                      rows, image_id)
 
 
 def emit_frame(info: GfxInfo, png_bytes: bytes, cols: int, rows: int,

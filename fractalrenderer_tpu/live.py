@@ -743,12 +743,12 @@ def _ansi_rows(img: np.ndarray) -> List[str]:
 
 
 def _compose_gfx(sess: LiveSession, img: Optional[np.ndarray]) -> str:
-    """Pixel-frame redraw: clear the text layer, place the PNG frame
-    (kitty: z=-1, under text; one image id per session so each frame
-    replaces the last), then print overlays/status as ordinary text.
-    PNG encoding is cached per fetched frame (redraws re-emit bytes)."""
+    """Pixel-frame redraw: clear the text layer, place the frame (kitty:
+    in-band PNG at z=-1, under text, one image id per session so each
+    frame replaces the last; iTerm2: inline PNG; sixel: direct raster),
+    then print overlays/status as ordinary text.  The encoded escape is
+    cached per fetched frame (redraws re-emit bytes)."""
     from . import gfx as gfx_mod
-    from .utils.png import encode_png
 
     out = []
     if sess.gfx.kind == "kitty":
@@ -769,9 +769,9 @@ def _compose_gfx(sess: LiveSession, img: Optional[np.ndarray]) -> str:
             else:
                 img8 = (np.clip(img[::-1], 0.0, 1.0) * 255.0
                         + 0.5).astype(np.uint8)
-            sess._png_cache = (key, encode_png(img8, compress_level=1))
-        out.append(gfx_mod.emit_frame(sess.gfx, sess._png_cache[1],
-                                      sess.gfx_cols, sess.gfx_rows))
+            sess._png_cache = (key, gfx_mod.encode_frame(
+                sess.gfx, img8, sess.gfx_cols, sess.gfx_rows))
+        out.append(sess._png_cache[1])
     if sess.show_help:
         top = max(0, (sess.gfx_rows - len(sess.HELP)) // 2)
         for k, text in enumerate(sess.HELP):
@@ -1023,8 +1023,13 @@ def _live_frames(sess, ui, max_frames, state, draw_lock, last,
                 state["frames"] += 1
                 ui.fout.write(compose_frame(sess, last_img))
                 ui.fout.flush()
-            if state["frames"] == 1:
-                # first frame is up: compile the zoom ladder behind it
+            if state["frames"] == 1 and max_frames is None:
+                # first frame is up: compile the zoom ladder behind it.
+                # Scripted sessions (max_frames set) skip it: they return
+                # to the caller immediately, and a daemon thread dying
+                # mid-XLA-compile at interpreter shutdown SIGABRTs the
+                # process ("FATAL: exception not rethrown") — the CLI
+                # protects itself with os._exit, library callers can't.
                 sess.prewarm_ladder()
             if max_frames is not None and state["frames"] >= max_frames:
                 break

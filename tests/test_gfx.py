@@ -225,3 +225,129 @@ def test_live_session_gfx_overlays(monkeypatch):
     key, blob = sess._png_cache
     compose_frame(sess, img)
     assert sess._png_cache == (key, blob)
+
+
+# ---- sixel -----------------------------------------------------------------
+
+def _decode_sixel(s: str, w: int, h: int) -> np.ndarray:
+    """Minimal sixel decoder (palette defs + color runs) — the oracle for
+    the encoder's round-trip test."""
+    assert s.startswith("\x1bP0;1;0q") and s.endswith("\x1b\\")
+    body = s[len("\x1bP0;1;0q"):-2]
+    assert body.startswith(f'"1;1;{w};{h}')
+    body = body[len(f'"1;1;{w};{h}'):]
+    pal = {}
+    img = np.zeros((h, w, 3), np.uint8)
+    i = 0
+    y0 = 0
+    x = 0
+    color = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "#":
+            j = i + 1
+            while j < len(body) and body[j].isdigit():
+                j += 1
+            idx = int(body[i + 1:j])
+            if j < len(body) and body[j] == ";":
+                # palette definition #i;2;r;g;b (percent)
+                parts = []
+                k = j
+                for _ in range(4):
+                    k2 = k + 1
+                    while k2 < len(body) and body[k2].isdigit():
+                        k2 += 1
+                    parts.append(int(body[k + 1:k2]))
+                    k = k2
+                assert parts[0] == 2
+                pal[idx] = tuple(round(p * 255 / 100) for p in parts[1:])
+                i = k
+            else:
+                color = idx
+                i = j
+            continue
+        if ch == "$":
+            x = 0
+            i += 1
+            continue
+        if ch == "-":
+            y0 += 6
+            x = 0
+            i += 1
+            continue
+        if ch == "!":
+            j = i + 1
+            while body[j].isdigit():
+                j += 1
+            n = int(body[i + 1:j])
+            bits = ord(body[j]) - 63
+            i = j + 1
+        else:
+            n = 1
+            bits = ord(ch) - 63
+            i += 1
+        for k in range(6):
+            if bits & (1 << k) and y0 + k < h:
+                img[y0 + k, x:x + n] = pal[color]
+        x += n
+    return img
+
+
+def test_sixel_round_trip():
+    rng = np.random.default_rng(7)
+    img8 = rng.integers(0, 256, (20, 33, 3), np.uint8)
+    info = gfx.GfxInfo("sixel", None)
+    s = gfx.encode_frame(info, img8, 33, 4)
+    dec = _decode_sixel(s, 33, 20)
+    # the decoder reproduces the encoder's 6x7x6 quantization exactly
+    r = img8[..., 0].astype(np.int32) * 6 // 256
+    g = img8[..., 1].astype(np.int32) * 7 // 256
+    b = img8[..., 2].astype(np.int32) * 6 // 256
+    def chan(v, levels):
+        pct = np.round(v * 100 / (levels - 1)).astype(int)
+        return np.round(pct * 255 / 100).astype(int)
+
+    want = np.stack([chan(r, 6), chan(g, 7), chan(b, 6)], axis=-1)
+    np.testing.assert_array_equal(dec, want)
+
+
+def test_detect_sixel_via_da1(monkeypatch):
+    """A terminal with no kitty reply but DA1 capability 4 is sixel."""
+    monkeypatch.delenv("FRACTAL_TPU_GFX", raising=False)
+    monkeypatch.delenv("TERM_PROGRAM", raising=False)
+    monkeypatch.delenv("LC_TERMINAL", raising=False)
+    m, sl = pty.openpty()
+    tty.setraw(sl)
+    try:
+        os.write(m, b"\x1b[4;240;480t\x1b[?62;4;22c")
+        with open(sl, "rb", buffering=0, closefd=False) as fin, \
+                open(sl, "w", closefd=False) as fout:
+            info = gfx.detect(fin, fout, timeout=2.0)
+        assert info is not None and info.kind == "sixel"
+        assert info.term_px == (480, 240)
+        # capability 44 (not 4) must NOT match
+        os.write(m, b"\x1b[?62;44;22c")
+        with open(sl, "rb", buffering=0, closefd=False) as fin, \
+                open(sl, "w", closefd=False) as fout:
+            assert gfx.detect(fin, fout, timeout=2.0) is None
+    finally:
+        os.close(m)
+        os.close(sl)
+
+
+def test_live_session_sixel_frame(monkeypatch):
+    monkeypatch.setenv("COLUMNS", "20")
+    monkeypatch.setenv("LINES", "7")
+    monkeypatch.setenv("FRACTAL_TPU_GFX", "sixel")
+    r, w = os.pipe()
+    out = io.StringIO()
+    try:
+        with open(r, "rb", buffering=0) as fin:
+            live.run_live(Scene(max_iterations=16), infile=fin, outfile=out,
+                          max_frames=1)
+    finally:
+        os.close(w)
+    s = out.getvalue()
+    assert "\x1bP0;1;0q" in s and s.count("\x1b\\") >= 1
+    # 20 cols x 6 image rows at 8x16 -> a 160x96 raster header
+    assert '"1;1;160;96' in s
