@@ -203,9 +203,6 @@ def render_fields(scene: Scene, width: int, height: int,
         # the armada dust flips f32-tier counts even at 1e-5 — always dd
         dd_delta = not scaled
         float_cont = False
-    if exact_dust and not dd_delta:
-        raise ValueError("exact_dust covers the dd tier (zoom above the "
-                         "ARBITRARY/floatexp threshold, ~1e-30)")
     if phoenix:
         assert rebasing, "deep-zoom phoenix requires the rebasing pipeline"
         float_cont = False

@@ -300,13 +300,14 @@ def _make_kernel(width: int, height: int, map_height: int,
     assert not (julia or ship or phoenix) or rebase, \
         "the non-Mandelbrot deep-zoom families require rebase mode"
     # track_err: per-pixel absolute-error ledger (log2 domain) for the
-    # Burning Ship dust tier — the carried delta error amplifies by the
-    # local Jacobian ~2|z| per step (DESIGN.md §8's Lyapunov trace); lanes
-    # whose ledger crosses the suspect threshold re-render via the exact
-    # per-pixel HP fallback (models/deep_zoom exact_dust).
-    assert not track_err or (ship and dd_delta and rebase
+    # Burning Ship dust tiers (dd and scaled/floatexp) — the carried delta
+    # error amplifies by the local Jacobian ~2|z| per step (DESIGN.md §8's
+    # Lyapunov trace); lanes whose ledger crosses the suspect threshold
+    # re-render via the exact per-pixel HP fallback (models/deep_zoom
+    # exact_dust).
+    assert not track_err or (ship and (dd_delta or scaled) and rebase
                              and inkernel_rounds), \
-        "track_err is the ship dd-tier in-kernel-rounds error ledger"
+        "track_err is the ship dd/scaled-tier in-kernel error ledger"
     th, tw = tile
     n_streams = _n_orbit_streams(dd_delta, scaled, julia)
     comps = _state_comps(dd_delta, scaled, phoenix)
@@ -601,6 +602,15 @@ def _make_kernel(width: int, height: int, map_height: int,
                 state0["prh"] = state0["prl"] = z_
                 state0["pih"] = state0["pil"] = z_
                 state0["pex"] = jnp.full((th, tw), E_ZERO, jnp.int32)
+            if track_err:
+                dmag0 = 0.5 * jnp.log2(jnp.maximum(
+                    m0r[0] * m0r[0] + m0i[0] * m0i[0],
+                    jnp.float32(1e-76)))
+                ex0b = jnp.broadcast_to(ex0, (th, tw))
+                state0["errx"] = jnp.where(
+                    in_bounds & (ex0b != E_ZERO),
+                    dmag0 + ex0b.astype(jnp.float32) - 48.0,
+                    jnp.float32(-200.0))
         elif dd_delta:
             state0["dzrh"], state0["dzrl"] = dz0r_dd
             state0["dzih"], state0["dzil"] = dz0i_dd
@@ -889,6 +899,25 @@ def _make_kernel(width: int, height: int, map_height: int,
                                 s["pil"] = jnp.where(alive, npi[1],
                                                      s["pil"])
                                 s["pex"] = jnp.where(alive, npex, pex_old)
+                        if track_err:
+                            # scaled-tier error ledger (see the dd branch
+                            # below): amplification ~2|z_full| per step —
+                            # mag2 is the composed full z BEFORE this
+                            # update; floor at fresh dd rounding of the
+                            # new delta |nm|*2^nex (post-rebase values;
+                            # E_ZERO = exact zero, no floor contribution)
+                            amp = 0.5 * jnp.log2(jnp.maximum(
+                                4.0 * mag2, jnp.float32(1e-38)))
+                            dmag = 0.5 * jnp.log2(jnp.maximum(
+                                nmr[0] * nmr[0] + nmi[0] * nmi[0],
+                                jnp.float32(1e-76)))
+                            floor_ = jnp.where(
+                                nex == E_ZERO, jnp.float32(-1e9),
+                                dmag + nex.astype(jnp.float32) - 48.0)
+                            s["errx"] = jnp.where(
+                                alive,
+                                jnp.maximum(s["errx"] + amp, floor_),
+                                s["errx"])
                     s["mrh"] = jnp.where(alive, nmr[0], mr[0])
                     s["mrl"] = jnp.where(alive, nmr[1], mr[1])
                     s["mih"] = jnp.where(alive, nmi[0], mi[0])
@@ -1792,8 +1821,10 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         return jnp.reshape(arr, (spp_ * spp_, seg_h_, width))[:, :aa_h_]
 
     if track_err:
-        assert ship and dd_delta and rebase and rebase_inkernel, \
-            "track_err is the ship dd-tier error ledger (rebase in-kernel)"
+        assert ship and (dd_delta or scaled_delta) and rebase \
+            and rebase_inkernel, \
+            "track_err is the ship dd/scaled-tier error ledger " \
+            "(rebase in-kernel)"
     if rebase:
         call_kw.pop("float_continuation")
         call_kw["max_passes"] = int(max_passes)

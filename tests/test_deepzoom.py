@@ -1425,9 +1425,27 @@ def test_deep_ship_exact_dust_tier():
         deep_zoom.render_fields(
             Scene(fractal_type=FractalType.DEEP_ZOOM, hp_zoom="1e-8",
                   use_perturbation=True), 8, 6, exact_dust=True)
-    with _pytest.raises(ValueError, match="dd tier"):
-        deep_zoom.render_fields(
-            s.with_(hp_zoom="1e-40"), 8, 6, exact_dust=True)
+
+
+def test_deep_ship_exact_dust_scaled_tier():
+    """The error ledger also runs in the scaled (floatexp/ARBITRARY)
+    branch: at the antenna tip at 1e-40 the 12x8 window straddles the
+    boundary (interior + escaped, 6 distinct counts) and the tier stays
+    oracle-exact with a small suspect set."""
+    from fractalrenderer_tpu.models import deep_zoom
+    from fractalrenderer_tpu.scene import FractalType, Scene
+
+    cx, cy, zoom, MI = "-2", "0", "1e-40", 1500
+    s = Scene(fractal_type=FractalType.DEEP_ZOOM, deep_zoom_ship=True,
+              hp_center_x=cx, hp_center_y=cy, hp_zoom=zoom,
+              max_iterations=MI, use_perturbation=True)
+    n, _, _, g, info = deep_zoom.render_fields(s, 12, 8, exact_dust=True)
+    assert info["precision_mode"] == "ARBITRARY"
+    assert not g.any() and info["glitched_pixels_remaining"] == 0
+    nref = _hp_ship_oracle_counts(cx, cy, zoom, 12, 8, MI, 400)
+    assert len(np.unique(nref)) >= 5          # boundary straddle
+    np.testing.assert_array_equal(np.asarray(n), nref)
+    assert info["dust_suspect_pixels"] <= int(0.4 * 96)
 
 
 def test_deep_ship_model_and_scene():
