@@ -81,6 +81,12 @@ def _preflight_ok(timeout_s: int = 300) -> bool:
     return False
 
 
+# Filled in as main() measures each workload; the watchdog emits it if a
+# LATER row wedges — a hung extra row must not zero an already-measured
+# headline.
+_PARTIAL: dict = {}
+
+
 def _install_watchdog(seconds: int = 1800) -> None:
     """The tunneled device can wedge (client creation or any execution
     blocks forever inside a PJRT C call); emit a failure record instead
@@ -98,6 +104,14 @@ def _install_watchdog(seconds: int = 1800) -> None:
     import threading
 
     def bail():
+        if _PARTIAL.get("value"):
+            # the headline was measured — report it, noting which extra
+            # row wedged instead of recording a zero
+            rec = dict(_PARTIAL)
+            rec["warning"] = (f"watchdog fired after {seconds}s while "
+                              "measuring an extra row; partial record")
+            print(json.dumps(rec), flush=True)
+            os._exit(0)
         rec = _failure_record(
             f"device unresponsive for {seconds}s "
             "(watchdog; see BENCH history for real numbers)")
@@ -176,6 +190,11 @@ def main() -> None:
         per_frame = min(
             max((run(K) - run(1)) / (K - 1), 1e-9) for _ in range(3))
     mpix_s = W * H / per_frame / 1e6
+    _PARTIAL.update({
+        "metric": "mandelbrot_1080p_256iter_render",
+        "value": round(mpix_s, 1), "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / 1000.0, 3),
+        "timing_method": method})
 
     # iterations/sec (BASELINE.json's second metric): actual escape-loop
     # work divided by frame time — mean iteration count over this exact
@@ -187,6 +206,8 @@ def main() -> None:
                       max_iter=ITERS)["n"]
     mean_iters = float(jnp.mean(n.astype(jnp.float32)))
     iters_s = mpix_s * 1e6 * mean_iters
+    _PARTIAL.update({"iters_per_sec": round(iters_s, 0),
+                     "mean_iters_per_pixel": round(mean_iters, 2)})
 
     # Mandelbulb 1080p device time (3D path regression guard; the bulb's
     # trig-free DE + fused shading regressed silently once in round 1).
@@ -220,6 +241,9 @@ def main() -> None:
         except Exception:
             bulb_s = min(brun() for _ in range(3))
         bulb_ms = round(bulb_s * 1e3, 1)
+        _PARTIAL.update({
+            "mandelbulb_1080p_ms": bulb_ms,
+            "mandelbulb_mpix_s": round(W * H / (bulb_ms / 1e3) / 1e6, 1)})
     except Exception:
         pass
 
@@ -276,6 +300,7 @@ def main() -> None:
             "julia_sweep16_ms_per_batch": round(per_b * 1e3, 2),
             "julia_sweep16_mpix_s": round(B * W * H / per_b / 1e6, 1),
             "julia_timing_method": jmethod}
+        _PARTIAL.update(julia_row)
     except Exception:
         pass
 
@@ -315,6 +340,7 @@ def main() -> None:
             "deepzoom_glitched_remaining":
                 dzinfo.get("glitched_pixels_remaining"),
             "deepzoom_timing_method": dmethod}
+        _PARTIAL.update(dz_row)
     except Exception:
         pass
 
