@@ -219,6 +219,7 @@ class LiveSession:
         self.gfx_rows = 0
         self.px_per_cell = (1.0, 2.0)
         self._png_cache: Tuple = (None, b"")
+        self._was_interactive = False
         self.spin = spin
         self.spin_speed = _ROTATION_SPEED  # Rotation Speed slider
         self.running = True
@@ -519,8 +520,34 @@ class LiveSession:
                 self.scene = frame
                 if not self.playback.playing:  # non-loop timeline ended
                     self._stop_playback("playback done")
+        # interactive-degradation settle: the frame AFTER input goes
+        # quiet re-renders at full resolution (the loop only dispatches
+        # on dirty, and the last interactive frame was half-res)
+        interactive_now = (bool(self.held) or self.playing
+                           or self._dragging)
+        if self.gfx is not None and self._was_interactive \
+                and not interactive_now:
+            self.dirty = True
+        self._was_interactive = interactive_now
 
     # -- output -----------------------------------------------------------
+    def _gfx_scale(self) -> int:
+        """Interactive degradation for pixel sessions: while input is
+        live (held keys / drag / playback) frames render at HALF
+        resolution — the terminal scales the placement, the fetch drops
+        4x, and continuous pan/zoom stays fluid on big windows (a full
+        1080p planar fetch alone is ~200 ms on a tunneled link).  The
+        first quiet frame snaps back to full resolution.  Only engages
+        above ~0.5 Mpix (small windows are already fast), and not for
+        sixel (no terminal-side scaling; a host upscale would cost what
+        the smaller fetch saves)."""
+        if self.gfx is None or self.gfx.kind == "sixel":
+            return 1
+        if self.width * self.height < 500_000:
+            return 1
+        interactive = bool(self.held) or self.playing or self._dragging
+        return 2 if interactive else 1
+
     def _render_async(self, scene: Scene):
         """Dispatch one frame of ``scene`` at the session size.  Pixel
         (gfx) sessions prefer the planar-quantized path — fused kernel +
@@ -544,8 +571,10 @@ class LiveSession:
             fam = _c.family_map().get(scene.fractal_type)
             if fam is not None:
                 sc = validate_scene(scene)
-                cfg = _c.scene_static_cfg(sc, self.width, self.height,
-                                          *fam)
+                k = self._gfx_scale()
+                w = max(2, (self.width // k) & ~1)
+                h = max(2, (self.height // k) & ~1)
+                cfg = _c.scene_static_cfg(sc, w, h, *fam)
                 if _c.planar_export_ok(cfg):
                     return _c.compiled_planar_render_fn(cfg)(
                         _c.scene_dyn_params(sc))
@@ -582,7 +611,13 @@ class LiveSession:
             except Exception:
                 pass  # prewarming is best-effort
 
-        threading.Thread(target=worm, daemon=True,
+        # NON-daemon: a daemon thread dying mid-XLA-compile at interpreter
+        # shutdown crashes the process (SIGABRT/SIGSEGV, "exception not
+        # rethrown").  Non-daemon means a library caller's interpreter
+        # exit JOINS the worker — it stops at the next rung boundary once
+        # running goes False, so the wait is at most one in-flight
+        # compile.  The CLI's os._exit path never joins (instant exit).
+        threading.Thread(target=worm, daemon=False,
                          name="ladder-prewarm").start()
 
     def screenshot(self) -> str:
@@ -974,7 +1009,10 @@ def _live_loop(sess: "LiveSession", ui: "TermUI",
                 finally:
                     sess.message = msg
 
-        threading.Thread(target=preview_worker, daemon=True,
+        # non-daemon for the same shutdown-safety reason as the ladder
+        # prewarm: a daemon dying mid-compile crashes the interpreter
+        # teardown; this worker exits fast once sess.running is False
+        threading.Thread(target=preview_worker, daemon=False,
                          name="first-frame-preview").start()
         inflight: deque = deque()  # (dispatch_time, jax array or None)
         try:

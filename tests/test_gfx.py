@@ -351,3 +351,41 @@ def test_live_session_sixel_frame(monkeypatch):
     assert "\x1bP0;1;0q" in s and s.count("\x1b\\") >= 1
     # 20 cols x 6 image rows at 8x16 -> a 160x96 raster header
     assert '"1;1;160;96' in s
+
+
+def test_gfx_interactive_degradation(monkeypatch):
+    """Big pixel windows render HALF resolution while keys are held (the
+    terminal scales the placement; the fetch drops 4x) and snap back to
+    full resolution on the settle frame after input goes quiet."""
+    monkeypatch.setenv("COLUMNS", "120")
+    monkeypatch.setenv("LINES", "35")
+    sess = LiveSession(Scene(max_iterations=16))
+    sess.enable_gfx(gfx.GfxInfo("kitty", None))
+    assert (sess.viewer.width, sess.viewer.height) == (960, 544)
+    # quiet: full resolution
+    img = np.asarray(sess.dispatch())
+    assert img.shape == (3, 544, 960)
+    # held key: half resolution
+    sess.handle_event(("key", "e"), 0.0)
+    sess.tick(0.01, 0.016)
+    assert sess._gfx_scale() == 2
+    img2 = np.asarray(sess.dispatch())
+    assert img2.shape == (3, 272, 480)
+    # key expires -> the settle tick marks dirty and scale returns to 1
+    sess.dirty = False
+    sess.tick(10.0, 0.016)
+    assert sess.dirty and sess._gfx_scale() == 1
+    # small windows never degrade
+    monkeypatch.setenv("COLUMNS", "20")
+    monkeypatch.setenv("LINES", "8")
+    small = LiveSession(Scene(max_iterations=16))
+    small.enable_gfx(gfx.GfxInfo("kitty", None))
+    small.handle_event(("key", "e"), 0.0)
+    assert small._gfx_scale() == 1
+    # sixel never degrades (no terminal-side scaling)
+    monkeypatch.setenv("COLUMNS", "120")
+    monkeypatch.setenv("LINES", "35")
+    six = LiveSession(Scene(max_iterations=16))
+    six.enable_gfx(gfx.GfxInfo("sixel", None))
+    six.handle_event(("key", "e"), 0.0)
+    assert six._gfx_scale() == 1
