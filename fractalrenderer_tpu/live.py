@@ -80,6 +80,10 @@ _HOLD_S = 0.45
 _REPEAT_DETECT_S = 0.6
 _REF_FPS = 60.0  # the reference applies one handle_zoom per ~60 Hz frame
 _ROTATION_SPEED = 0.5  # fractal_state.h:68
+# Pixel sessions below this render size never degrade during interaction
+# (they are already fetch-cheap); above it, held-key frames render at
+# half resolution and the terminal scales the placement.
+_DEGRADE_MIN_PIXELS = 500_000
 
 Event = Tuple  # ("key", name) | ("mouse", btn, cx, cy, kind)
 
@@ -543,7 +547,7 @@ class LiveSession:
         the smaller fetch saves)."""
         if self.gfx is None or self.gfx.kind == "sixel":
             return 1
-        if self.width * self.height < 500_000:
+        if self.width * self.height < _DEGRADE_MIN_PIXELS:
             return 1
         interactive = bool(self.held) or self.playing or self._dragging
         return 2 if interactive else 1
@@ -557,11 +561,16 @@ class LiveSession:
             # session-persistent orbit cache: pan/zoom about a center
             # reuses its reference orbit instead of recomputing the HP
             # loop every frame (the reference recomputes only when dirty,
-            # deep_zoom_system.cpp:363)
+            # deep_zoom_system.cpp:363).  Interactive degradation applies
+            # here too — deep frames are the heaviest, and the kernel
+            # cost scales with pixels (the orbit is resolution-free)
             from .models import deep_zoom
 
+            k = self._gfx_scale()
+            w = max(2, (self.width // k) & ~1)
+            h = max(2, (self.height // k) & ~1)
             return deep_zoom.render(
-                self.scene, self.width, self.height,
+                scene, w, h,
                 orbit_cache=self._orbit_cache,
                 quantize=8 if self.gfx is not None else 0)
         if self.gfx is not None:

@@ -389,3 +389,25 @@ def test_gfx_interactive_degradation(monkeypatch):
     six.enable_gfx(gfx.GfxInfo("sixel", None))
     six.handle_event(("key", "e"), 0.0)
     assert six._gfx_scale() == 1
+
+
+def test_gfx_degradation_applies_to_deep_zoom(monkeypatch):
+    """Deep-zoom dispatch also renders half-res during interaction (its
+    frames are the heaviest; the orbit is resolution-free)."""
+    monkeypatch.setenv("COLUMNS", "24")
+    monkeypatch.setenv("LINES", "9")
+    monkeypatch.setattr(live, "_DEGRADE_MIN_PIXELS", 1000)
+    sess = LiveSession(Scene(
+        fractal_type=live.FractalType.DEEP_ZOOM,
+        hp_center_x="-0.74364388703715158",
+        hp_center_y="0.13182590420531198",
+        hp_zoom="1e-8", max_iterations=300, use_perturbation=True))
+    sess.enable_gfx(gfx.GfxInfo("kitty", None))
+    assert (sess.viewer.width, sess.viewer.height) == (192, 128)
+    img = np.asarray(sess.dispatch())
+    assert img.shape == (128, 192, 3) and img.dtype == np.uint8
+    sess.handle_event(("key", "e"), 0.0)
+    sess.tick(0.01, 0.016)
+    img2 = np.asarray(sess.dispatch())
+    assert img2.shape == (64, 96, 3)  # half-res interactive deep frame
+    assert len(sess._orbit_cache) >= 1  # one orbit serves both sizes
