@@ -104,7 +104,7 @@ def _install_watchdog(seconds: int = 1800) -> None:
     import threading
 
     def bail():
-        if _PARTIAL.get("value"):
+        if "value" in _PARTIAL:  # measured, even if it rounded to 0.0
             # the headline was measured — report it, noting which extra
             # row wedged instead of recording a zero
             rec = dict(_PARTIAL)

@@ -114,10 +114,14 @@ def detect(fin, fout, force: Optional[str] = None,
         return None
 
     # kitty graphics query (a=q never displays anything; i=31 keys the
-    # response) + window pixel size + DA1 fence.
+    # response) + window pixel size + cell pixel size + DA1 fence.  The
+    # cell size matters for SIXEL, which paints pixel-for-pixel: a wrong
+    # cell estimate would misplace the status bar and skew the
+    # mouse-to-pixel mapping (kitty/iTerm2 rescale to the cell rectangle
+    # and are immune).
     try:
         fout.write("\x1b_Gi=31,s=1,v=1,a=q,t=d,f=24;AAAA\x1b\\"
-                   "\x1b[14t\x1b[c")
+                   "\x1b[14t\x1b[16t\x1b[c")
         fout.flush()
     except (OSError, ValueError):
         return None
@@ -137,14 +141,16 @@ def detect(fin, fout, force: Optional[str] = None,
         if da1_at >= 0 and da1_end > da1_at:
             attrs = buf[da1_at + 3:da1_end].split(b";")
             if b"4" in attrs:
-                return GfxInfo("sixel", _parse_14t(buf))
+                return GfxInfo("sixel", _parse_14t(buf),
+                               _parse_16t(buf) or _DEFAULT_CELL)
         return None
-    return GfxInfo("kitty", _parse_14t(buf))
+    return GfxInfo("kitty", _parse_14t(buf),
+                   _parse_16t(buf) or _DEFAULT_CELL)
 
 
-def _parse_14t(buf: bytes) -> Optional[Tuple[int, int]]:
-    """Window pixel size from a ``CSI 4 ; height ; width t`` report."""
-    marker = b"\x1b[4;"
+def _parse_report_t(buf: bytes, code: bytes) -> Optional[Tuple[int, int]]:
+    """(width, height) from a ``CSI <code> ; height ; width t`` report."""
+    marker = b"\x1b[" + code + b";"
     at = buf.find(marker)
     if at < 0:
         return None
@@ -154,6 +160,17 @@ def _parse_14t(buf: bytes) -> Optional[Tuple[int, int]]:
         return (int(w_s), int(h_s))
     except ValueError:
         return None
+
+
+def _parse_14t(buf: bytes) -> Optional[Tuple[int, int]]:
+    """Window pixel size (CSI 14 t → CSI 4 ; height ; width t)."""
+    return _parse_report_t(buf, b"4")
+
+
+def _parse_16t(buf: bytes) -> Optional[Tuple[float, float]]:
+    """Cell pixel size (CSI 16 t → CSI 6 ; height ; width t)."""
+    r = _parse_report_t(buf, b"6")
+    return (float(r[0]), float(r[1])) if r else None
 
 
 def pick_render_size(info: GfxInfo, cols: int, rows: int,
@@ -221,20 +238,16 @@ def sixel_frame(img8) -> str:
         band = idx[y0:y0 + 6]  # (<=6, W)
         rows = band.shape[0]
         colors = np.unique(band)
-        first = True
-        for c in colors:
+        for ci, c in enumerate(colors):
             bits = np.zeros(w, np.int32)
             for k in range(rows):
                 bits |= (band[k] == c) << k
-            if not bits.any():
-                continue
             chars = bits + 63
             # RLE: runs of equal sixel chars -> '!<n><ch>' (n >= 4 pays)
             cuts = np.flatnonzero(np.diff(chars)) + 1
             starts = np.concatenate(([0], cuts))
             ends = np.concatenate((cuts, [w]))
-            parts = [] if first else ["$"]  # '$' = return to band start
-            first = False
+            parts = ["$"] if ci else []  # '$' = return to band start
             parts.append(f"#{c}")
             for s_, e_ in zip(starts, ends):
                 n, ch = int(e_ - s_), chr(int(chars[s_]))

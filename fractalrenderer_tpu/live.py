@@ -224,6 +224,7 @@ class LiveSession:
         self.px_per_cell = (1.0, 2.0)
         self._png_cache: Tuple = (None, b"")
         self._was_interactive = False
+        self._last_scale = 1
         self.spin = spin
         self.spin_speed = _ROTATION_SPEED  # Rotation Speed slider
         self.running = True
@@ -525,12 +526,14 @@ class LiveSession:
                 if not self.playback.playing:  # non-loop timeline ended
                     self._stop_playback("playback done")
         # interactive-degradation settle: the frame AFTER input goes
-        # quiet re-renders at full resolution (the loop only dispatches
-        # on dirty, and the last interactive frame was half-res)
+        # quiet re-renders at full resolution — but only when the last
+        # dispatched frame actually WAS degraded (sixel and small
+        # windows never degrade; re-rendering an identical full-res
+        # frame there would waste a full fetch per keystroke)
         interactive_now = (bool(self.held) or self.playing
                            or self._dragging)
         if self.gfx is not None and self._was_interactive \
-                and not interactive_now:
+                and not interactive_now and self._last_scale != 1:
             self.dirty = True
         self._was_interactive = interactive_now
 
@@ -552,11 +555,27 @@ class LiveSession:
         interactive = bool(self.held) or self.playing or self._dragging
         return 2 if interactive else 1
 
-    def _render_async(self, scene: Scene):
+    def _scaled_size(self, scale: int) -> Tuple[int, int]:
+        """Render size at the given degradation scale.  Scale 1 passes
+        the session size through UNTOUCHED (an odd --cols width must keep
+        rendering exactly); scale 2 halves and floors to even."""
+        if scale == 1:
+            return self.width, self.height
+        return (max(2, (self.width // scale) & ~1),
+                max(2, (self.height // scale) & ~1))
+
+    def _render_async(self, scene: Scene, scale: Optional[int] = None):
         """Dispatch one frame of ``scene`` at the session size.  Pixel
         (gfx) sessions prefer the planar-quantized path — fused kernel +
         device uint8 quantization, so the link fetch carries 1 B/px/ch
-        instead of 4 (keypress-to-frame is fetch-bound at ≥0.5 Mpix)."""
+        instead of 4 (keypress-to-frame is fetch-bound at ≥0.5 Mpix).
+        ``scale`` overrides the degradation decision (prewarm compiles
+        both scales); dispatch() leaves it None."""
+        if scale is None:
+            # a real dispatch: record the scale for the settle logic
+            # (prewarm passes explicit scales and must not clobber it)
+            scale = self._gfx_scale()
+            self._last_scale = scale
         if scene.fractal_type == FractalType.DEEP_ZOOM:
             # session-persistent orbit cache: pan/zoom about a center
             # reuses its reference orbit instead of recomputing the HP
@@ -566,9 +585,7 @@ class LiveSession:
             # cost scales with pixels (the orbit is resolution-free)
             from .models import deep_zoom
 
-            k = self._gfx_scale()
-            w = max(2, (self.width // k) & ~1)
-            h = max(2, (self.height // k) & ~1)
+            w, h = self._scaled_size(scale)
             return deep_zoom.render(
                 scene, w, h,
                 orbit_cache=self._orbit_cache,
@@ -580,9 +597,7 @@ class LiveSession:
             fam = _c.family_map().get(scene.fractal_type)
             if fam is not None:
                 sc = validate_scene(scene)
-                k = self._gfx_scale()
-                w = max(2, (self.width // k) & ~1)
-                h = max(2, (self.height // k) & ~1)
+                w, h = self._scaled_size(scale)
                 cfg = _c.scene_static_cfg(sc, w, h, *fam)
                 if _c.planar_export_ok(cfg):
                     return _c.compiled_planar_render_fn(cfg)(
@@ -608,15 +623,25 @@ class LiveSession:
                                        FractalType.MANDELBULB):
             return  # host-side pipelines; nothing cheap to prewarm
 
+        # continuous zoom renders at the DEGRADED scale on big pixel
+        # windows and the ladder walks iterations while held — prewarm
+        # every (scale, rung) pair zoom will actually hit, or each rung
+        # crossing would stall mid-zoom on a fresh compile
+        scales = (1, 2) if (self.gfx is not None
+                            and self.gfx.kind != "sixel"
+                            and self.width * self.height
+                            >= _DEGRADE_MIN_PIXELS) else (1,)
+
         def worm():
             try:
                 for iters in (256, 512, 1024, 1536, 2048):
-                    if not self.running:
-                        return
-                    s = self.scene.with_(max_iterations=iters)
-                    # prewarm the SESSION's render path (planar-quantized
-                    # under gfx) so the ladder compiles what zoom will run
-                    np.asarray(self._render_async(s))
+                    for sc in scales:
+                        if not self.running:
+                            return
+                        s = self.scene.with_(max_iterations=iters)
+                        # prewarm the SESSION's render path (planar-
+                        # quantized under gfx) at each scale zoom uses
+                        np.asarray(self._render_async(s, scale=sc))
             except Exception:
                 pass  # prewarming is best-effort
 

@@ -319,12 +319,13 @@ def test_detect_sixel_via_da1(monkeypatch):
     m, sl = pty.openpty()
     tty.setraw(sl)
     try:
-        os.write(m, b"\x1b[4;240;480t\x1b[?62;4;22c")
+        os.write(m, b"\x1b[4;240;480t\x1b[6;20;10t\x1b[?62;4;22c")
         with open(sl, "rb", buffering=0, closefd=False) as fin, \
                 open(sl, "w", closefd=False) as fout:
             info = gfx.detect(fin, fout, timeout=2.0)
         assert info is not None and info.kind == "sixel"
         assert info.term_px == (480, 240)
+        assert info.cell_px == (10.0, 20.0)  # CSI 16 t cell report
         # capability 44 (not 4) must NOT match
         os.write(m, b"\x1b[?62;44;22c")
         with open(sl, "rb", buffering=0, closefd=False) as fin, \
@@ -382,13 +383,19 @@ def test_gfx_interactive_degradation(monkeypatch):
     small.enable_gfx(gfx.GfxInfo("kitty", None))
     small.handle_event(("key", "e"), 0.0)
     assert small._gfx_scale() == 1
-    # sixel never degrades (no terminal-side scaling)
+    # sixel never degrades (no terminal-side scaling) — and because its
+    # frames were never degraded, the settle tick must NOT schedule a
+    # redundant full re-render after the key expires
     monkeypatch.setenv("COLUMNS", "120")
     monkeypatch.setenv("LINES", "35")
     six = LiveSession(Scene(max_iterations=16))
     six.enable_gfx(gfx.GfxInfo("sixel", None))
     six.handle_event(("key", "e"), 0.0)
     assert six._gfx_scale() == 1
+    six.tick(0.01, 0.016)
+    six.dirty = False
+    six.tick(10.0, 0.016)  # key expired; last frame was full-res
+    assert not six.dirty
 
 
 def test_gfx_degradation_applies_to_deep_zoom(monkeypatch):
