@@ -90,6 +90,10 @@ def detect(fin, fout, force: Optional[str] = None,
     ``pushback``: callable receiving any bytes read past the DA1 reply —
     user type-ahead that arrived during the handshake window must reach
     the session's input parser, not vanish."""
+    # an explicit "auto" behaves exactly like None — $FRACTAL_TPU_GFX
+    # still overrides (run_live documents "auto ... env overrides")
+    if force == "auto":
+        force = None
     force = force if force is not None else os.environ.get(
         "FRACTAL_TPU_GFX", "").lower() or None
     if force in ("off", "none", "0"):
@@ -171,6 +175,35 @@ def _parse_16t(buf: bytes) -> Optional[Tuple[float, float]]:
     """Cell pixel size (CSI 16 t → CSI 6 ; height ; width t)."""
     r = _parse_report_t(buf, b"6")
     return (float(r[0]), float(r[1])) if r else None
+
+
+def requery(fin, fout, info: GfxInfo, timeout: float = 0.35,
+            pushback=None) -> GfxInfo:
+    """Refresh ``info``'s window/cell pixel geometry after a terminal
+    resize or fullscreen toggle (the startup handshake's term_px goes
+    stale, skewing pick_render_size and the mouse px_per_cell mapping).
+    Sends only the size queries + DA1 fence — never the kitty probe, so
+    the protocol ``kind`` is preserved.  On any failure the original
+    info is returned unchanged."""
+    if not hasattr(fin, "fileno"):
+        return info
+    try:
+        if not os.isatty(fin.fileno()):
+            return info
+    except (OSError, ValueError):
+        return info
+    try:
+        fout.write("\x1b[14t\x1b[16t\x1b[c")
+        fout.flush()
+    except (OSError, ValueError):
+        return info
+    buf = _read_reports(fin, timeout)
+    da1_at = buf.rfind(b"\x1b[?")
+    da1_end = buf.find(b"c", da1_at) if da1_at >= 0 else -1
+    if pushback is not None and da1_end >= 0 and buf[da1_end + 1:]:
+        pushback(buf[da1_end + 1:])
+    return GfxInfo(info.kind, _parse_14t(buf) or info.term_px,
+                   _parse_16t(buf) or info.cell_px)
 
 
 def pick_render_size(info: GfxInfo, cols: int, rows: int,

@@ -221,7 +221,14 @@ class LiveSession:
         self.gfx = None
         self.gfx_cols = 0
         self.gfx_rows = 0
+        # set by _live_loop once gfx is enabled: re-runs the pixel-size
+        # queries (CSI 14t/16t) so a resize/fullscreen toggle refreshes
+        # term_px/cell_px instead of reusing the startup handshake's
+        self.gfx_requery = None
         self.px_per_cell = (1.0, 2.0)
+        # one-shot out-of-band escape bytes (OSC 52 clipboard copy),
+        # consumed by the next compose_frame
+        self.pending_osc = ""
         self._png_cache: Tuple = (None, b"")
         self._was_interactive = False
         self._last_scale = 1
@@ -289,7 +296,14 @@ class LiveSession:
         self.fullscreen = on
         if self.gfx is not None:
             # pixel mode already fills the window — re-measure in case
-            # the terminal was resized since the session started
+            # the terminal was resized since the session started (incl.
+            # the PIXEL geometry: cols/rows alone leave the cell-size
+            # estimate and px_per_cell mouse mapping stale)
+            if self.gfx_requery is not None:
+                try:
+                    self.gfx = self.gfx_requery(self.gfx)
+                except Exception:
+                    pass
             self.enable_gfx(self.gfx)
             return
         if on:
@@ -741,6 +755,12 @@ class LiveSession:
             self.running = False
         else:
             self.message = msg.strip()
+            if parts and parts[0] == "coords" and self.message:
+                # "Copy Coordinates" actually copies (vk_engine.cpp:
+                # 1048-1055 SDL_SetClipboardText): emit OSC 52 so
+                # terminals that permit it put the string on the system
+                # clipboard; the status line still shows it either way
+                self.pending_osc += _osc52(self.message)
         self.dirty = True
 
     def status_line(self) -> str:
@@ -855,18 +875,31 @@ def _compose_gfx(sess: LiveSession, img: Optional[np.ndarray]) -> str:
     return "".join(out)
 
 
+def _osc52(text: str) -> str:
+    """OSC 52 clipboard-set escape: terminals that allow it (xterm,
+    kitty, iTerm2, foot, tmux with set-clipboard) copy ``text`` to the
+    system clipboard — the reference's SDL_SetClipboardText path for
+    "Copy Coordinates" (vk_engine.cpp:1048-1055)."""
+    import base64
+
+    payload = base64.standard_b64encode(text.encode("utf-8")).decode()
+    return "\x1b]52;c;" + payload + "\x1b\\"
+
+
 def compose_frame(sess: LiveSession, img: Optional[np.ndarray]) -> str:
     """Full redraw string: home cursor, view rows, overlays, status."""
-    pre = ""
+    # one-shot out-of-band escapes (OSC 52 clipboard copy) ride the next
+    # frame write — they paint nothing, order vs the frame is irrelevant
+    pre, sess.pending_osc = sess.pending_osc, ""
     if sess.gfx is not None:
         if not sess.show_minimap:
-            return _compose_gfx(sess, img)
+            return pre + _compose_gfx(sess, img)
         # minimap in pixel mode: a text screen — delete the image frame
         # first (it sits under the text layer and would show through)
         from . import gfx as gfx_mod
 
         if sess.gfx.kind == "kitty":
-            pre = gfx_mod.kitty_clear()
+            pre += gfx_mod.kitty_clear()
         pre += "\x1b[2J"
     if sess.show_minimap:
         body = sess.viewer.minimap().split("\n")
@@ -981,6 +1014,12 @@ def run_live(scene: Optional[Scene] = None, cols: Optional[int] = None,
         # already restored the terminal on the way out)
         pass
     finally:
+        # stop the first-frame preview worker on EVERY exit path (^C or
+        # an exception before the first frame would otherwise leave the
+        # non-daemon thread to finish its CPU render and write a full
+        # frame escape onto the already-restored terminal; it re-checks
+        # running under draw_lock before writing)
+        sess.running = False
         # persist even on ^C/errors — the reference writes imgui.ini on
         # any exit path
         if persist:
@@ -1012,6 +1051,8 @@ def _live_loop(sess: "LiveSession", ui: "TermUI",
                 info = None
             if info is not None:
                 sess.enable_gfx(info)
+                sess.gfx_requery = lambda cur: gfx_mod.requery(
+                    ui.fin, ui.fout, cur, pushback=_pushback)
 
         def preview_worker():
             """First-visible-frame fallback: a cold device compile blocks
@@ -1107,8 +1148,11 @@ def _live_frames(sess, ui, max_frames, state, draw_lock, last,
                 break
         elif sess.redraw and not inflight:
             # overlay/status/cmdline changed without a scene change:
-            # recompose over the last fetched image
+            # recompose over the last fetched image.  draw_lock: before
+            # the first device frame this can race preview_worker's
+            # locked write and garble a frame.
             sess.redraw = False
-            ui.fout.write(compose_frame(sess, last_img))
-            ui.fout.flush()
+            with draw_lock:
+                ui.fout.write(compose_frame(sess, last_img))
+                ui.fout.flush()
 

@@ -40,6 +40,18 @@ NB = 9
 
 DE_CHUNK = 4  # DE iterations per cross-lane any() check
 
+# Over-relaxed sphere tracing (Keinert et al., "Enhanced Sphere Tracing"):
+# while far from the surface, step OMEGA x the reference's conservative
+# 0.5*d radius; if the consecutive safe spheres fail to overlap
+# (step > r_prev + r_cur) the gap may hide a surface crossing, so the lane
+# reverts to the conservative position and latches relaxation OFF — from
+# that point its trajectory is exactly the reference march.  Relaxation is
+# only attempted while d > RELAX_CUTOFF x the hit threshold, so the final
+# surface approach (which sets hit t / d_hit / esc_hit) is always taken at
+# reference step sizes.
+OMEGA = 1.6
+RELAX_CUTOFF = 8.0
+
 
 def _step_fn(int_power):
     """DE step selector: static integer powers (the default — the animated
@@ -110,7 +122,7 @@ def _de_tile(px, py, pz, power, limit, int_power=None):
     # never-recorded lanes (non-escaping, or first visible at i == limit)
     # report limit — identical to the golden/_de_jax init value
     esc = jnp.where(esc < 0.0, limit.astype(jnp.float32), esc)
-    return bm.de_finish(jnp, r, dr), esc
+    return bm.de_finish(jnp, r, dr), esc, i
 
 
 def _de_tile_multi(ps, power, limit, int_power=None):
@@ -161,16 +173,21 @@ def _de_tile_multi(ps, power, limit, int_power=None):
     for k in range(P_):
         zx, zy, zz, dr, r = s[1 + k]
         out.append(bm.de_finish(jnp, r, dr))
-    return out
+    return out, s[0]
 
 
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int],
-                 shade: bool = False, int_power=None):
+                 shade: bool = False, int_power=None, stats: bool = False):
     """``map_height``: full-image height for the camera mapping;
     ``height``: rows this call renders.  A row-band shard passes its global
     first row in B_ROW0 (same hooks as ops/escape.py) — gather-free
-    multi-chip decomposition."""
+    multi-chip decomposition.
+
+    ``stats``: emit cost instrumentation (per-lane march end step, per-tile
+    DE-loop trip totals for march and shading) — the tile-granularity cost
+    model is trips x tile lanes, so these outputs measure divergence waste
+    directly (DESIGN.md roofline section)."""
     th, tw = tile
 
     def kernel(params_ref, *out_refs):
@@ -201,33 +218,89 @@ def _make_kernel(width: int, height: int, map_height: int,
         # hit_f: 1.0 once converged; done_f: 1.0 once terminated (hit, NaN,
         # or out of range).
         def cond(s):
-            step, t, hit_f, done_f, d_hit, esc_hit = s
+            step, t, hit_f, done_f, d_hit, esc_hit = s[:6]
             return (step < bm.MAX_STEPS) & jnp.any(done_f == 0.0)
 
         def body(s):
-            step, t, hit_f, done_f, d_hit, esc_hit = s
+            (step, t, hit_f, done_f, d_hit, esc_hit, prev_step, prev_rad,
+             relax_f, rel_prev) = s[:10]
+            if stats:
+                de_trips, mstep = s[10:]
             act = done_f == 0.0
-            d, esc = _de_tile(ro[0] + rdx * t, ro[1] + rdy * t,
-                              ro[2] + rdz * t, power, limit, int_power)
+            # Done lanes park at r=3 (inactive from DE step 0, like the
+            # shading evals) instead of sitting at their hit position —
+            # a hit lane's near-surface orbit never escapes, so ONE hit
+            # lane used to force every later march step's DE loop to the
+            # full iteration limit for the whole tile.  d/esc of non-act
+            # lanes are ignored below, so this is semantically free.
+            far = jnp.float32(3.0)
+            d, esc, de_i = _de_tile(jnp.where(act, ro[0] + rdx * t, far),
+                                    jnp.where(act, ro[1] + rdy * t, 0.0),
+                                    jnp.where(act, ro[2] + rdz * t, 0.0),
+                                    power, limit, int_power)
             bad = ~jnp.isfinite(d)
+            rad = 0.5 * d
+            # Overshoot: the previous RELAXED step (rel_prev latched when
+            # it was taken — the 0.0005 minimum step must never trip
+            # this) jumped farther than the two safe spheres cover.
+            # Revert to the conservative position, discard this eval (its
+            # position may sit PAST the surface — a hit test there would
+            # latch a back-face hit), and latch relaxation off for this
+            # lane.  NaN d on a relaxed step also reverts (the reference
+            # march never visited that position, so its NaN-break must
+            # not apply); NaN on a conservative step ends the lane
+            # exactly as the reference does.
+            over_b = act & (rel_prev > 0.0) \
+                & (bad | (prev_step > prev_rad + rad))
+            usable = act & ~over_b
             threshold = jnp.maximum(jnp.float32(1e-4), 1e-3 * t)
-            hit_now = act & ~bad & (d < threshold)
+            hit_now = usable & ~bad & (d < threshold)
             hit_f = jnp.maximum(hit_f, hit_now.astype(jnp.float32))
             d_hit = jnp.where(hit_now, d, d_hit)
             esc_hit = jnp.where(hit_now, esc, esc_hit)
             out = (t > bm.MAX_DIST) | (d > bm.MAX_DIST)
-            ended = hit_now | (act & (bad | out))
+            ended = hit_now | (usable & (bad | out))
             done_f = jnp.maximum(done_f, ended.astype(jnp.float32))
-            still = act & ~ended
-            t = jnp.where(still, t + jnp.maximum(d * 0.5, 0.0005), t)
-            return (step + 1, t, hit_f, done_f, d_hit, esc_hit)
+            still = usable & ~ended
+            # next step: relaxed while comfortably far from the surface,
+            # else the reference's conservative safe radius
+            relax_now = (relax_f > 0.0) & (d > RELAX_CUTOFF * threshold)
+            step_n = jnp.maximum(jnp.where(relax_now, OMEGA * rad, rad),
+                                 jnp.float32(0.0005))
+            t = jnp.where(still, t + step_n,
+                          jnp.where(over_b, t - prev_step + prev_rad, t))
+            prev_step = jnp.where(still, step_n,
+                                  jnp.where(over_b, prev_rad, prev_step))
+            prev_rad = jnp.where(still, rad, prev_rad)
+            relax_f = jnp.where(over_b, jnp.zeros_like(relax_f), relax_f)
+            rel_prev = jnp.where(
+                still, relax_now.astype(jnp.float32),
+                jnp.where(over_b, jnp.zeros_like(rel_prev), rel_prev))
+            nxt = (step + 1, t, hit_f, done_f, d_hit, esc_hit, prev_step,
+                   prev_rad, relax_f, rel_prev)
+            if stats:
+                mstep = jnp.where(ended & (mstep < 0.0),
+                                  (step + 1).astype(jnp.float32), mstep)
+                nxt = nxt + (de_trips + de_i, mstep)
+            return nxt
 
         s0 = (jnp.int32(0), jnp.full((th, tw), 0.001, jnp.float32),
               jnp.zeros((th, tw), jnp.float32),
               jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32),
               jnp.zeros((th, tw), jnp.float32),
+              jnp.zeros((th, tw), jnp.float32),
+              jnp.zeros((th, tw), jnp.float32),
+              jnp.full((th, tw), jnp.inf, jnp.float32),
+              jnp.ones((th, tw), jnp.float32),
               jnp.zeros((th, tw), jnp.float32))
-        _, t, hit_f, _, d_hit, esc_hit = jax.lax.while_loop(cond, body, s0)
+        if stats:
+            s0 = s0 + (jnp.int32(0), jnp.full((th, tw), -1.0, jnp.float32))
+        fin = jax.lax.while_loop(cond, body, s0)
+        (mst, t, hit_f, _, d_hit, esc_hit) = (
+            fin[0], fin[1], fin[2], fin[3], fin[4], fin[5])
+        if stats:
+            de_trips, mstep = fin[10:]
+            mstep = jnp.where(mstep < 0.0, mst.astype(jnp.float32), mstep)
 
         it = iter(out_refs)
         next(it)[:, :] = hit_f
@@ -248,9 +321,16 @@ def _make_kernel(width: int, height: int, map_height: int,
             hy = jnp.where(hitm, ro[1] + rdy * t, jnp.float32(0.0))
             hz = jnp.where(hitm, ro[2] + rdz * t, jnp.float32(0.0))
             eps = jnp.float32(1e-3)
-            # normals by forward differences (mandelbulb.comp:113-123)
-            d0, dxp, dyp, dzp = _de_tile_multi(
-                [(hx, hy, hz), (hx + eps, hy, hz), (hx, hy + eps, hz),
+            # normals by forward differences (mandelbulb.comp:113-123).
+            # The base DE d0 = DE(hit pos) is NOT re-evaluated: the march
+            # recorded d_hit from the accepted eval at this exact
+            # position, so d0 == d_hit bit-for-bit — and that orbit is
+            # the group's slowest (a hit-position orbit never escapes,
+            # running to the full iteration limit), so dropping it also
+            # unbinds the fused loop's trip count.
+            d0 = d_hit
+            (dxp, dyp, dzp), n_i = _de_tile_multi(
+                [(hx + eps, hy, hz), (hx, hy + eps, hz),
                  (hx, hy, hz + eps)], power, limit, int_power)
             nx = dxp - d0
             ny = dyp - d0
@@ -270,7 +350,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             while k < np.float32(0.15):
                 ks.append(jnp.float32(float(k)))
                 k = np.float32(k + np.float32(0.02))
-            ds = _de_tile_multi(
+            ds, ao_i = _de_tile_multi(
                 [(hx + nx * kk, hy + ny * kk, hz + nz * kk) for kk in ks],
                 power, limit, int_power)
             ao = jnp.zeros((th, tw), jnp.float32)
@@ -281,21 +361,34 @@ def _make_kernel(width: int, height: int, map_height: int,
             next(it)[:, :] = nz
             next(it)[:, :] = ao
 
+        if stats:
+            # per-tile scalars broadcast over the tile: march DE-loop
+            # trips (x tile lanes = predicated orbit-step cost) and the
+            # shading groups' orbit-step cost (3 normal + 8 AO orbits)
+            next(it)[:, :] = jnp.full((th, tw), 1.0, jnp.float32) \
+                * de_trips.astype(jnp.float32)
+            next(it)[:, :] = mstep
+            if shade:
+                next(it)[:, :] = jnp.full((th, tw), 1.0, jnp.float32) \
+                    * (3.0 * n_i.astype(jnp.float32)
+                       + 8.0 * ao_i.astype(jnp.float32))
+
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
                                              "map_height",
                                              "tile", "interpret", "shade",
-                                             "int_power"))
+                                             "int_power", "stats"))
 def _march_call(params, *, width, height, map_height, tile,
-                interpret, shade=False, int_power=None):
+                interpret, shade=False, int_power=None, stats=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile,
-                          shade, int_power)
+                          shade, int_power, stats)
+    n_out = (8 if shade else 4) + ((3 if shade else 2) if stats else 0)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
-                       for _ in range(8 if shade else 4))
+                       for _ in range(n_out))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -309,13 +402,19 @@ def _march_call(params, *, width, height, map_height, tile,
 
 
 def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
-                 offset=(0.0, 0.0), tile=(32, 128), shade: bool = False,
+                 offset=(0.0, 0.0), tile=(64, 128), shade: bool = False,
                  row0=0.0, map_height: Optional[int] = None,
                  int_power="auto",
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, stats: bool = False):
     """Tile-local raymarch; returns dict(hit, t, d, esc [, nx, ny, nz, ao])
     as f32 fields.  ``row0`` may be a traced scalar (shard_map band
-    rendering); static params stay a host numpy array."""
+    rendering); static params stay a host numpy array.
+
+    ``stats`` adds cost instrumentation fields: ``de_trips`` (per-tile
+    march DE-loop iterations, broadcast over the tile — x tile lanes =
+    predicated orbit-step cost), ``msteps`` (per-lane march steps), and
+    with ``shade`` also ``shade_trips`` (3x normal-group + 8x AO-group
+    loop iterations, per tile)."""
     if interpret is None:
         interpret = default_interpret()
     # ro/fov/power/row0 may be traced scalars (one compile serves a whole
@@ -340,7 +439,10 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
         params_dev, width=width, height=height,
         map_height=int(map_height if map_height is not None else height),
         tile=tuple(tile),
-        interpret=bool(interpret), shade=bool(shade), int_power=int_power)
+        interpret=bool(interpret), shade=bool(shade), int_power=int_power,
+        stats=bool(stats))
     names = ["hit", "t", "d", "esc"] + (["nx", "ny", "nz", "ao"]
                                         if shade else [])
+    if stats:
+        names += ["de_trips", "msteps"] + (["shade_trips"] if shade else [])
     return dict(zip(names, outs))

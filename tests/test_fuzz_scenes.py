@@ -219,3 +219,28 @@ def test_fuzz_planar_export_matches_interleaved_bytes():
         if tried >= 8:
             break
     assert tried >= 4  # the fuzz actually exercised fused configs
+
+
+def test_production_compiled_fn_matches_planar_export():
+    """The PRODUCTION path (compiled_render_fn, outer-jit) vs the planar
+    quantized export, fixed config: the fuzz above compares at eager band
+    granularity, so this single case keeps the outer-jit production path
+    itself guarded.  On the CPU interpret lane XLA fusion differences can
+    shift transcendentals by 1 ulp, flipping a quantization bucket —
+    allow exactly that (1 bucket), nothing more."""
+    import jax.numpy as jnp
+
+    from fractalrenderer_tpu.models import common
+
+    s = fr.Scene(fractal_type=fr.FractalType.MANDELBROT,
+                 max_iterations=64)
+    cfg = common.scene_static_cfg(s, 24, 16, "mandelbrot", "centered",
+                                  False)
+    assert common.planar_export_ok(cfg)
+    dyn = {k: np.float32(v) for k, v in common.scene_dyn_params(s).items()}
+    f32 = np.asarray(common.compiled_render_fn(cfg)(dyn))
+    planes = np.asarray(common.band_render_fn(
+        cfg, 16, 16, planar_quantize=8)(dyn, jnp.float32(0.0)))
+    ref = (np.clip(f32, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    got = np.moveaxis(planes, 0, 2).astype(np.int16)
+    assert np.abs(got - ref.astype(np.int16)).max() <= 1

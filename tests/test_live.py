@@ -311,6 +311,27 @@ def test_compose_frame_overlays():
     assert compose_frame(s, img).endswith(":c\x1b[K\x1b[J")
 
 
+def test_coords_copies_via_osc52():
+    """`:coords` puts the coordinate string on the system clipboard via
+    OSC 52 (the reference's "Copy Coordinates" SDL_SetClipboardText,
+    vk_engine.cpp:1048-1055) — the escape rides the next frame write and
+    its base64 payload decodes to exactly the status-line string."""
+    import base64
+
+    s = _sess()
+    for ch in ":coords\r":
+        s.handle_event(("key", "enter" if ch == "\r" else ch), 0.0)
+    assert s.message.startswith("center=")
+    img = np.zeros((s.height, s.width, 3), np.float32)
+    frame = compose_frame(s, img)
+    start = frame.index("\x1b]52;c;") + len("\x1b]52;c;")
+    end = frame.index("\x1b\\", start)
+    decoded = base64.standard_b64decode(frame[start:end]).decode()
+    assert decoded == s.message
+    # one-shot: the escape does not repeat on the next frame
+    assert "\x1b]52;" not in compose_frame(s, img)
+
+
 def test_quit_keys():
     s = _sess()
     s.handle_event(("key", "esc"), 0.0)
