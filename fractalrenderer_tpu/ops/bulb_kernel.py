@@ -69,8 +69,12 @@ def _step_fn(int_power):
                    acos_fn, atan2_fn, r=r)
 
 
-def _de_tile(px, py, pz, power, limit, int_power=None):
+def _de_tile(px, py, pz, power, limit, int_power=None, work=None):
     """In-kernel DE + escape iteration over a tile.
+
+    ``work`` (stats only): a per-lane f32 accumulator of USEFUL (active)
+    iterations; when passed, the return gains ``work + own_active_iters``
+    — the per-lane ideal-cost numerator for the divergence-waste ratio.
 
     No boolean loop carries (Mosaic cannot yield i1 vectors): the active
     mask is *derived* each step from the frozen z — once |z| leaves
@@ -90,12 +94,12 @@ def _de_tile(px, py, pz, power, limit, int_power=None):
         return (r <= 2.0) & (r >= 1e-4) & (i < limit)
 
     def cond(s):
-        i, zx, zy, zz, dr, esc, r = s
+        i, zx, zy, zz, dr, esc, r = s[:7]
         return (i < limit) & jnp.any(act_of(i, r))
 
     def body(s):
         def step(_, s):
-            i, zx, zy, zz, dr, esc, r = s
+            i, zx, zy, zz, dr, esc, r = s[:7]
             act = act_of(i, r)
             nzx, nzy, nzz, dr, _ = step_fn(zx, zy, zz, dr, px, py,
                                            pz, power, act, r)
@@ -108,7 +112,10 @@ def _de_tile(px, py, pz, power, limit, int_power=None):
             esc = jnp.where((esc < 0.0) & act & (rn > 2.0)
                             & (i + 1 < limit),
                             (i + 1).astype(jnp.float32), esc)
-            return (i + 1, nzx, nzy, nzz, dr, esc, rn)
+            nxt = (i + 1, nzx, nzy, nzz, dr, esc, rn)
+            if len(s) > 7:   # per-lane useful-work counter (stats)
+                nxt = nxt + (s[7] + act.astype(jnp.float32),)
+            return nxt
 
         return jax.lax.fori_loop(0, DE_CHUNK, step, s)
 
@@ -118,10 +125,15 @@ def _de_tile(px, py, pz, power, limit, int_power=None):
                      jnp.full(shape, -1.0, jnp.float32))
     s0 = (jnp.int32(0), px, py, pz, jnp.ones(shape, jnp.float32), esc0,
           r0)
-    i, zx, zy, zz, dr, esc, r = jax.lax.while_loop(cond, body, s0)
+    if work is not None:
+        s0 = s0 + (jnp.zeros(shape, jnp.float32),)
+    fin = jax.lax.while_loop(cond, body, s0)
+    i, zx, zy, zz, dr, esc, r = fin[:7]
     # never-recorded lanes (non-escaping, or first visible at i == limit)
     # report limit — identical to the golden/_de_jax init value
     esc = jnp.where(esc < 0.0, limit.astype(jnp.float32), esc)
+    if work is not None:
+        return bm.de_finish(jnp, r, dr), esc, i, work + fin[7]
     return bm.de_finish(jnp, r, dr), esc, i
 
 
@@ -132,19 +144,32 @@ def _de_tile_multi(ps, power, limit, int_power=None):
     lane wait — collapse into one loop bounded by the slowest lane overall.
     Used for the 4 normal-difference and 8 AO evaluations of in-kernel
     shading.  Returns the list of DE values (no escape tracking — the
-    march already recorded esc_hit)."""
+    march already recorded esc_hit).
+
+    dr-overflow exit (EXACT): once dr reaches f32 +inf it stays +inf
+    while the lane is active (the recurrence dr ← p·r^(p-1)·dr + 1 has
+    p·r^(p-1) ≥ 8e-28 > 0 for active r ∈ [1e-4, 2]), and de_finish then
+    returns 0.5·log(r)·r/inf = ±0 REGARDLESS of how r evolves after —
+    and no consumer here distinguishes -0.0 from +0.0 (normals subtract
+    zeros; AO computes exp(-10·±0) = 1).  Freezing the lane at overflow
+    is therefore bit-identical to running it to the limit, and it cuts
+    the slowest near-surface orbits (which never escape and previously
+    always ran all ``limit`` iterations) to the ~26-70 iterations dr
+    takes to overflow.  The march's _de_tile can NOT use this: its
+    accepted eval's escape iteration feeds the surface color, so the
+    orbit must run to escape-or-limit."""
     step_fn = _step_fn(int_power)
     P_ = len(ps)
 
-    def act_of(i, r):
-        return (r <= 2.0) & (r >= 1e-4) & (i < limit)
+    def act_of(i, r, dr):
+        return (r <= 2.0) & (r >= 1e-4) & (i < limit) & (dr < jnp.inf)
 
     def cond(s):
         i = s[0]
         any_act = jnp.bool_(False)
         for k in range(P_):
-            r = s[1 + k][4]
-            any_act |= jnp.any(act_of(i, r))
+            zx, zy, zz, dr, r = s[1 + k]
+            any_act |= jnp.any(act_of(i, r, dr))
         return (i < limit) & any_act
 
     def body(s):
@@ -153,7 +178,7 @@ def _de_tile_multi(ps, power, limit, int_power=None):
             out = [i + 1]
             for k in range(P_):
                 zx, zy, zz, dr, r = s[1 + k]
-                act = act_of(i, r)
+                act = act_of(i, r, dr)
                 zx, zy, zz, dr, _ = step_fn(
                     zx, zy, zz, dr, ps[k][0], ps[k][1], ps[k][2],
                     power, act, r)
@@ -224,8 +249,9 @@ def _make_kernel(width: int, height: int, map_height: int,
         def body(s):
             (step, t, hit_f, done_f, d_hit, esc_hit, prev_step, prev_rad,
              relax_f, rel_prev) = s[:10]
+            work = None
             if stats:
-                de_trips, mstep = s[10:]
+                de_trips, mstep, work = s[10:]
             act = done_f == 0.0
             # Done lanes park at r=3 (inactive from DE step 0, like the
             # shading evals) instead of sitting at their hit position —
@@ -234,10 +260,13 @@ def _make_kernel(width: int, height: int, map_height: int,
             # full iteration limit for the whole tile.  d/esc of non-act
             # lanes are ignored below, so this is semantically free.
             far = jnp.float32(3.0)
-            d, esc, de_i = _de_tile(jnp.where(act, ro[0] + rdx * t, far),
-                                    jnp.where(act, ro[1] + rdy * t, 0.0),
-                                    jnp.where(act, ro[2] + rdz * t, 0.0),
-                                    power, limit, int_power)
+            de_out = _de_tile(jnp.where(act, ro[0] + rdx * t, far),
+                              jnp.where(act, ro[1] + rdy * t, 0.0),
+                              jnp.where(act, ro[2] + rdz * t, 0.0),
+                              power, limit, int_power, work=work)
+            d, esc, de_i = de_out[:3]
+            if stats:
+                work = de_out[3]
             bad = ~jnp.isfinite(d)
             rad = 0.5 * d
             # Overshoot: the previous RELAXED step (rel_prev latched when
@@ -281,7 +310,7 @@ def _make_kernel(width: int, height: int, map_height: int,
             if stats:
                 mstep = jnp.where(ended & (mstep < 0.0),
                                   (step + 1).astype(jnp.float32), mstep)
-                nxt = nxt + (de_trips + de_i, mstep)
+                nxt = nxt + (de_trips + de_i, mstep, work)
             return nxt
 
         s0 = (jnp.int32(0), jnp.full((th, tw), 0.001, jnp.float32),
@@ -294,12 +323,13 @@ def _make_kernel(width: int, height: int, map_height: int,
               jnp.ones((th, tw), jnp.float32),
               jnp.zeros((th, tw), jnp.float32))
         if stats:
-            s0 = s0 + (jnp.int32(0), jnp.full((th, tw), -1.0, jnp.float32))
+            s0 = s0 + (jnp.int32(0), jnp.full((th, tw), -1.0, jnp.float32),
+                       jnp.zeros((th, tw), jnp.float32))
         fin = jax.lax.while_loop(cond, body, s0)
         (mst, t, hit_f, _, d_hit, esc_hit) = (
             fin[0], fin[1], fin[2], fin[3], fin[4], fin[5])
         if stats:
-            de_trips, mstep = fin[10:]
+            de_trips, mstep, work_pl = fin[10:]
             mstep = jnp.where(mstep < 0.0, mst.astype(jnp.float32), mstep)
 
         it = iter(out_refs)
@@ -364,14 +394,19 @@ def _make_kernel(width: int, height: int, map_height: int,
         if stats:
             # per-tile scalars broadcast over the tile: march DE-loop
             # trips (x tile lanes = predicated orbit-step cost) and the
-            # shading groups' orbit-step cost (3 normal + 8 AO orbits)
+            # shading groups' orbit-step cost (3 normal + 8 AO orbits);
+            # ``work`` is the per-LANE useful (active) march iteration
+            # count — max-over-tile(work) vs de_trips is the issued/ideal
+            # divergence-waste ratio that decides scheduling changes
             next(it)[:, :] = jnp.full((th, tw), 1.0, jnp.float32) \
                 * de_trips.astype(jnp.float32)
             next(it)[:, :] = mstep
+            next(it)[:, :] = work_pl
             if shade:
                 next(it)[:, :] = jnp.full((th, tw), 1.0, jnp.float32) \
-                    * (3.0 * n_i.astype(jnp.float32)
-                       + 8.0 * ao_i.astype(jnp.float32))
+                    * n_i.astype(jnp.float32)
+                next(it)[:, :] = jnp.full((th, tw), 1.0, jnp.float32) \
+                    * ao_i.astype(jnp.float32)
 
     return kernel
 
@@ -386,7 +421,7 @@ def _march_call(params, *, width, height, map_height, tile,
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile,
                           shade, int_power, stats)
-    n_out = (8 if shade else 4) + ((3 if shade else 2) if stats else 0)
+    n_out = (8 if shade else 4) + ((5 if shade else 3) if stats else 0)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
                        for _ in range(n_out))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
@@ -444,5 +479,6 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
     names = ["hit", "t", "d", "esc"] + (["nx", "ny", "nz", "ao"]
                                         if shade else [])
     if stats:
-        names += ["de_trips", "msteps"] + (["shade_trips"] if shade else [])
+        names += ["de_trips", "msteps", "work"] \
+            + (["n_trips", "ao_trips"] if shade else [])
     return dict(zip(names, outs))

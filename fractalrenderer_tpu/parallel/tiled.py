@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -504,6 +505,9 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
         inflight = []       # (band, device array, row0, tile path)
         tile_futures = []
         final_q = []        # (n_rows, deflate future, raw bytes) in order
+        fetch_s = 0.0       # host time BLOCKED on D2H fetches — with the
+        # async copy issued at dispatch, wall ≈ fetch_s on a link-bound
+        # export; bench_all config5 records it next to the link probe
 
         def flush_final(block=False):
             while final_q and (block or final_q[0][1].done()):
@@ -525,9 +529,11 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
                 progress_cb(done_ct, n_bands)
 
         def drain_one():
-            nonlocal rendered
+            nonlocal rendered, fetch_s
             bb, arr, r0, tile_path = inflight.pop(0)
+            t0 = time.perf_counter()
             band_np = np.asarray(arr)[:min(band_rows, height - r0)]
+            fetch_s += time.perf_counter() - t0
             tile_futures.append(
                 pool.submit(encode_band, bb, band_np, tile_path))
             rendered += 1
@@ -578,4 +584,5 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
 
         shutil.rmtree(tile_dir, ignore_errors=True)
     return {"bands": n_bands, "rendered": rendered, "skipped": skipped,
+            "fetch_seconds": round(fetch_s, 2),
             "tile_dir": tile_dir, "out": out_path}

@@ -169,6 +169,33 @@ def device_seconds_from_trace(log_dir: str,
     return total_us / 1e6
 
 
+def measure_link_bandwidth(mb: int = 64, reps: int = 3) -> dict:
+    """Timed raw device→host copy of a known size: the D2H link rate that
+    bounds streaming exports (giant stills fetch H·W·3·bytes over this
+    link — the reference's analog is its synchronous staging-buffer
+    readback, vk_engine.cpp:1939-2003).  Returns best/mean MB/s over
+    ``reps`` fetches of one ``mb``-MiB uint8 device buffer.  Host-side
+    clocks over the tunneled link swing ±2x, hence best-of."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = mb * 1024 * 1024
+    # computed (not constant-folded-to-host) so the fetch is a real D2H
+    x = jnp.arange(n, dtype=jnp.uint32).astype(jnp.uint8)
+    jax.block_until_ready(x)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        host = np.asarray(x)
+        times.append(time.perf_counter() - t0)
+    assert host.nbytes == n
+    return {"mb": mb, "best_mb_s": round(n / min(times) / 1e6, 1),
+            "mean_mb_s": round(n * len(times) / sum(times) / 1e6, 1)}
+
+
 def measure_device_seconds(run, log_dir: Optional[str] = None) -> float:
     """Execute ``run()`` (which must block until its device work completes,
     e.g. end with a scalar fetch) under a profiler trace and return the

@@ -311,6 +311,37 @@ def test_sixel_round_trip():
     np.testing.assert_array_equal(dec, want)
 
 
+def test_sixel_native_matches_numpy():
+    """native/sixel.cpp and the numpy fallback emit BYTE-identical
+    sequences — same quantization, RLE rule (n >= 4), trailing-'?' trim,
+    '$'/'-' structure — across noise (dense, every color present) and
+    smooth (long runs) frames plus a non-multiple-of-6 height."""
+    lib = gfx._load_sixel_native()
+    if lib is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:32, 0:57]
+    frames = [
+        rng.integers(0, 256, (20, 33, 3), np.uint8),
+        np.stack([(xx * 4 % 256).astype(np.uint8),
+                  (yy * 7 % 256).astype(np.uint8),
+                  np.full_like(xx, 9, np.uint8)], -1),
+        np.zeros((7, 130, 3), np.uint8),
+    ]
+    for img8 in frames:
+        h, w = img8.shape[:2]
+        s = gfx.sixel_frame(img8)   # native path (lib present)
+        r = img8[..., 0].astype(np.int32) * 6 // 256
+        g = img8[..., 1].astype(np.int32) * 7 // 256
+        b = img8[..., 2].astype(np.int32) * 6 // 256
+        body_np = gfx._sixel_body_numpy(r * 42 + g * 6 + b, h, w)
+        prefix = "\x1bP0;1;0q" + f'"1;1;{w};{h}' + gfx._SIXEL_PALETTE
+        assert s.startswith(prefix) and s.endswith("\x1b\\")
+        assert s[len(prefix):-2] == body_np
+
+
 def test_detect_sixel_via_da1(monkeypatch):
     """A terminal with no kitty reply but DA1 capability 4 is sixel."""
     monkeypatch.delenv("FRACTAL_TPU_GFX", raising=False)
