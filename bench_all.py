@@ -573,6 +573,7 @@ def main():
         else bench_giant,
         6: bench_mandelbulb,
         7: bench_scaled_deep_zoom,
+        8: bench_live_latency,
     }
     for num, fn in benches.items():
         if num in skip:
