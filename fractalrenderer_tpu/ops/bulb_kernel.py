@@ -201,9 +201,110 @@ def _de_tile_multi(ps, power, limit, int_power=None):
     return out, s[0]
 
 
+# cone-pass params: the shared 9 plus the coarse pixel stride and the
+# cone half-angle (radians per unit t of block radius)
+C_STEP, C_BETA = 9, 10
+NCB = 11
+
+
+def _make_cone_kernel(width: int, map_height: int, tile: Tuple[int, int],
+                      int_power=None):
+    """Coarse cone-march prepass: ONE ray per (cs x cs) pixel block,
+    marched with the hit threshold inflated to max(thr(t), 3·beta·t)
+    where beta bounds the angular radius of the block's ray bundle.
+
+    Sphere-tracing safety argument: along the coarse trajectory every
+    eval satisfied d(s) > 3·beta·s, and any full-res ray in the block
+    sits within beta·s of the coarse ray at parameter s, so its own DE
+    is > 2·beta·s > its hit threshold (beta > 1e-3 at real block sizes)
+    — the full-res ray provably cannot hit before the cone's stop t.
+    Full-res rays therefore START at the cone's stop t, skipping the
+    far-field steps (whose short escape orbits still cost whole-tile
+    DE-loop trips).  NaN stops fall back to t = 0.001 (full march).
+
+    The prepass runs the same tile/band hooks as the main kernel (row0
+    in units of COARSE rows), so banded giants and shard_map bands see
+    bit-identical coarse inputs to the monolithic render."""
+    th, tw = tile
+
+    def kernel(params_ref, t0_ref):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        row0 = params_ref[0, B_ROW0]
+        cs = params_ref[0, C_STEP]
+        beta = params_ref[0, C_BETA]
+        rows = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
+                + jnp.float32(ti * th))
+        cols = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+                + jnp.float32(tj * tw))
+        ro = (params_ref[0, B_ROX], params_ref[0, B_ROY],
+              params_ref[0, B_ROZ])
+        fov = params_ref[0, B_FOV]
+        power = params_ref[0, B_POWER]
+        limit = params_ref[0, B_LIMIT].astype(jnp.int32)
+        # block-center pixel coordinates in FULL-image units
+        pxf = cols * cs + params_ref[0, B_OFFX] + (cs - 1.0) * 0.5
+        pyf = (rows + row0) * cs + params_ref[0, B_OFFY] + (cs - 1.0) * 0.5
+        rdx, rdy, rdz = bm.ray_dirs(jnp, pxf, pyf, width, map_height,
+                                    ro, fov)
+
+        def cond(s):
+            step, t, done_f, bad_f = s
+            return (step < bm.MAX_STEPS) & jnp.any(done_f == 0.0)
+
+        def body(s):
+            step, t, done_f, bad_f = s
+            act = done_f == 0.0
+            far = jnp.float32(3.0)
+            d, _, _ = _de_tile(jnp.where(act, ro[0] + rdx * t, far),
+                               jnp.where(act, ro[1] + rdy * t, 0.0),
+                               jnp.where(act, ro[2] + rdz * t, 0.0),
+                               power, limit, int_power)
+            bad = ~jnp.isfinite(d)
+            thr = jnp.maximum(jnp.maximum(jnp.float32(1e-4), 1e-3 * t),
+                              3.0 * beta * t)
+            stop = act & (bad | (d < thr) | (t > bm.MAX_DIST)
+                          | (d > bm.MAX_DIST))
+            bad_f = jnp.maximum(bad_f, (act & bad).astype(jnp.float32))
+            done_f = jnp.maximum(done_f, stop.astype(jnp.float32))
+            still = act & ~stop
+            t = jnp.where(still, t + jnp.maximum(d * 0.5, 0.0005), t)
+            return (step + 1, t, done_f, bad_f)
+
+        s0 = (jnp.int32(0), jnp.full((th, tw), 0.001, jnp.float32),
+              jnp.zeros((th, tw), jnp.float32),
+              jnp.zeros((th, tw), jnp.float32))
+        _, t, _, bad_f = jax.lax.while_loop(cond, body, s0)
+        t0_ref[:, :] = jnp.where(bad_f > 0.0, jnp.float32(0.001), t)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("width", "map_height",
+                                             "coarse_h", "coarse_w",
+                                             "tile", "interpret",
+                                             "int_power"))
+def _cone_call(params, *, width, map_height, coarse_h, coarse_w, tile,
+               interpret, int_power=None):
+    th, tw = tile
+    grid = (cdiv(coarse_h, th), cdiv(coarse_w, tw))
+    kernel = _make_cone_kernel(width, map_height, tile, int_power)
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((coarse_h, coarse_w), jnp.float32),
+        interpret=interpret,
+    )(params)
+
+
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int],
-                 shade: bool = False, int_power=None, stats: bool = False):
+                 shade: bool = False, int_power=None, stats: bool = False,
+                 has_t0: bool = False):
     """``map_height``: full-image height for the camera mapping;
     ``height``: rows this call renders.  A row-band shard passes its global
     first row in B_ROW0 (same hooks as ops/escape.py) — gather-free
@@ -216,6 +317,8 @@ def _make_kernel(width: int, height: int, map_height: int,
     th, tw = tile
 
     def kernel(params_ref, *out_refs):
+        if has_t0:
+            t0_ref, out_refs = out_refs[0], out_refs[1:]
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         row0 = params_ref[0, B_ROW0].astype(jnp.int32)
@@ -313,7 +416,9 @@ def _make_kernel(width: int, height: int, map_height: int,
                 nxt = nxt + (de_trips + de_i, mstep, work)
             return nxt
 
-        s0 = (jnp.int32(0), jnp.full((th, tw), 0.001, jnp.float32),
+        t_init = (jnp.maximum(t0_ref[:, :], jnp.float32(0.001))
+                  if has_t0 else jnp.full((th, tw), 0.001, jnp.float32))
+        s0 = (jnp.int32(0), t_init,
               jnp.zeros((th, tw), jnp.float32),
               jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32),
               jnp.zeros((th, tw), jnp.float32),
@@ -415,41 +520,54 @@ def _make_kernel(width: int, height: int, map_height: int,
                                              "map_height",
                                              "tile", "interpret", "shade",
                                              "int_power", "stats"))
-def _march_call(params, *, width, height, map_height, tile,
+def _march_call(params, t0=None, *, width, height, map_height, tile,
                 interpret, shade=False, int_power=None, stats=False):
     th, tw = tile
     grid = (cdiv(height, th), cdiv(width, tw))
     kernel = _make_kernel(width, height, map_height, tile,
-                          shade, int_power, stats)
+                          shade, int_power, stats, has_t0=t0 is not None)
     n_out = (8 if shade else 4) + ((5 if shade else 3) if stats else 0)
     out_shapes = tuple(jax.ShapeDtypeStruct((height, width), jnp.float32)
                        for _ in range(n_out))
     out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = (params,)
+    if t0 is not None:
+        in_specs.append(out_spec)
+        args = (params, t0)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=tuple(out_spec for _ in out_shapes),
         out_shape=out_shapes,
         interpret=interpret,
-    )(params)
+    )(*args)
 
 
 def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
                  offset=(0.0, 0.0), tile=(64, 128), shade: bool = False,
                  row0=0.0, map_height: Optional[int] = None,
-                 int_power="auto",
+                 int_power="auto", cone: int = 8,
                  interpret: Optional[bool] = None, stats: bool = False):
     """Tile-local raymarch; returns dict(hit, t, d, esc [, nx, ny, nz, ao])
     as f32 fields.  ``row0`` may be a traced scalar (shard_map band
     rendering); static params stay a host numpy array.
 
+    ``cone``: coarse block size for the cone-march prepass (0 disables).
+    One conservatively-thresholded coarse ray per cone x cone block gives
+    every full-res ray a provably-safe starting depth (_make_cone_kernel
+    docstring has the bound), skipping the far-field march steps.  The
+    coarse grid is IMAGE-aligned (block row index floor(global_row/cone)),
+    so row bands at any offset reproduce the monolithic render's coarse
+    inputs exactly and banded exports stay band-size-invariant.
+
     ``stats`` adds cost instrumentation fields: ``de_trips`` (per-tile
     march DE-loop iterations, broadcast over the tile — x tile lanes =
     predicated orbit-step cost), ``msteps`` (per-lane march steps), and
-    with ``shade`` also ``shade_trips`` (3x normal-group + 8x AO-group
-    loop iterations, per tile)."""
+    with ``shade`` also ``n_trips``/``ao_trips`` (normal-/AO-group loop
+    iterations, per tile) and ``work`` (per-lane useful iterations)."""
     if interpret is None:
         interpret = default_interpret()
     # ro/fov/power/row0 may be traced scalars (one compile serves a whole
@@ -470,9 +588,34 @@ def march_fields(width: int, height: int, *, ro, fov, power, max_iter: int,
         # static int_power (or None).
         pw = float(power)
         int_power = int(pw) if pw.is_integer() and 2.0 <= pw <= 16.0             else None
+    map_h = int(map_height if map_height is not None else height)
+    t0 = None
+    cone = int(cone)
+    if cone:
+        cs = jnp.float32(cone)
+        row0f = jnp.asarray(row0, jnp.float32)
+        start_c = jnp.floor(row0f / cs)
+        beta = (jnp.asarray(fov, jnp.float32)
+                * jnp.float32((0.75 * cone + 1.0) / map_h))
+        coarse_w = cdiv(width, cone)
+        coarse_h = cdiv(height, cone) + 1  # +1: band start inside a block
+        cone_params = jnp.concatenate([
+            params_dev[0, :B_ROW0],
+            jnp.stack([start_c, cs, beta])]).reshape(1, NCB)
+        tc = _cone_call(
+            cone_params, width=width, map_height=map_h,
+            coarse_h=coarse_h, coarse_w=coarse_w,
+            tile=(64, 128), interpret=bool(interpret),
+            int_power=int_power)
+        # expand to the band's full resolution (image-aligned indices)
+        frac = row0f - start_c * cs  # row0 mod cone, exact for int rows
+        ridx = ((frac + jnp.arange(height, dtype=jnp.float32))
+                // cs).astype(jnp.int32)
+        cidx = jnp.arange(width) // cone
+        t0 = tc[ridx][:, cidx]
     outs = _march_call(
-        params_dev, width=width, height=height,
-        map_height=int(map_height if map_height is not None else height),
+        params_dev, t0, width=width, height=height,
+        map_height=map_h,
         tile=tuple(tile),
         interpret=bool(interpret), shade=bool(shade), int_power=int_power,
         stats=bool(stats))
