@@ -125,12 +125,46 @@ def bench_cold_start():
 
     first, first_vis, used = probe()
     second, second_vis, _ = probe()
+
+    # Compile-service weather probe (round 5): first_process_s is
+    # dominated by the REMOTE Mosaic compile, whose fresh-HLO latency is
+    # queue-bound, not kernel-size-bound — the identical-size escape HLO
+    # measured 0.8 s and 654 s on the same day (docs/DESIGN.md §12-13).
+    # Compiling one trivial never-seen-before kernel here records what
+    # the service was doing to THIS round's number.
+    weather = None
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        salt = float(int.from_bytes(os.urandom(3), "big"))
+
+        def kernel(x_ref, o_ref):
+            o_ref[:, :] = x_ref[:, :] * jnp.float32(salt) + 1.0
+
+        @jax.jit
+        def run(x):
+            spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel, grid=(2,), in_specs=[spec], out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((16, 128),
+                                               jnp.float32))(x)
+
+        t0 = time.perf_counter()
+        float(np.asarray(run(jnp.ones((16, 128), jnp.float32))[0, 0]))
+        weather = round(time.perf_counter() - t0, 1)
+    except Exception:
+        pass
     return {"config": "fresh_process_1080p_render",
             "first_process_s": round(first, 1),
             "first_visible_frame_s": round(first_vis, 1),
             "preview_served_first": used,
             "cached_process_s": round(second, 1),
             "cached_visible_frame_s": round(second_vis, 1),
+            "compile_service_fresh_trivial_s": weather,
             "cache_dir": configure_persistent_cache()}
 
 
@@ -154,9 +188,53 @@ def bench_mandelbrot_1080p():
         return band(d, jnp.float32(0.0))
 
     per, method = _per_iter_seconds(body, 64, (3, H, W), jnp.uint8)
-    return {"config": "mandelbrot_1080p_256iter", "ms_per_frame":
-            round(per * 1e3, 3), "mpix_s": round(W * H / per / 1e6, 1),
-            "timing_method": method}
+    row = {"config": "mandelbrot_1080p_256iter", "ms_per_frame":
+           round(per * 1e3, 3), "mpix_s": round(W * H / per / 1e6, 1),
+           "timing_method": method}
+
+    # Roofline accounting (VERDICT r4 item 2): useful iterations from the
+    # n plane, ISSUED iterations from per-tile maxima (a tile runs
+    # chunked bursts until its slowest live lane escapes; the analytic
+    # interior skip poisons cardioid/bulb lanes so they do not anchor the
+    # max), and the measured synthetic VPU peak as denominator.
+    try:
+        import numpy as np
+
+        from fractalrenderer_tpu.ops.escape import escape_fields
+        from fractalrenderer_tpu.ops.pallas_utils import pick_tile
+        from fractalrenderer_tpu.utils.diag import measure_vpu_peak
+
+        s = Scene(max_iterations=256)
+        f = escape_fields("mandelbrot", W, H, center_x=s.center_x,
+                          center_y=s.center_y, zoom=s.zoom, max_iter=256,
+                          interior_skip=True)
+        n = np.asarray(f["n"]).astype(np.float32)
+        th, tw = pick_tile(H, W, prefer_divisor=True)
+        Ht, Wt = -(-H // th) * th, -(-W // tw) * tw
+        pad = np.zeros((Ht, Wt), np.float32)
+        pad[:H, :W] = n
+        tile_max = pad.reshape(Ht // th, th, Wt // tw, tw).max(axis=(1, 3))
+        chunk = 16
+        issued = (np.ceil(tile_max / chunk) * chunk).sum() * th * tw
+        useful = float(n.sum())
+        iters_s = useful / per
+        peak = measure_vpu_peak()
+        # ~14 visible f32 vector ops per predicated iteration (escape.py
+        # _iter_chunk mandelbrot body); compare+select may fold on the
+        # VPU, so the true count is 10-14 — report the bracket.
+        row.update({
+            "useful_iters_per_s": round(iters_s / 1e9, 1),
+            "issued_iters_per_s": round(issued / per / 1e9, 1),
+            "issued_over_useful": round(issued / useful, 2),
+            "vpu_peak_gflops_f32": peak["gflops_f32"],
+            "pct_peak_at_14_ops": round(
+                100 * issued / per * 14 / (peak["gflops_f32"] * 1e9), 1),
+            "pct_peak_at_10_ops": round(
+                100 * issued / per * 10 / (peak["gflops_f32"] * 1e9), 1),
+        })
+    except Exception as e:
+        row["roofline_error"] = str(e)[:200]
+    return row
 
 
 def bench_julia_sweep():

@@ -196,6 +196,58 @@ def measure_link_bandwidth(mb: int = 64, reps: int = 3) -> dict:
             "mean_mb_s": round(n * len(times) / sum(times) / 1e6, 1)}
 
 
+def measure_vpu_peak(chains: int = 8, k: int = 2000) -> dict:
+    """Empirical VPU f32 peak: ``chains`` independent FMA chains over
+    VMEM tiles, trace-timed.  This is the roofline DENOMINATOR for the
+    escape/march kernels (elementwise f32 on the VPU — the MXU plays no
+    part in these workloads): no per-chip VPU spec is published, and a
+    measured synthetic upper bound is the honest comparator.  Measured
+    1126 GFLOP/s on TPU v5e (2026-08)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TH, TW, GH, GW = 256, 128, 8, 8
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[:, :]
+        accs = tuple(a + jnp.float32(i) for i in range(chains))
+
+        def body(_, accs):
+            return tuple(acc * jnp.float32(1.000001) + jnp.float32(0.5)
+                         for acc in accs)
+
+        accs = jax.lax.fori_loop(0, k, body, accs)
+        s = accs[0]
+        for acc in accs[1:]:
+            s = s + acc
+        o_ref[:, :] = s
+
+    @jax.jit
+    def run(x):
+        spec = pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel, grid=(GH, GW), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((GH * TH, GW * TW),
+                                           jnp.float32))(x)
+
+    x = jnp.ones((GH * TH, GW * TW), jnp.float32)
+    out = run(x)
+    jax.block_until_ready(out)
+
+    def r():
+        o = run(x)
+        float(np.asarray(o[0, 0]))
+
+    s = min(measure_device_seconds(r) for _ in range(3))
+    flops = 2 * k * chains * (GH * TH) * (GW * TW)
+    return {"seconds": round(s, 5),
+            "gflops_f32": round(flops / s / 1e9, 1)}
+
+
 def measure_device_seconds(run, log_dir: Optional[str] = None) -> float:
     """Execute ``run()`` (which must block until its device work completes,
     e.g. end with a scalar fetch) under a profiler trace and return the
