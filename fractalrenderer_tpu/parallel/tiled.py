@@ -478,9 +478,15 @@ def render_giant_still(scene: Scene, width: int, height: int, out_path: str,
     import concurrent.futures as _futures
 
     def encode_band(bb, band_np, tile_path):
-        # write tiles atomically so a crash never leaves a bad tile
+        # write tiles atomically so a crash never leaves a bad tile.
+        # Tiles are TRANSIENT resume artifacts (deleted after a
+        # successful assembly unless keep_tiles): level-1 deflate — the
+        # level-6 default was a second full-image deflate pass that a
+        # 1-CPU bench host serializes against the final IDAT's
+        # (config5 audit, round 5)
         tmp = tile_path + ".tmp"
-        png.write_png(tmp, band_np, bit_depth=bit_depth)
+        png.write_png(tmp, band_np, bit_depth=bit_depth,
+                      compress_level=1)
         os.replace(tmp, tile_path)
 
     # Quantize on DEVICE to the target bit depth (identical clip/scale/
