@@ -350,17 +350,53 @@ def bench_deep_zoom():
     t0 = time.perf_counter()
     deep_zoom.render(s_aa, 1920, 1080)
     dt_aa = time.perf_counter() - t0
-    return {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
-            "cold_seconds_incl_compile": round(cold, 1),
-            "algorithm": info.get("algorithm"),
-            "rebase_passes": info.get("rebase_passes"),
-            "seconds_with_series_skip": round(dt2, 1),
-            "series_skip_iterations": info2.get("series_skip"),
-            "seconds_spp2_stacked": round(dt_aa, 1),
-            "spp2_vs_spp1_ratio": round(dt_aa / max(dt, 1e-9), 2),
-            **{k: info[k] for k in ("references_used",
-                                    "glitched_pixels_initial",
-                                    "glitched_pixels_remaining")}}
+    row = {"config": "deep_zoom_1e-12_10k_1080p", "seconds": round(dt, 1),
+           "cold_seconds_incl_compile": round(cold, 1),
+           "algorithm": info.get("algorithm"),
+           "rebase_passes": info.get("rebase_passes"),
+           "seconds_with_series_skip": round(dt2, 1),
+           "series_skip_iterations": info2.get("series_skip"),
+           "seconds_spp2_stacked": round(dt_aa, 1),
+           "spp2_vs_spp1_ratio": round(dt_aa / max(dt, 1e-9), 2),
+           **{k: info[k] for k in ("references_used",
+                                   "glitched_pixels_initial",
+                                   "glitched_pixels_remaining")}}
+
+    # Pass structure (VERDICT r4 item 5): the reported rebase_passes is
+    # the MAX over tiles of IN-KERNEL round counts (one kernel launch
+    # total, DESIGN.md §10) — the per-tile distribution shows whether a
+    # straggler tail exists and what it costs.  Device-seconds for the
+    # series on/off pair replace the wall-clock rounding that made the
+    # skip look like a no-op (seconds_with_series_skip == seconds).
+    try:
+        import numpy as np
+
+        from fractalrenderer_tpu.utils.diag import measure_device_seconds
+
+        _, _, _, _, dinfo = deep_zoom.render_fields(
+            s, 1920, 1080, keep_device=True, debug_rounds=True)
+        plane = np.asarray(dinfo["rounds_plane"])
+        rt = plane[::16, ::128].ravel()  # one sample per (16,128) tile
+        row["rounds_per_tile"] = {
+            "mean": round(float(rt.mean()), 1),
+            "p50": float(np.percentile(rt, 50)),
+            "p95": float(np.percentile(rt, 95)),
+            "max": float(rt.max()),
+            "tiles_over_half_max": int((rt > rt.max() / 2).sum()),
+            "tiles": int(rt.size)}
+
+        def timed(scene):
+            def r():
+                img = deep_zoom.render(scene, 1920, 1080)
+                float(np.asarray(img[0, 0, 0]))
+            return round(min(measure_device_seconds(r)
+                             for _ in range(2)), 3)
+
+        row["device_s_series_off"] = timed(s)
+        row["device_s_series_on"] = timed(s2)
+    except Exception as e:
+        row["pass_structure_error"] = str(e)[:200]
+    return row
 
 
 def bench_giant(width=16384, height=16384, band_rows=1024):

@@ -67,8 +67,14 @@ def render_fields(scene: Scene, width: int, height: int,
                   aa_spp: int = 1,
                   row_band: Tuple[int, int] = None,
                   keep_device: bool = False,
-                  exact_dust: bool = False):
+                  exact_dust: bool = False,
+                  debug_rounds: bool = False):
     """Returns (n, zx, zy, glitch_remaining, info dict).
+
+    ``debug_rounds``: include the per-tile in-kernel rounds plane in
+    ``info["rounds_plane"]`` (a DEVICE array — diagnostics like the
+    bench_all config4 pass histogram fetch it themselves; production
+    callers leave this off so info stays plain-JSON-serializable).
 
     ``keep_device`` (rebasing only): when no lane needs the host HP
     fallback (the normal case — rebasing is glitch-free by construction),
@@ -335,6 +341,8 @@ def render_fields(scene: Scene, width: int, height: int,
                     "series_skip": series.n_skip if series else 0,
                     "glitched_pixels_initial": 0, "fallback_pixels": 0,
                     "glitched_pixels_remaining": 0, "fields_on_device": True}
+            if debug_rounds and "rounds_plane" in f:
+                info["rounds_plane"] = f["rounds_plane"]
             glitch0 = np.zeros(tuple(f["n"].shape), bool)
             return f["n"], f["zx"], f["zy"], glitch0, info
     n = np.array(f["n"])
@@ -364,6 +372,8 @@ def render_fields(scene: Scene, width: int, height: int,
             "series_skip": series.n_skip if series else 0,
             "dust_suspect_pixels": dust_suspect,
             "glitched_pixels_initial": int(glitch.sum())}
+    if debug_rounds and "rounds_plane" in f:
+        info["rounds_plane"] = f["rounds_plane"]
 
     # ---- secondary references for glitched pixels ----------------------
     hp_bits = max(bits, 128)

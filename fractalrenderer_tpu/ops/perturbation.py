@@ -1397,7 +1397,12 @@ def _pert_rebase_call(params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
             params, orbit_re, orbit_im, orbit_mag2, orbit_re_lo,
             orbit_im_lo, orbit_re_ex, orbit_im_ex)
         n, zx, zy, gl, want, rounds = outs[:6]
-        ret = (n, zx, zy, gl, want, jnp.max(rounds).astype(jnp.int32))
+        # the per-tile rounds PLANE rides along with its max: the plane
+        # is already a kernel output (the max was just a reduce of it),
+        # and bench_all config4's pass histogram reads it — the Mosaic
+        # kernel HLO is unchanged
+        ret = (n, zx, zy, gl, want, jnp.max(rounds).astype(jnp.int32),
+               rounds)
         return ret + ((outs[6],) if track_err else ())
     assert not track_err, "track_err requires the in-kernel rounds form"
     call = _pallas_pert(True, width=width, height=height,
@@ -1838,8 +1843,12 @@ def perturbation_fields(orbit: np.ndarray, width: int, height: int, *,
         res = {"n": _unstack(n), "zx": _unstack(zx), "zy": _unstack(zy),
                "glitch": _unstack(glitch), "want": _unstack(want),
                "passes": passes}
+        k = 6
+        if call_kw.get("inkernel", True):
+            res["rounds_plane"] = outs[6]  # per-tile in-kernel rounds
+            k = 7
         if track_err:
-            res["errx"] = _unstack(outs[6])
+            res["errx"] = _unstack(outs[k])
         return res
     if _build_only:
         return operands, call_kw

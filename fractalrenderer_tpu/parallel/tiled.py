@@ -193,8 +193,11 @@ def perturbation_fields_sharded(orbit, width, height, *, mesh=None,
         q = pert.Q_AROW0 if aa_stack is not None else pert.Q_ROW0
         p2 = params.at[0, q].set(off)
         if rebase:
+            # in-kernel form appends the per-tile rounds plane — only
+            # the max is needed on the sharded path
             n, zx, zy, g, want, k = pert._pert_rebase_call(
-                p2, ore, oim, om2, orel, oiml, orex, oimx, **call_kw)
+                p2, ore, oim, om2, orel, oiml, orex, oimx,
+                **call_kw)[:6]
             return n, zx, zy, g, want, jnp.reshape(k, (1, 1))
         return pert._pert_call(p2, ore, oim, om2, orel, oiml, orex, oimx,
                                **call_kw)
