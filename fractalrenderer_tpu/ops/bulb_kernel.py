@@ -233,10 +233,11 @@ def _make_cone_kernel(width: int, map_height: int, tile: Tuple[int, int],
         row0 = params_ref[0, B_ROW0]
         cs = params_ref[0, C_STEP]
         beta = params_ref[0, C_BETA]
-        rows = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
-                + jnp.float32(ti * th))
-        cols = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
-                + jnp.float32(tj * tw))
+        # int iota + convert: Mosaic's tpu.iota only produces integers
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                + ti * th).astype(jnp.float32)
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+                + tj * tw).astype(jnp.float32)
         ro = (params_ref[0, B_ROX], params_ref[0, B_ROY],
               params_ref[0, B_ROZ])
         fov = params_ref[0, B_FOV]
