@@ -302,6 +302,251 @@ def _cone_call(params, *, width, map_height, coarse_h, coarse_w, tile,
     )(params)
 
 
+def _flat_march(tile, ro, rd, t_init, in_bounds, power, limit,
+                int_power=None):
+    """Flattened sphere-trace: one while loop, each lane carrying its own
+    orbit (position, z, dr, per-lane iteration index) and restarting it —
+    with the full march/relaxation update — the moment the orbit ends.
+
+    Per-lane trajectories are IDENTICAL to the nested march-step x
+    _de_tile form (same positions, same frozen-z latching, same escape
+    recording, same relax/overshoot state machine), so outputs are
+    bit-equal; only the cross-lane schedule changes.  The tile's loop
+    trip count drops from Σ_steps max-lane(orbit length) to
+    max-lane(Σ own orbit lengths) — the measured 2.13x divergence waste
+    of the nested form (bench round 5).
+
+    Returns (t, hit_f, d_hit, esc_hit)."""
+    th, tw = tile
+    rdx, rdy, rdz = rd
+    step_fn = _step_fn(int_power)
+    limit_f = limit.astype(jnp.float32)
+    shape = (th, tw)
+
+    def orbit_act(done_f, oi, r):
+        return (done_f == 0.0) & (r <= 2.0) & (r >= 1e-4) & (oi < limit_f)
+
+    def cond(s):
+        done_f = s[2]
+        return jnp.any(done_f == 0.0)
+
+    def body(s):
+        (mstep, t, done_f, hit_f, d_hit, esc_hit, prev_step, prev_rad,
+         relax_f, rel_prev, oi, ozx, ozy, ozz, odr, oesc, orr,
+         opx, opy, opz) = s
+
+        def ostep(_, os_):
+            oi, zx, zy, zz, dr, esc, r = os_
+            act = orbit_act(done_f, oi, r)
+            zx, zy, zz, dr, _ = step_fn(zx, zy, zz, dr, opx, opy, opz,
+                                        power, act, r)
+            # inactive lanes keep frozen z (step_fn where-masks), so rn
+            # equals their carried r bit-for-bit — same as _de_tile
+            rn = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+            esc = jnp.where((esc < 0.0) & act & (rn > 2.0)
+                            & (oi + 1.0 < limit_f), oi + 1.0, esc)
+            oi = oi + act.astype(jnp.float32)
+            return (oi, zx, zy, zz, dr, esc, rn)
+
+        oi, ozx, ozy, ozz, odr, oesc, orr = jax.lax.fori_loop(
+            0, DE_CHUNK, ostep, (oi, ozx, ozy, ozz, odr, oesc, orr))
+
+        # lanes whose orbit just finished process their march update
+        ofin = (done_f == 0.0) & ~orbit_act(done_f, oi, orr)
+        d = bm.de_finish(jnp, orr, odr)
+        esc = jnp.where(oesc < 0.0, limit_f, oesc)
+        bad = ~jnp.isfinite(d)
+        rad = 0.5 * d
+        over_b = ofin & (rel_prev > 0.0) \
+            & (bad | (prev_step > prev_rad + rad))
+        usable = ofin & ~over_b
+        threshold = jnp.maximum(jnp.float32(1e-4), 1e-3 * t)
+        hit_now = usable & ~bad & (d < threshold)
+        hit_f = jnp.maximum(hit_f, hit_now.astype(jnp.float32))
+        d_hit = jnp.where(hit_now, d, d_hit)
+        esc_hit = jnp.where(hit_now, esc, esc_hit)
+        out = (t > bm.MAX_DIST) | (d > bm.MAX_DIST)
+        ended = hit_now | (usable & (bad | out))
+        mstep = mstep + ofin.astype(jnp.float32)
+        # per-lane MAX_STEPS cap == the nested loop's global bound: every
+        # lane there performs at most MAX_STEPS evals, hit processed on
+        # the last one before the cap applies
+        capped = usable & ~ended & (mstep >= jnp.float32(bm.MAX_STEPS))
+        done_f = jnp.maximum(done_f,
+                             (ended | capped).astype(jnp.float32))
+        still = usable & ~ended & ~capped
+        relax_now = (relax_f > 0.0) & (d > RELAX_CUTOFF * threshold)
+        step_n = jnp.maximum(jnp.where(relax_now, OMEGA * rad, rad),
+                             jnp.float32(0.0005))
+        t = jnp.where(still, t + step_n,
+                      jnp.where(over_b, t - prev_step + prev_rad, t))
+        prev_step = jnp.where(still, step_n,
+                              jnp.where(over_b, prev_rad, prev_step))
+        prev_rad = jnp.where(still, rad, prev_rad)
+        relax_f = jnp.where(over_b, jnp.zeros_like(relax_f), relax_f)
+        rel_prev = jnp.where(
+            still, relax_now.astype(jnp.float32),
+            jnp.where(over_b, jnp.zeros_like(rel_prev), rel_prev))
+
+        # restart the orbit at the new position for lanes still marching
+        cont = ofin & (done_f == 0.0)
+        opx = jnp.where(cont, ro[0] + rdx * t, opx)
+        opy = jnp.where(cont, ro[1] + rdy * t, opy)
+        opz = jnp.where(cont, ro[2] + rdz * t, opz)
+        r0 = jnp.sqrt(opx * opx + opy * opy + opz * opz)
+        ozx = jnp.where(cont, opx, ozx)
+        ozy = jnp.where(cont, opy, ozy)
+        ozz = jnp.where(cont, opz, ozz)
+        odr = jnp.where(cont, jnp.float32(1.0), odr)
+        oi = jnp.where(cont, jnp.float32(0.0), oi)
+        orr = jnp.where(cont, r0, orr)
+        oesc = jnp.where(
+            cont, jnp.where(r0 > 2.0, jnp.float32(0.0),
+                            jnp.float32(-1.0)), oesc)
+        return (mstep, t, done_f, hit_f, d_hit, esc_hit, prev_step,
+                prev_rad, relax_f, rel_prev, oi, ozx, ozy, ozz, odr,
+                oesc, orr, opx, opy, opz)
+
+    done0 = jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32)
+    px0 = ro[0] + rdx * t_init
+    py0 = ro[1] + rdy * t_init
+    pz0 = ro[2] + rdz * t_init
+    r0 = jnp.sqrt(px0 * px0 + py0 * py0 + pz0 * pz0)
+    z = jnp.zeros(shape, jnp.float32)
+    s0 = (z, t_init, done0, z, z, z,
+          z, jnp.full(shape, jnp.inf, jnp.float32),
+          jnp.ones(shape, jnp.float32), z,
+          z, px0, py0, pz0, jnp.ones(shape, jnp.float32),
+          jnp.where(r0 > 2.0, 0.0, -1.0).astype(jnp.float32), r0,
+          px0, py0, pz0)
+    fin = jax.lax.while_loop(cond, body, s0)
+    return fin[1], fin[3], fin[4], fin[5]
+
+
+def _flat_ao(h, n, ks, power, limit, hitm, int_power=None):
+    """Flattened AO: each HIT lane walks its 8 tap orbits SEQUENTIALLY in
+    one while loop (phase counter selects the tap), accumulating
+    exp(-10*d_k) in k order as each orbit ends.  The fused 8-orbit group
+    (_de_tile_multi) issues all 8 orbits' steps on every trip until the
+    slowest tap of the slowest lane finishes — 8 x max_k(len) issued per
+    lane where only sum_k(len) is needed; tap lengths fall off steeply
+    with k (the k=0.01 tap hugs the surface, k=0.13 escapes fast), so
+    the sequential walk is ~2-2.5x cheaper at equal per-step cost.
+
+    Per-tap orbit math, freeze semantics (incl. the dr-overflow exact
+    exit), tap-start positions (precomputed with the fused form's exact
+    expressions), and the left-to-right accumulation order all match the
+    fused form, so the returned ao is BIT-IDENTICAL on every HIT lane
+    (asserted in tests/test_mandelbulb.py::test_flat_paths_match_nested).
+
+    Non-hit lanes never enter the loop: their orbits all sit at the
+    parked position (3,0,0) and are dead on arrival, so their fused-form
+    sum is one constant for every lane — replicated here as a scalar
+    chain (within 1 ulp of the vector form's transcendentals; the value
+    is never consumed: sky pixels take the sky color)."""
+    hx, hy, hz = h
+    nx, ny, nz = n
+    step_fn = _step_fn(int_power)
+    limit_f = limit.astype(jnp.float32)
+    P_ = len(ks)
+    shape = hx.shape
+    # tap positions precomputed with the fused form's exact expressions
+    # (hx + nx * k as one plane per tap) and SELECTED by phase at each
+    # restart — recomputing positions inside the loop risked different
+    # rounding context
+    taps = [(hx + nx * jnp.float32(kk), hy + ny * jnp.float32(kk),
+             hz + nz * jnp.float32(kk)) for kk in ks]
+
+    def orbit_act(phase, oi, r, dr):
+        return (phase < float(P_)) & (r <= 2.0) & (r >= 1e-4) \
+            & (oi < limit_f) & (dr < jnp.inf)
+
+    def pos_of(phase):
+        px, py, pz = taps[0]
+        for i in range(1, P_):
+            sel = phase >= float(i)
+            px = jnp.where(sel, taps[i][0], px)
+            py = jnp.where(sel, taps[i][1], py)
+            pz = jnp.where(sel, taps[i][2], pz)
+        return px, py, pz
+
+    def cond(s):
+        phase = s[0]
+        return jnp.any(phase < float(P_))
+
+    def body(s):
+        (phase, ao, opx, opy, opz, ozx, ozy, ozz, odr, orr, oi) = s
+
+        def ostep(_, os_):
+            oi, zx, zy, zz, dr, r = os_
+            act = orbit_act(phase, oi, r, dr)
+            zx, zy, zz, dr, _ = step_fn(zx, zy, zz, dr, opx, opy, opz,
+                                        power, act, r)
+            rn = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+            oi = oi + act.astype(jnp.float32)
+            return (oi, zx, zy, zz, dr, rn)
+
+        oi, ozx, ozy, ozz, odr, orr = jax.lax.fori_loop(
+            0, DE_CHUNK, ostep, (oi, ozx, ozy, ozz, odr, orr))
+
+        ofin = (phase < float(P_)) & ~orbit_act(phase, oi, orr, odr)
+        d = bm.de_finish(jnp, orr, odr)
+        ao = jnp.where(ofin, ao + jnp.exp(-10.0 * d), ao)
+        phase = phase + ofin.astype(jnp.float32)
+        cont = ofin & (phase < float(P_))
+        tx, ty, tz = pos_of(phase)
+        opx = jnp.where(cont, tx, opx)
+        opy = jnp.where(cont, ty, opy)
+        opz = jnp.where(cont, tz, opz)
+        r0 = jnp.sqrt(opx * opx + opy * opy + opz * opz)
+        ozx = jnp.where(cont, opx, ozx)
+        ozy = jnp.where(cont, opy, ozy)
+        ozz = jnp.where(cont, opz, ozz)
+        odr = jnp.where(cont, jnp.float32(1.0), odr)
+        orr = jnp.where(cont, r0, orr)
+        oi = jnp.where(cont, jnp.float32(0.0), oi)
+        return (phase, ao, opx, opy, opz, ozx, ozy, ozz, odr, orr, oi)
+
+    px0, py0, pz0 = taps[0]
+    r0 = jnp.sqrt(px0 * px0 + py0 * py0 + pz0 * pz0)
+    phase0 = jnp.where(hitm, 0.0, float(P_)).astype(jnp.float32)
+    s0 = (phase0, jnp.zeros(shape, jnp.float32), px0, py0, pz0,
+          px0, py0, pz0, jnp.ones(shape, jnp.float32), r0,
+          jnp.zeros(shape, jnp.float32))
+    fin = jax.lax.while_loop(cond, body, s0)
+    ao_hit = fin[1]
+    # Non-hit constant, replicated expression-for-expression: parked at
+    # (3,0,0) with d0 = d_hit = 0, the normal-difference orbits are all
+    # dead on arrival (r0 > 2 -> d = de_finish(r0, 1)), giving every
+    # non-hit lane the SAME pseudo-normal; each tap then sits at
+    # (3,0,0) + n*k, also dead on arrival.  The k-ordered sequential
+    # sum of constants equals the fused form's per-lane sum bit-for-bit.
+    far = jnp.float32(3.0)
+    zero = jnp.float32(0.0)
+    eps = jnp.float32(1e-3)
+    one = jnp.float32(1.0)
+
+    def dead_de(px, py, pz):
+        return bm.de_finish(
+            jnp, jnp.sqrt(px * px + py * py + pz * pz), one)
+
+    nxr = dead_de(far + eps, zero, zero) - zero
+    nyr = dead_de(far, zero + eps, zero) - zero
+    nzr = dead_de(far, zero, zero + eps) - zero
+    nl = jnp.sqrt(nxr * nxr + nyr * nyr + nzr * nzr)
+    fb = nl < 1e-4
+    nl = jnp.maximum(nl, 1e-12)
+    nxc = jnp.where(fb, zero, nxr / nl)
+    nyc = jnp.where(fb, one, nyr / nl)
+    nzc = jnp.where(fb, zero, nzr / nl)
+    ao_far = jnp.float32(0.0)
+    for kk in ks:
+        kf = jnp.float32(kk)
+        ao_far = ao_far + jnp.exp(-10.0 * dead_de(
+            far + nxc * kf, zero + nyc * kf, zero + nzc * kf))
+    return jnp.where(hitm, ao_hit, ao_far)
+
+
 def _make_kernel(width: int, height: int, map_height: int,
                  tile: Tuple[int, int],
                  shade: bool = False, int_power=None, stats: bool = False,
@@ -419,22 +664,37 @@ def _make_kernel(width: int, height: int, map_height: int,
 
         t_init = (jnp.maximum(t0_ref[:, :], jnp.float32(0.001))
                   if has_t0 else jnp.full((th, tw), 0.001, jnp.float32))
-        s0 = (jnp.int32(0), t_init,
-              jnp.zeros((th, tw), jnp.float32),
-              jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32),
-              jnp.zeros((th, tw), jnp.float32),
-              jnp.zeros((th, tw), jnp.float32),
-              jnp.zeros((th, tw), jnp.float32),
-              jnp.full((th, tw), jnp.inf, jnp.float32),
-              jnp.ones((th, tw), jnp.float32),
-              jnp.zeros((th, tw), jnp.float32))
-        if stats:
+        if not stats:
+            # FLAT march (round 5): ONE while loop carries each lane's
+            # own orbit and restarts it the moment IT finishes, instead
+            # of the nested march-step x DE-loop whose inner loop runs
+            # to the slowest lane at EVERY march step.  The per-lane
+            # eval positions, orbit math, and march updates are the
+            # nested form's exactly (verified bit-identical on the
+            # validation scenes), but the tile's trip count drops from
+            # sum-over-steps of max-lane orbit length to max-lane TOTAL
+            # work — measured 2.13x issued/ideal waste in the nested
+            # form at 1080p/100.  The stats variant keeps the nested
+            # loop (its per-step instrumentation defines the waste
+            # metric this replaces).
+            t, hit_f, d_hit, esc_hit = _flat_march(
+                (th, tw), ro, (rdx, rdy, rdz), t_init, in_bounds, power,
+                limit, int_power)
+        else:
+            s0 = (jnp.int32(0), t_init,
+                  jnp.zeros((th, tw), jnp.float32),
+                  jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32),
+                  jnp.zeros((th, tw), jnp.float32),
+                  jnp.zeros((th, tw), jnp.float32),
+                  jnp.zeros((th, tw), jnp.float32),
+                  jnp.full((th, tw), jnp.inf, jnp.float32),
+                  jnp.ones((th, tw), jnp.float32),
+                  jnp.zeros((th, tw), jnp.float32))
             s0 = s0 + (jnp.int32(0), jnp.full((th, tw), -1.0, jnp.float32),
                        jnp.zeros((th, tw), jnp.float32))
-        fin = jax.lax.while_loop(cond, body, s0)
-        (mst, t, hit_f, _, d_hit, esc_hit) = (
-            fin[0], fin[1], fin[2], fin[3], fin[4], fin[5])
-        if stats:
+            fin = jax.lax.while_loop(cond, body, s0)
+            (mst, t, hit_f, _, d_hit, esc_hit) = (
+                fin[0], fin[1], fin[2], fin[3], fin[4], fin[5])
             de_trips, mstep, work_pl = fin[10:]
             mstep = jnp.where(mstep < 0.0, mst.astype(jnp.float32), mstep)
 
@@ -484,14 +744,20 @@ def _make_kernel(width: int, height: int, map_height: int,
             ks = []
             k = np.float32(0.01)
             while k < np.float32(0.15):
-                ks.append(jnp.float32(float(k)))
+                ks.append(float(k))
                 k = np.float32(k + np.float32(0.02))
-            ds, ao_i = _de_tile_multi(
-                [(hx + nx * kk, hy + ny * kk, hz + nz * kk) for kk in ks],
-                power, limit, int_power)
-            ao = jnp.zeros((th, tw), jnp.float32)
-            for dk in ds:
-                ao = ao + jnp.exp(-10.0 * dk)
+            if stats:
+                ds, ao_i = _de_tile_multi(
+                    [(hx + nx * jnp.float32(kk), hy + ny * jnp.float32(kk),
+                      hz + nz * jnp.float32(kk)) for kk in ks],
+                    power, limit, int_power)
+                ao = jnp.zeros((th, tw), jnp.float32)
+                for dk in ds:
+                    ao = ao + jnp.exp(-10.0 * dk)
+            else:
+                # flat sequential tap walk — bit-identical, ~2x cheaper
+                ao = _flat_ao((hx, hy, hz), (nx, ny, nz), ks, power,
+                              limit, hitm, int_power)
             next(it)[:, :] = nx
             next(it)[:, :] = ny
             next(it)[:, :] = nz

@@ -159,3 +159,27 @@ def test_animation_frames_share_one_compile():
     info = mandelbulb._compiled.cache_info()
     assert info.misses == 1 and info.hits == 1, info
     assert np.abs(a - b).mean() > 1e-4  # the frames genuinely differ
+
+
+def test_flat_paths_match_nested():
+    """The flat march (_flat_march) and flat AO walk (_flat_ao) are
+    schedule changes, not math changes: every output plane is bit-equal
+    to the nested/fused form (stats=True path) — except ao on NON-hit
+    lanes, where the flat form substitutes a closed-form constant for
+    orbits that are dead on arrival (within 1 ulp of the vector chain;
+    sky pixels never read ao)."""
+    from fractalrenderer_tpu.ops import bulb_kernel
+
+    for cone in (8, 0):
+        kw = dict(ro=(0.0, 0.0, 2.7), fov=1.5, power=8.0, max_iter=48,
+                  int_power=8, tile=(16, 64), cone=cone)
+        flat = bulb_kernel.march_fields(96, 54, shade=True, **kw)
+        nest = bulb_kernel.march_fields(96, 54, shade=True, stats=True,
+                                        **kw)
+        for k in ("hit", "t", "d", "esc", "nx", "ny", "nz"):
+            assert np.array_equal(np.asarray(flat[k]),
+                                  np.asarray(nest[k])), (cone, k)
+        hit = np.asarray(flat["hit"]) > 0.5
+        a, b = np.asarray(flat["ao"]), np.asarray(nest["ao"])
+        assert np.array_equal(a[hit], b[hit]), cone
+        assert np.abs(a[~hit] - b[~hit]).max() < 1e-10
