@@ -224,7 +224,22 @@ def _make_cone_kernel(width: int, map_height: int, tile: Tuple[int, int],
 
     The prepass runs the same tile/band hooks as the main kernel (row0
     in units of COARSE rows), so banded giants and shard_map bands see
-    bit-identical coarse inputs to the monolithic render."""
+    bit-identical coarse inputs to the monolithic render.
+
+    FLAT schedule (round 5): one while loop carries each coarse lane's
+    own orbit and restarts it — with the full cone-march update — the
+    moment that orbit finishes, exactly like _flat_march vs the nested
+    march-step x _de_tile form.  Per-lane trajectories are unchanged
+    (same eval positions, same stop logic, MAX_STEPS eval cap per lane
+    == the nested global trip cap since every active lane evals once
+    per nested trip).  The orbit activity test additionally freezes a
+    lane once dr overflows to +inf: de_finish then returns ±0 no matter
+    how the orbit evolves (the dr recurrence keeps dr at +inf while
+    active — see _de_tile_multi), and the consumers here (isfinite,
+    d < thr, d > MAX_DIST, d*0.5 on non-stopped lanes) cannot
+    distinguish ±0, so the early exit is bit-exact while cutting
+    near-surface orbits from ``limit`` to the ~26-70 steps dr takes to
+    overflow."""
     th, tw = tile
 
     def kernel(params_ref, t0_ref):
@@ -242,40 +257,79 @@ def _make_cone_kernel(width: int, map_height: int, tile: Tuple[int, int],
               params_ref[0, B_ROZ])
         fov = params_ref[0, B_FOV]
         power = params_ref[0, B_POWER]
-        limit = params_ref[0, B_LIMIT].astype(jnp.int32)
+        limit_f = params_ref[0, B_LIMIT]
         # block-center pixel coordinates in FULL-image units
         pxf = cols * cs + params_ref[0, B_OFFX] + (cs - 1.0) * 0.5
         pyf = (rows + row0) * cs + params_ref[0, B_OFFY] + (cs - 1.0) * 0.5
         rdx, rdy, rdz = bm.ray_dirs(jnp, pxf, pyf, width, map_height,
                                     ro, fov)
+        step_fn = _step_fn(int_power)
+        shape = (th, tw)
+
+        def orbit_act(done_f, oi, r, dr):
+            return (done_f == 0.0) & (r <= 2.0) & (r >= 1e-4) \
+                & (oi < limit_f) & (dr < jnp.inf)
 
         def cond(s):
-            step, t, done_f, bad_f = s
-            return (step < bm.MAX_STEPS) & jnp.any(done_f == 0.0)
+            done_f = s[2]
+            return jnp.any(done_f == 0.0)
 
         def body(s):
-            step, t, done_f, bad_f = s
-            act = done_f == 0.0
-            far = jnp.float32(3.0)
-            d, _, _ = _de_tile(jnp.where(act, ro[0] + rdx * t, far),
-                               jnp.where(act, ro[1] + rdy * t, 0.0),
-                               jnp.where(act, ro[2] + rdz * t, 0.0),
-                               power, limit, int_power)
+            (mstep, t, done_f, bad_f, oi, ozx, ozy, ozz, odr, orr,
+             opx, opy, opz) = s
+
+            def ostep(_, os_):
+                oi, zx, zy, zz, dr, r = os_
+                act = orbit_act(done_f, oi, r, dr)
+                zx, zy, zz, dr, _ = step_fn(zx, zy, zz, dr, opx, opy,
+                                            opz, power, act, r)
+                rn = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+                oi = oi + act.astype(jnp.float32)
+                return (oi, zx, zy, zz, dr, rn)
+
+            oi, ozx, ozy, ozz, odr, orr = jax.lax.fori_loop(
+                0, DE_CHUNK, ostep, (oi, ozx, ozy, ozz, odr, orr))
+
+            ofin = (done_f == 0.0) & ~orbit_act(done_f, oi, orr, odr)
+            d = bm.de_finish(jnp, orr, odr)
             bad = ~jnp.isfinite(d)
             thr = jnp.maximum(jnp.maximum(jnp.float32(1e-4), 1e-3 * t),
                               3.0 * beta * t)
-            stop = act & (bad | (d < thr) | (t > bm.MAX_DIST)
-                          | (d > bm.MAX_DIST))
-            bad_f = jnp.maximum(bad_f, (act & bad).astype(jnp.float32))
-            done_f = jnp.maximum(done_f, stop.astype(jnp.float32))
-            still = act & ~stop
+            stop = ofin & (bad | (d < thr) | (t > bm.MAX_DIST)
+                           | (d > bm.MAX_DIST))
+            bad_f = jnp.maximum(bad_f, (ofin & bad).astype(jnp.float32))
+            mstep = mstep + ofin.astype(jnp.float32)
+            done_f = jnp.maximum(
+                done_f,
+                (stop | (ofin & (mstep >= jnp.float32(bm.MAX_STEPS))))
+                .astype(jnp.float32))
+            still = ofin & ~stop
             t = jnp.where(still, t + jnp.maximum(d * 0.5, 0.0005), t)
-            return (step + 1, t, done_f, bad_f)
+            # restart the orbit at the stepped position
+            cont = ofin & (done_f == 0.0)
+            opx = jnp.where(cont, ro[0] + rdx * t, opx)
+            opy = jnp.where(cont, ro[1] + rdy * t, opy)
+            opz = jnp.where(cont, ro[2] + rdz * t, opz)
+            r0 = jnp.sqrt(opx * opx + opy * opy + opz * opz)
+            ozx = jnp.where(cont, opx, ozx)
+            ozy = jnp.where(cont, opy, ozy)
+            ozz = jnp.where(cont, opz, ozz)
+            odr = jnp.where(cont, jnp.float32(1.0), odr)
+            oi = jnp.where(cont, jnp.float32(0.0), oi)
+            orr = jnp.where(cont, r0, orr)
+            return (mstep, t, done_f, bad_f, oi, ozx, ozy, ozz, odr,
+                    orr, opx, opy, opz)
 
-        s0 = (jnp.int32(0), jnp.full((th, tw), 0.001, jnp.float32),
-              jnp.zeros((th, tw), jnp.float32),
-              jnp.zeros((th, tw), jnp.float32))
-        _, t, _, bad_f = jax.lax.while_loop(cond, body, s0)
+        z = jnp.zeros(shape, jnp.float32)
+        t0 = jnp.full(shape, 0.001, jnp.float32)
+        px0 = ro[0] + rdx * t0
+        py0 = ro[1] + rdy * t0
+        pz0 = ro[2] + rdz * t0
+        r0 = jnp.sqrt(px0 * px0 + py0 * py0 + pz0 * pz0)
+        s0 = (z, t0, z, z, z, px0, py0, pz0,
+              jnp.ones(shape, jnp.float32), r0, px0, py0, pz0)
+        fin = jax.lax.while_loop(cond, body, s0)
+        t, bad_f = fin[1], fin[3]
         t0_ref[:, :] = jnp.where(bad_f > 0.0, jnp.float32(0.001), t)
 
     return kernel
@@ -309,52 +363,63 @@ def _flat_march(tile, ro, rd, t_init, in_bounds, power, limit,
     with the full march/relaxation update — the moment the orbit ends.
 
     Per-lane trajectories are IDENTICAL to the nested march-step x
-    _de_tile form (same positions, same frozen-z latching, same escape
-    recording, same relax/overshoot state machine), so outputs are
-    bit-equal; only the cross-lane schedule changes.  The tile's loop
-    trip count drops from Σ_steps max-lane(orbit length) to
-    max-lane(Σ own orbit lengths) — the measured 2.13x divergence waste
-    of the nested form (bench round 5).
+    _de_tile form (same positions, same frozen-z latching, same
+    relax/overshoot state machine), so outputs are bit-equal; only the
+    cross-lane schedule changes.  The tile's loop trip count drops from
+    Σ_steps max-lane(orbit length) to max-lane(Σ own orbit lengths) —
+    the measured 2.13x divergence waste of the nested form (bench
+    round 5).
 
-    Returns (t, hit_f, d_hit, esc_hit)."""
+    March orbits additionally take the EXACT dr-overflow exit (round 5):
+    once dr reaches f32 +inf it stays +inf while active, so de_finish
+    returns ±0 regardless of how the orbit would have continued — and
+    every consumer of d here (isfinite, the d < threshold hit test, the
+    d > MAX_DIST out test, rad = 0.5*d, the step max(d*0.5, 0.0005))
+    treats -0.0 and +0.0 alike, so the t/hit trajectory is bit-equal to
+    full-length orbits.  The march therefore does NOT track escape
+    iterations (the one thing the overflow exit changes): the caller
+    recovers esc_hit by re-running ONE full-length orbit at the accepted
+    hit position (_de_tile — same function, same input, same esc), which
+    costs one tile-loop instead of paying full-length orbits at EVERY
+    near-surface march eval.
+
+    Returns (t, hit_f, d_hit)."""
     th, tw = tile
     rdx, rdy, rdz = rd
     step_fn = _step_fn(int_power)
     limit_f = limit.astype(jnp.float32)
     shape = (th, tw)
 
-    def orbit_act(done_f, oi, r):
-        return (done_f == 0.0) & (r <= 2.0) & (r >= 1e-4) & (oi < limit_f)
+    def orbit_act(done_f, oi, r, dr):
+        return (done_f == 0.0) & (r <= 2.0) & (r >= 1e-4) \
+            & (oi < limit_f) & (dr < jnp.inf)
 
     def cond(s):
         done_f = s[2]
         return jnp.any(done_f == 0.0)
 
     def body(s):
-        (mstep, t, done_f, hit_f, d_hit, esc_hit, prev_step, prev_rad,
-         relax_f, rel_prev, oi, ozx, ozy, ozz, odr, oesc, orr,
+        (mstep, t, done_f, hit_f, d_hit, prev_step, prev_rad,
+         relax_f, rel_prev, oi, ozx, ozy, ozz, odr, orr,
          opx, opy, opz) = s
 
         def ostep(_, os_):
-            oi, zx, zy, zz, dr, esc, r = os_
-            act = orbit_act(done_f, oi, r)
+            oi, zx, zy, zz, dr, r = os_
+            act = orbit_act(done_f, oi, r, dr)
             zx, zy, zz, dr, _ = step_fn(zx, zy, zz, dr, opx, opy, opz,
                                         power, act, r)
             # inactive lanes keep frozen z (step_fn where-masks), so rn
             # equals their carried r bit-for-bit — same as _de_tile
             rn = jnp.sqrt(zx * zx + zy * zy + zz * zz)
-            esc = jnp.where((esc < 0.0) & act & (rn > 2.0)
-                            & (oi + 1.0 < limit_f), oi + 1.0, esc)
             oi = oi + act.astype(jnp.float32)
-            return (oi, zx, zy, zz, dr, esc, rn)
+            return (oi, zx, zy, zz, dr, rn)
 
-        oi, ozx, ozy, ozz, odr, oesc, orr = jax.lax.fori_loop(
-            0, DE_CHUNK, ostep, (oi, ozx, ozy, ozz, odr, oesc, orr))
+        oi, ozx, ozy, ozz, odr, orr = jax.lax.fori_loop(
+            0, DE_CHUNK, ostep, (oi, ozx, ozy, ozz, odr, orr))
 
         # lanes whose orbit just finished process their march update
-        ofin = (done_f == 0.0) & ~orbit_act(done_f, oi, orr)
+        ofin = (done_f == 0.0) & ~orbit_act(done_f, oi, orr, odr)
         d = bm.de_finish(jnp, orr, odr)
-        esc = jnp.where(oesc < 0.0, limit_f, oesc)
         bad = ~jnp.isfinite(d)
         rad = 0.5 * d
         over_b = ofin & (rel_prev > 0.0) \
@@ -364,7 +429,6 @@ def _flat_march(tile, ro, rd, t_init, in_bounds, power, limit,
         hit_now = usable & ~bad & (d < threshold)
         hit_f = jnp.maximum(hit_f, hit_now.astype(jnp.float32))
         d_hit = jnp.where(hit_now, d, d_hit)
-        esc_hit = jnp.where(hit_now, esc, esc_hit)
         out = (t > bm.MAX_DIST) | (d > bm.MAX_DIST)
         ended = hit_now | (usable & (bad | out))
         mstep = mstep + ofin.astype(jnp.float32)
@@ -400,12 +464,9 @@ def _flat_march(tile, ro, rd, t_init, in_bounds, power, limit,
         odr = jnp.where(cont, jnp.float32(1.0), odr)
         oi = jnp.where(cont, jnp.float32(0.0), oi)
         orr = jnp.where(cont, r0, orr)
-        oesc = jnp.where(
-            cont, jnp.where(r0 > 2.0, jnp.float32(0.0),
-                            jnp.float32(-1.0)), oesc)
-        return (mstep, t, done_f, hit_f, d_hit, esc_hit, prev_step,
+        return (mstep, t, done_f, hit_f, d_hit, prev_step,
                 prev_rad, relax_f, rel_prev, oi, ozx, ozy, ozz, odr,
-                oesc, orr, opx, opy, opz)
+                orr, opx, opy, opz)
 
     done0 = jnp.where(in_bounds, 0.0, 1.0).astype(jnp.float32)
     px0 = ro[0] + rdx * t_init
@@ -413,69 +474,61 @@ def _flat_march(tile, ro, rd, t_init, in_bounds, power, limit,
     pz0 = ro[2] + rdz * t_init
     r0 = jnp.sqrt(px0 * px0 + py0 * py0 + pz0 * pz0)
     z = jnp.zeros(shape, jnp.float32)
-    s0 = (z, t_init, done0, z, z, z,
+    s0 = (z, t_init, done0, z, z,
           z, jnp.full(shape, jnp.inf, jnp.float32),
           jnp.ones(shape, jnp.float32), z,
-          z, px0, py0, pz0, jnp.ones(shape, jnp.float32),
-          jnp.where(r0 > 2.0, 0.0, -1.0).astype(jnp.float32), r0,
+          z, px0, py0, pz0, jnp.ones(shape, jnp.float32), r0,
           px0, py0, pz0)
     fin = jax.lax.while_loop(cond, body, s0)
-    return fin[1], fin[3], fin[4], fin[5]
+    return fin[1], fin[3], fin[4]
 
 
-def _flat_ao(h, n, ks, power, limit, hitm, int_power=None):
-    """Flattened AO: each HIT lane walks its 8 tap orbits SEQUENTIALLY in
-    one while loop (phase counter selects the tap), accumulating
-    exp(-10*d_k) in k order as each orbit ends.  The fused 8-orbit group
-    (_de_tile_multi) issues all 8 orbits' steps on every trip until the
-    slowest tap of the slowest lane finishes — 8 x max_k(len) issued per
-    lane where only sum_k(len) is needed; tap lengths fall off steeply
-    with k (the k=0.01 tap hugs the surface, k=0.13 escapes fast), so
-    the sequential walk is ~2-2.5x cheaper at equal per-step cost.
+def _flat_shade(h, d0, ks, power, limit, hitm, int_power=None):
+    """Flattened shading: each HIT lane walks its 11 shading orbits —
+    3 normal-difference taps then 8 AO taps — SEQUENTIALLY in ONE while
+    loop (a phase counter selects the tap), computing its normal the
+    moment phase 2 completes and accumulating exp(-10*d_k) in k order
+    through phases 3-10.  Returns (nx, ny, nz, ao).
+
+    vs the round-4 schedule (fused 3-orbit normal group, then a separate
+    8-phase AO walk): the fused group issues 3 x max(len) orbit steps
+    per lane where sum(len) is needed, and the two loops serialize —
+    max-lane(normal sum) + max-lane(AO sum).  One 11-phase walk runs
+    max-lane(TOTAL sum): strictly fewer tile trips, same per-trip cost.
 
     Per-tap orbit math, freeze semantics (incl. the dr-overflow exact
-    exit), tap-start positions (precomputed with the fused form's exact
-    expressions), and the left-to-right accumulation order all match the
-    fused form, so the returned ao is BIT-IDENTICAL on every HIT lane
-    (asserted in tests/test_mandelbulb.py::test_flat_paths_match_nested).
+    exit shared with _de_tile_multi), tap-start positions (the fused
+    form's exact expressions: h + eps basis offsets, then h + n*k), the
+    normal finite-difference/normalize expressions, and the k-ordered
+    accumulation all match the fused forms, so nx/ny/nz/ao are
+    BIT-IDENTICAL on every HIT lane (asserted in
+    tests/test_mandelbulb.py::test_flat_paths_match_nested).
 
-    Non-hit lanes never enter the loop: their orbits all sit at the
-    parked position (3,0,0) and are dead on arrival, so their fused-form
-    sum is one constant for every lane — replicated here as a scalar
-    chain (within 1 ulp of the vector form's transcendentals; the value
-    is never consumed: sky pixels take the sky color)."""
+    Non-hit lanes never enter the loop: parked at (3,0,0) their orbits
+    are all dead on arrival, so the fused forms give every non-hit lane
+    one constant pseudo-normal and AO — replicated here as a scalar
+    chain (within 1 ulp of the vector form's transcendentals; the
+    values are never consumed: sky pixels take the sky color)."""
     hx, hy, hz = h
-    nx, ny, nz = n
     step_fn = _step_fn(int_power)
     limit_f = limit.astype(jnp.float32)
-    P_ = len(ks)
+    P_ = 3 + len(ks)
     shape = hx.shape
-    # tap positions precomputed with the fused form's exact expressions
-    # (hx + nx * k as one plane per tap) and SELECTED by phase at each
-    # restart — recomputing positions inside the loop risked different
-    # rounding context
-    taps = [(hx + nx * jnp.float32(kk), hy + ny * jnp.float32(kk),
-             hz + nz * jnp.float32(kk)) for kk in ks]
+    eps = jnp.float32(1e-3)
+    # normal-tap positions: the fused form's exact expressions
+    ntaps = [(hx + eps, hy, hz), (hx, hy + eps, hz), (hx, hy, hz + eps)]
 
     def orbit_act(phase, oi, r, dr):
         return (phase < float(P_)) & (r <= 2.0) & (r >= 1e-4) \
             & (oi < limit_f) & (dr < jnp.inf)
-
-    def pos_of(phase):
-        px, py, pz = taps[0]
-        for i in range(1, P_):
-            sel = phase >= float(i)
-            px = jnp.where(sel, taps[i][0], px)
-            py = jnp.where(sel, taps[i][1], py)
-            pz = jnp.where(sel, taps[i][2], pz)
-        return px, py, pz
 
     def cond(s):
         phase = s[0]
         return jnp.any(phase < float(P_))
 
     def body(s):
-        (phase, ao, opx, opy, opz, ozx, ozy, ozz, odr, orr, oi) = s
+        (phase, dxp, dyp, dzp, nx, ny, nz, ao,
+         opx, opy, opz, ozx, ozy, ozz, odr, orr, oi) = s
 
         def ostep(_, os_):
             oi, zx, zy, zz, dr, r = os_
@@ -491,10 +544,41 @@ def _flat_ao(h, n, ks, power, limit, hitm, int_power=None):
 
         ofin = (phase < float(P_)) & ~orbit_act(phase, oi, orr, odr)
         d = bm.de_finish(jnp, orr, odr)
-        ao = jnp.where(ofin, ao + jnp.exp(-10.0 * d), ao)
+        dxp = jnp.where(ofin & (phase == 0.0), d, dxp)
+        dyp = jnp.where(ofin & (phase == 1.0), d, dyp)
+        dzp = jnp.where(ofin & (phase == 2.0), d, dzp)
+        ao = jnp.where(ofin & (phase >= 3.0), ao + jnp.exp(-10.0 * d),
+                       ao)
         phase = phase + ofin.astype(jnp.float32)
+        # lanes whose phase just became 3 have all three difference DEs:
+        # compute their normal with the fused form's expressions
+        nsel = ofin & (phase == 3.0)
+        nxr = dxp - d0
+        nyr = dyp - d0
+        nzr = dzp - d0
+        nl = jnp.sqrt(nxr * nxr + nyr * nyr + nzr * nzr)
+        fb = nl < 1e-4
+        nl = jnp.maximum(nl, 1e-12)
+        nx = jnp.where(nsel,
+                       jnp.where(fb, jnp.zeros_like(nxr), nxr / nl), nx)
+        ny = jnp.where(nsel,
+                       jnp.where(fb, jnp.ones_like(nyr), nyr / nl), ny)
+        nz = jnp.where(nsel,
+                       jnp.where(fb, jnp.zeros_like(nzr), nzr / nl), nz)
+        # next tap position by phase: normal basis offsets, then h + n*k
         cont = ofin & (phase < float(P_))
-        tx, ty, tz = pos_of(phase)
+        tx, ty, tz = ntaps[0]
+        for i in range(1, 3):
+            sel = phase >= float(i)
+            tx = jnp.where(sel, ntaps[i][0], tx)
+            ty = jnp.where(sel, ntaps[i][1], ty)
+            tz = jnp.where(sel, ntaps[i][2], tz)
+        for i, kk in enumerate(ks):
+            sel = phase >= float(3 + i)
+            kf = jnp.float32(kk)
+            tx = jnp.where(sel, hx + nx * kf, tx)
+            ty = jnp.where(sel, hy + ny * kf, ty)
+            tz = jnp.where(sel, hz + nz * kf, tz)
         opx = jnp.where(cont, tx, opx)
         opy = jnp.where(cont, ty, opy)
         opz = jnp.where(cont, tz, opz)
@@ -505,16 +589,18 @@ def _flat_ao(h, n, ks, power, limit, hitm, int_power=None):
         odr = jnp.where(cont, jnp.float32(1.0), odr)
         orr = jnp.where(cont, r0, orr)
         oi = jnp.where(cont, jnp.float32(0.0), oi)
-        return (phase, ao, opx, opy, opz, ozx, ozy, ozz, odr, orr, oi)
+        return (phase, dxp, dyp, dzp, nx, ny, nz, ao,
+                opx, opy, opz, ozx, ozy, ozz, odr, orr, oi)
 
-    px0, py0, pz0 = taps[0]
+    px0, py0, pz0 = ntaps[0]
     r0 = jnp.sqrt(px0 * px0 + py0 * py0 + pz0 * pz0)
     phase0 = jnp.where(hitm, 0.0, float(P_)).astype(jnp.float32)
-    s0 = (phase0, jnp.zeros(shape, jnp.float32), px0, py0, pz0,
-          px0, py0, pz0, jnp.ones(shape, jnp.float32), r0,
-          jnp.zeros(shape, jnp.float32))
+    z = jnp.zeros(shape, jnp.float32)
+    s0 = (phase0, z, z, z, z, jnp.ones(shape, jnp.float32), z, z,
+          px0, py0, pz0, px0, py0, pz0, jnp.ones(shape, jnp.float32),
+          r0, z)
     fin = jax.lax.while_loop(cond, body, s0)
-    ao_hit = fin[1]
+    nx_hit, ny_hit, nz_hit, ao_hit = fin[4], fin[5], fin[6], fin[7]
     # Non-hit constant, replicated expression-for-expression: parked at
     # (3,0,0) with d0 = d_hit = 0, the normal-difference orbits are all
     # dead on arrival (r0 > 2 -> d = de_finish(r0, 1)), giving every
@@ -544,7 +630,8 @@ def _flat_ao(h, n, ks, power, limit, hitm, int_power=None):
         kf = jnp.float32(kk)
         ao_far = ao_far + jnp.exp(-10.0 * dead_de(
             far + nxc * kf, zero + nyc * kf, zero + nzc * kf))
-    return jnp.where(hitm, ao_hit, ao_far)
+    return (jnp.where(hitm, nx_hit, nxc), jnp.where(hitm, ny_hit, nyc),
+            jnp.where(hitm, nz_hit, nzc), jnp.where(hitm, ao_hit, ao_far))
 
 
 def _make_kernel(width: int, height: int, map_height: int,
@@ -677,9 +764,25 @@ def _make_kernel(width: int, height: int, map_height: int,
             # form at 1080p/100.  The stats variant keeps the nested
             # loop (its per-step instrumentation defines the waste
             # metric this replaces).
-            t, hit_f, d_hit, esc_hit = _flat_march(
+            t, hit_f, d_hit = _flat_march(
                 (th, tw), ro, (rdx, rdy, rdz), t_init, in_bounds, power,
                 limit, int_power)
+            # esc recovery: march orbits take the exact dr-overflow
+            # exit and drop escape tracking (see _flat_march), so the
+            # accepted eval's escape iteration is recomputed by ONE
+            # full-length orbit at the hit position — the same function
+            # (_de_tile) on the same input the nested march's accepted
+            # eval ran, hence the same esc bit-for-bit.  Non-hit lanes
+            # park at r=3 (dead on arrival, esc 0 == the nested init).
+            hitm0 = hit_f > 0.5
+            far0 = jnp.float32(3.0)
+            _, esc_rec, _ = _de_tile(
+                jnp.where(hitm0, ro[0] + rdx * t, far0),
+                jnp.where(hitm0, ro[1] + rdy * t, jnp.float32(0.0)),
+                jnp.where(hitm0, ro[2] + rdz * t, jnp.float32(0.0)),
+                power, limit, int_power)
+            esc_hit = jnp.where(hitm0, esc_rec,
+                                jnp.zeros((th, tw), jnp.float32))
         else:
             s0 = (jnp.int32(0), t_init,
                   jnp.zeros((th, tw), jnp.float32),
@@ -706,37 +809,25 @@ def _make_kernel(width: int, height: int, map_height: int,
 
         if shade:
             # Shading DE positions are masked to HIT lanes (non-hit lanes
-            # move to r=3 where the orbit is inactive from step 0), and the
-            # 4 normal-difference + 8 AO evaluations each fuse into ONE
-            # multi-point loop (_de_tile_multi) instead of 11 sequential
-            # tile-local loops — round-1's in-kernel shading regression
-            # came from those serialized slowest-lane waits.
+            # move to r=3 where the orbit is inactive from step 0).  The
+            # production path walks all 11 shading orbits (3 normal taps
+            # + 8 AO taps) per lane sequentially in ONE flat loop
+            # (_flat_shade); the stats path keeps the round-4 fused
+            # multi-point groups (_de_tile_multi) as the instrumented
+            # baseline the flat walk is asserted bit-identical against.
             hitm = hit_f > 0.5
             far = jnp.float32(3.0)
             hx = jnp.where(hitm, ro[0] + rdx * t, far)
             hy = jnp.where(hitm, ro[1] + rdy * t, jnp.float32(0.0))
             hz = jnp.where(hitm, ro[2] + rdz * t, jnp.float32(0.0))
             eps = jnp.float32(1e-3)
-            # normals by forward differences (mandelbulb.comp:113-123).
             # The base DE d0 = DE(hit pos) is NOT re-evaluated: the march
             # recorded d_hit from the accepted eval at this exact
             # position, so d0 == d_hit bit-for-bit — and that orbit is
             # the group's slowest (a hit-position orbit never escapes,
             # running to the full iteration limit), so dropping it also
-            # unbinds the fused loop's trip count.
+            # unbinds the loop trip counts.
             d0 = d_hit
-            (dxp, dyp, dzp), n_i = _de_tile_multi(
-                [(hx + eps, hy, hz), (hx, hy + eps, hz),
-                 (hx, hy, hz + eps)], power, limit, int_power)
-            nx = dxp - d0
-            ny = dyp - d0
-            nz = dzp - d0
-            nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-            fb = nl < 1e-4
-            nl = jnp.maximum(nl, 1e-12)
-            nx = jnp.where(fb, jnp.zeros_like(nx), nx / nl)
-            ny = jnp.where(fb, jnp.ones_like(ny), ny / nl)
-            nz = jnp.where(fb, jnp.zeros_like(nz), nz / nl)
             # AO loop (mandelbulb.comp:156-157): the shader's f32
             # accumulation for(k=0.01; k<0.15; k+=0.02) runs EIGHT taps —
             # the last k is 0.14999998f, still < 0.15f — at the
@@ -747,6 +838,19 @@ def _make_kernel(width: int, height: int, map_height: int,
                 ks.append(float(k))
                 k = np.float32(k + np.float32(0.02))
             if stats:
+                # normals by forward differences (mandelbulb.comp:113-123)
+                (dxp, dyp, dzp), n_i = _de_tile_multi(
+                    [(hx + eps, hy, hz), (hx, hy + eps, hz),
+                     (hx, hy, hz + eps)], power, limit, int_power)
+                nx = dxp - d0
+                ny = dyp - d0
+                nz = dzp - d0
+                nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                fb = nl < 1e-4
+                nl = jnp.maximum(nl, 1e-12)
+                nx = jnp.where(fb, jnp.zeros_like(nx), nx / nl)
+                ny = jnp.where(fb, jnp.ones_like(ny), ny / nl)
+                nz = jnp.where(fb, jnp.zeros_like(nz), nz / nl)
                 ds, ao_i = _de_tile_multi(
                     [(hx + nx * jnp.float32(kk), hy + ny * jnp.float32(kk),
                       hz + nz * jnp.float32(kk)) for kk in ks],
@@ -755,9 +859,10 @@ def _make_kernel(width: int, height: int, map_height: int,
                 for dk in ds:
                     ao = ao + jnp.exp(-10.0 * dk)
             else:
-                # flat sequential tap walk — bit-identical, ~2x cheaper
-                ao = _flat_ao((hx, hy, hz), (nx, ny, nz), ks, power,
-                              limit, hitm, int_power)
+                # flat sequential 11-tap walk — bit-identical on hit
+                # lanes, one loop instead of two serialized groups
+                nx, ny, nz, ao = _flat_shade(
+                    (hx, hy, hz), d0, ks, power, limit, hitm, int_power)
             next(it)[:, :] = nx
             next(it)[:, :] = ny
             next(it)[:, :] = nz

@@ -31,7 +31,8 @@ PHASES = {
          "deep_phoenix or series_skip_scaled or stacked_aa")],
     "mandelbulb": [
         "tests/test_mandelbulb.py", "-k",
-        "matches_numpy or de_step_int or noninteger or dispatch"],
+        "matches_numpy or de_step_int or noninteger or dispatch "
+        "or flat_paths"],
     # the two riskiest hardware paths run on the chip every round, not
     # just in interpret mode (VERDICT r2 item 9): double-buffered orbit
     # DMA from HBM, and the giant-still band render/quantize/stream
